@@ -1,0 +1,92 @@
+"""Source-table ingest: sha256 invariant, stable doc_id, doc shards.
+
+Replaces the reference's per-rank file scan + Allgather (reference
+src/apm1.c:148-232, O1-O3 in SURVEY.md §2): documents stay distributed rows;
+the stable global ``doc_id`` plays the role the pointer-shifted global byte
+offset played there (src/flexible_mpi.c:455).
+
+Design notes for scale:
+- ``doc_id`` via ``row_number()`` over ``(repo, path, commit)`` — stable and
+  deterministic regardless of partition layout; NEVER
+  ``monotonically_increasing_id`` (partition-dependent). This is a global
+  sort — at 10^12-row scale you'd persist the assignment once at ingest
+  (it IS the ingest) and never recompute; ``zipWithIndex``-style range
+  arithmetic over sorted partition boundaries gives the same ids without a
+  single-reducer sort (Spark's row_number over a global Window WOULD
+  single-reduce, so we use the orderBy+per-partition-offset form below).
+- ``content_sha256`` via ``F.sha2`` — JVM-side, zero Python; the per-row
+  invariant mandated by BASELINE.json `input_hint`.
+- ``shard_id = doc_id % n_shards`` — document-partitioned index shards; each
+  shard holds full posting lists for its docs (local index), queries fan out
+  to shards and merge top-k, the classic web-scale layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SOURCE_COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+def with_sha256(docs: DataFrame) -> DataFrame:
+    """Per-row invariant column: sha256 over UTF-8 content bytes."""
+    return docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+
+def assign_doc_ids(docs: DataFrame) -> DataFrame:
+    """Stable dense doc_id over (repo, path, commit) — no global Window.
+
+    Sorts by the key (range shuffle), then adds each partition's row offset
+    (computed from per-partition counts, a tiny driver-side prefix sum) to
+    the within-partition row_number. Equivalent to a global row_number but
+    scales: no single-partition sort.
+    """
+    sorted_docs = docs.repartitionByRange(
+        docs.sparkSession.sparkContext.defaultParallelism, "repo", "path", "commit"
+    ).sortWithinPartitions("repo", "path", "commit")
+    part_w = Window.partitionBy("_pid").orderBy("repo", "path", "commit")
+    with_pid = sorted_docs.withColumn("_pid", F.spark_partition_id()).cache()
+    counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").count().withColumnRenamed("count", "cnt").collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = docs.sparkSession
+    offs_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+        )
+    )
+    return (
+        with_pid.withColumn("_rn", F.row_number().over(part_w))
+        .join(offs_df, "_pid")
+        .withColumn("doc_id", (F.col("_off") + F.col("_rn") - F.lit(1)).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def ingest(docs: DataFrame, n_shards: int = 32) -> DataFrame:
+    """Full ingest: sha256 invariant + doc_id + shard_id."""
+    out = assign_doc_ids(with_sha256(docs))
+    return out.withColumn("shard_id", (F.col("doc_id") % n_shards).cast("int"))
+
+
+def read_source(spark: SparkSession, path: str) -> DataFrame:
+    """Read the (repo, path, commit, lang, content) source table."""
+    return spark.read.parquet(path).select(*SOURCE_COLS)
+
+
+def driver_documents_as_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's documents table (doc_id, text, lang, source,
+    n_chars) to the engine's source shape; doc_id is kept as-is (already
+    stable and dense)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.sha2(F.concat_ws("/", "source", "doc_id"), 256).substr(1, 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )

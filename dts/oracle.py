@@ -1,0 +1,133 @@
+"""Single-process reference engine — the spec the Spark engine must match.
+
+Plays exactly the role the sequential `apm1` binary plays in the reference's
+randomized differential tests (reference src/apm1.c, driven by
+src/test_generation.py:147-178, which demands EXACT equality): a slow,
+obviously-correct oracle. ~200 LoC, numpy only, no Spark.
+
+Shared constants (FIXTURES.md §5) — the engine imports nothing from here,
+but both sides implement these verbatim:
+- tokenizer: dts.tokenize.tokenize_text (single source of truth, imported)
+- BM25: k1=1.2, b=0.75, idf = ln(1 + (N - df + 0.5)/(df + 0.5)), float64
+- per-doc score = sum of per-term contributions in ASCENDING TERM ORDER
+  (fixed summation order ⇒ bit-identical float64 across implementations)
+- tie-break: (score DESC, doc_id ASC)
+- fuzzy expansion: char trigrams of the raw term; candidate if shared
+  distinct-trigram count ≥ max(1, len(q) - 2 - 3*k); verified with banded
+  Levenshtein ≤ k (band width 2k+1), replicating the reference kernel's
+  DP semantics (src/apm1.c:82-105) restricted to a band
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+
+from dts.tokenize import tokenize_text
+
+K1 = 1.2
+B = 0.75
+
+
+def idf(n_docs: int, df: int) -> float:
+    return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+
+def banded_levenshtein(a: str, b: str, k: int) -> int:
+    """Edit distance if ≤ k, else k+1. Band width 2k+1 around the diagonal.
+
+    Same Wagner–Fischer single-column recurrence as the reference kernel
+    (src/apm1.c:86-105), with the band restriction: cells with |i-j| > k
+    are treated as > k.
+    """
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return k + 1
+    big = k + 1
+    prev = np.minimum(np.arange(lb + 1), big)
+    cur = np.empty(lb + 1, dtype=np.int64)
+    for i in range(1, la + 1):
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        cur[:] = big
+        cur[0] = i if i <= k else big
+        for j in range(lo, hi + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        prev, cur = cur, prev
+    return int(min(prev[lb], big))
+
+
+def trigrams(t: str) -> set[str]:
+    if len(t) < 3:
+        return {t}
+    return {t[i : i + 3] for i in range(len(t) - 2)}
+
+
+class OracleIndex:
+    """In-memory index over a list of (doc_id, content) pairs."""
+
+    def __init__(self, docs: list[tuple[int, str]]):
+        self.doc_ids = np.array([d for d, _ in docs], dtype=np.int64)
+        self.tf: dict[str, dict[int, int]] = {}
+        self.doc_len: dict[int, int] = {}
+        for doc_id, content in docs:
+            toks = tokenize_text(content)
+            self.doc_len[doc_id] = len(toks)
+            for t, c in Counter(toks).items():
+                self.tf.setdefault(t, {})[doc_id] = c
+        self.n_docs = len(docs)
+        lens = np.array(list(self.doc_len.values()), dtype=np.float64)
+        self.avgdl = float(lens.mean()) if len(lens) else 0.0
+        self.vocab = sorted(self.tf)
+        self._tri: dict[str, set[str]] = {t: trigrams(t) for t in self.vocab}
+
+    def expand_term(self, q: str, k: int) -> list[str]:
+        """Fuzzy expansion: trigram candidates + banded verify. k=0 ⇒ exact."""
+        if k == 0:
+            return [q] if q in self.tf else []
+        qt = trigrams(q)
+        thresh = max(1, len(q) - 2 - 3 * k)
+        out = []
+        for t in self.vocab:
+            if abs(len(t) - len(q)) > k:
+                continue
+            if len(qt & self._tri[t]) < thresh:
+                continue
+            if banded_levenshtein(q, t, k) <= k:
+                out.append(t)
+        return out
+
+    def match_counts(self, q: str, k: int) -> dict[int, int]:
+        """Reference-faithful counting query (token granularity): per doc,
+        the number of token POSITIONS whose token is within distance k of q
+        — overlap-counting analogue of src/apm1.c:252-278 (O8-O13)."""
+        counts: dict[int, int] = {}
+        for t in self.expand_term(q, k):
+            for doc_id, tf in self.tf[t].items():
+                counts[doc_id] = counts.get(doc_id, 0) + tf
+        return counts
+
+    def score_query(self, text: str, fuzzy_k: int = 0, topk: int = 10):
+        """BM25 top-k: returns list of (rank, doc_id, score)."""
+        qterms = tokenize_text(text)
+        expanded: list[str] = []
+        for qt in qterms:
+            expanded.extend(self.expand_term(qt, fuzzy_k))
+        expanded.sort()  # ascending-term summation order (rank identity)
+        scores: dict[int, float] = {}
+        for t in expanded:
+            w = idf(self.n_docs, len(self.tf[t]))
+            for doc_id in sorted(self.tf[t]):
+                tf = self.tf[t][doc_id]
+                dl = self.doc_len[doc_id]
+                impact = (
+                    tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+                )
+                scores[doc_id] = scores.get(doc_id, 0.0) + w * impact
+        # Ranking key (round(score,9) DESC, doc_id ASC) — same contract as
+        # the engine (dts.score.ROUND_RANK): rounding collapses last-ulp
+        # summation noise so ranks are stable across implementations.
+        ranked = sorted(scores.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))[:topk]
+        return [(r + 1, doc_id, s) for r, (doc_id, s) in enumerate(ranked)]

@@ -1,0 +1,151 @@
+"""BM25 scoring — pure-DataFrame path (the correctness anchor).
+
+This is SURVEY.md §7.3's "minimum slice": tokenize → tf/df/doc-stats →
+broadcast query join → per-term contribution → deterministic-order sum →
+window top-k. Everything after (compressed index, WAND) is an optimization
+of THIS semantics and is tested to never change it.
+
+Rank-identity contract (shared with dts.oracle):
+- k1=1.2, b=0.75, idf = ln(1 + (N - df + 0.5)/(df + 0.5)), float64.
+- Per-doc score = fold of per-term contributions in ASCENDING TERM order —
+  here enforced with array_sort(collect_list(...)) + F.aggregate, which
+  reproduces the oracle's addition sequence bit-for-bit (a plain groupBy
+  sum would add in shuffle order: same value to ~1 ulp, not bitwise).
+- Ranking key: (round(score, 9) DESC, doc_id ASC). Rounding collapses
+  last-ulp noise (e.g. duplicate docs whose sums ran in different orders)
+  so ranks are stable across engines; reported score stays full float64.
+
+The broadcast of the query-term side mirrors the reference's
+DISTRIBUTE_PATTERNS=0 strategy (src/flexible_mpi.c:147-153); the shuffle
+alternative (strategy 1) lives in the index-backed scorer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dts.tokenize import tokenize_udf
+
+K1 = 1.2
+B = 0.75
+ROUND_RANK = 9  # decimals for the rank key; see contract above
+
+
+def tokenized(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks array<string>, dl long). dl includes zero-token docs."""
+    return docs.select(
+        "doc_id",
+        tokenize_udf("content").alias("toks"),
+    ).withColumn("dl", F.size("toks").cast("long"))
+
+
+def term_freqs(tok: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) — one row per distinct (doc, term)."""
+    return (
+        tok.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_frequencies(tf: DataFrame) -> DataFrame:
+    """(term, df) from the per-doc tf table (already distinct per doc)."""
+    return tf.groupBy("term").agg(F.count("*").alias("df"))
+
+
+def corpus_stats(tok: DataFrame) -> tuple[int, float]:
+    """(n_docs, avgdl) — two scalars; fine to collect at any scale."""
+    row = tok.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return int(row["n"]), float(row["avgdl"] or 0.0)
+
+
+def query_terms_df(queries: DataFrame) -> DataFrame:
+    """(query_id, term) — duplicates KEPT (a repeated query term counts
+    twice, matching the oracle's per-occurrence expansion)."""
+    return queries.select(
+        "query_id", F.explode(tokenize_udf("text")).alias("term")
+    )
+
+
+def bm25_contrib(n_docs: int, avgdl: float):
+    """Column expr: one term's BM25 contribution, from tf/df/dl columns."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    impact = (
+        F.col("tf").cast("double")
+        * F.lit(K1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(K1)
+            * (F.lit(1.0 - B) + F.lit(B) * F.col("dl").cast("double") / F.lit(avgdl))
+        )
+    )
+    return idf * impact
+
+
+def score_contributions(
+    tf: DataFrame,
+    df_: DataFrame,
+    tok: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+) -> DataFrame:
+    """(query_id, doc_id, term, contrib) for every matching posting."""
+    return (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_.join(qterms.select("term").distinct(), "term")), "term")
+        .join(tok.select("doc_id", "dl"), "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "term",
+            bm25_contrib(n_docs, avgdl).alias("contrib"),
+        )
+    )
+
+
+def deterministic_sum_topk(contribs: DataFrame, k: int = 10) -> DataFrame:
+    """Fold contributions in ascending-term order, rank, keep top-k.
+
+    Returns (query_id, doc_id, score, rank).
+    """
+    folded = (
+        contribs.groupBy("query_id", "doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), ROUND_RANK).desc(), F.col("doc_id").asc()
+    )
+    return (
+        folded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def bm25_topk_dataframe(docs: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """End-to-end minimal slice: exact-term BM25 top-k, pure DataFrame ops.
+
+    `docs` needs (doc_id, content); `queries` needs (query_id, text).
+    Fuzzy queries go through dts.fuzzy expansion feeding the same scorer.
+    """
+    tok = tokenized(docs).cache()
+    tf = term_freqs(tok)
+    df_ = doc_frequencies(tf)
+    n_docs, avgdl = corpus_stats(tok)
+    qterms = query_terms_df(queries)
+    contribs = score_contributions(tf, df_, tok, qterms, n_docs, avgdl)
+    return deterministic_sum_topk(contribs, k)
