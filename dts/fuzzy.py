@@ -1,0 +1,140 @@
+"""Fuzzy term expansion: trigram candidates + banded edit-distance verify.
+
+This is the graft of the reference's approximate matching (the Levenshtein
+kernel src/apm1.c:82-105 and θ-filter `distance <= approx_factor`
+src/apm1.c:272-274, O9/O10): instead of sliding a byte window over the
+corpus per query, a fuzzy query term resolves to the EXACT index terms
+within edit distance k, then scoring proceeds through the index.
+
+Pipeline (all DataFrame ops + one vectorized pandas UDF):
+1. candidate generation — character trigrams of vocabulary terms (from the
+   persisted term_stats table = the vocabulary) joined to query-term
+   trigrams; a candidate survives if shared distinct-trigram count
+   ≥ max(1, len(q) - 2 - 3k) and |len(t) - len(q)| ≤ k. Trigrams are
+   computed with built-in SQL (sequence/transform/substring) — zero Python.
+2. verification — banded Wagner–Fischer DP (band 2k+1), the same
+   recurrence as the reference kernel, vectorized ACROSS the candidate
+   batch in numpy: the i/j loops run over the (short) term lengths while
+   every operation is a batch-wide vector op. Matches dts.oracle's
+   banded_levenshtein decision (≤ k) exactly.
+
+Shared constants live in FIXTURES.md §5; the oracle implements the same.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+# Trigram set as a SQL expression (distinct; whole term if len < 3).
+_TRIGRAM_EXPR = """
+CASE WHEN length({c}) < 3 THEN array({c})
+     ELSE array_distinct(transform(sequence(1, length({c}) - 2),
+                                   i -> substring({c}, i, 3)))
+END
+"""
+
+
+def trigram_col(col: str):
+    return F.expr(_TRIGRAM_EXPR.format(c=col))
+
+
+def banded_lev_batch(
+    a_list: np.ndarray, b_list: np.ndarray, k_arr: np.ndarray
+) -> np.ndarray:
+    """Banded Levenshtein for a batch of (a, b, k) triples.
+
+    Returns distance if ≤ k else k+1 (per pair). Same recurrence/band as
+    dts.oracle.banded_levenshtein (itself mirroring the reference kernel
+    src/apm1.c:86-105), vectorized across the batch: the DP loops run over
+    string positions, every inner op is an n-wide numpy vector op.
+    """
+    n = len(a_list)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    la = np.array([len(a) for a in a_list], dtype=np.int64)
+    lb = np.array([len(b) for b in b_list], dtype=np.int64)
+    maxa, maxb = int(la.max(initial=0)), int(lb.max(initial=0))
+    k_arr = np.asarray(k_arr, dtype=np.int64)
+    big = k_arr + 1
+
+    A = np.zeros((n, max(maxa, 1)), dtype=np.uint32)
+    Bm = np.zeros((n, max(maxb, 1)), dtype=np.uint32)
+    for i, s in enumerate(a_list):
+        if s:
+            A[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    for i, s in enumerate(b_list):
+        if s:
+            Bm[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+    js = np.arange(maxb + 1)
+    prev = np.minimum(np.broadcast_to(js, (n, maxb + 1)), big[:, None]).astype(
+        np.int64
+    )
+    cur = np.empty_like(prev)
+    for i in range(1, maxa + 1):
+        active = i <= la
+        cur[:, 0] = np.where(i <= k_arr, i, big)
+        for j in range(1, maxb + 1):
+            cost = (A[:, i - 1] != Bm[:, j - 1]).astype(np.int64)
+            val = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost,
+            )
+            inband = (j >= i - k_arr) & (j <= i + k_arr) & (j <= lb)
+            cur[:, j] = np.where(inband, val, big)
+        prev = np.where(active[:, None], cur, prev)
+        cur = np.empty_like(prev)
+    out = prev[np.arange(n), lb]
+    return np.minimum(out, big)
+
+
+@F.pandas_udf(BooleanType())
+def banded_lev_le_k_udf(
+    qterm: pd.Series, term: pd.Series, k: pd.Series
+) -> pd.Series:
+    d = banded_lev_batch(
+        qterm.to_numpy(), term.to_numpy(), k.to_numpy("int64")
+    )
+    return pd.Series(d <= k.to_numpy("int64"))
+
+
+def expand_fuzzy_terms(
+    fuzzy_qterms: DataFrame, vocab: DataFrame
+) -> DataFrame:
+    """(query_id, qterm, fuzzy_k) × vocab(term) → (query_id, term).
+
+    Multiplicity preserved: a qterm occurring twice in a query yields its
+    expansions twice (the oracle extends per occurrence). ``vocab`` is the
+    term_stats table (term column used).
+    """
+    # Distinguish repeated occurrences of the same qterm deterministically
+    # (never monotonically_increasing_id — partition-dependent).
+    from pyspark.sql import Window
+
+    q = fuzzy_qterms.withColumn(
+        "occ",
+        F.row_number().over(
+            Window.partitionBy("query_id", "qterm").orderBy("fuzzy_k")
+        ),
+    )
+    qtri = q.select(
+        "query_id", "qterm", "fuzzy_k", "occ", F.explode(trigram_col("qterm")).alias("tri")
+    )
+    vtri = vocab.select("term", F.explode(trigram_col("term")).alias("tri"))
+    cand = (
+        vtri.join(F.broadcast(qtri), "tri")
+        .groupBy("query_id", "qterm", "fuzzy_k", "occ", "term")
+        .agg(F.count("*").alias("shared"))
+        .filter(
+            (F.col("shared") >= F.greatest(F.lit(1), F.length("qterm") - 2 - 3 * F.col("fuzzy_k")))
+            & (F.abs(F.length("term") - F.length("qterm")) <= F.col("fuzzy_k"))
+        )
+    )
+    verified = cand.filter(
+        banded_lev_le_k_udf(F.col("qterm"), F.col("term"), F.col("fuzzy_k"))
+    )
+    return verified.select("query_id", "term")

@@ -1,0 +1,209 @@
+"""Inverted-index build: tf extraction → stats → bucketed posting encode.
+
+Replaces the reference's per-query corpus re-scan (src/apm1.c:235-278 scans
+every byte for every pattern, every run) with a one-time index build.
+
+## Shuffle plan (the part that must survive 100×)
+
+1. **tf extraction — ZERO shuffle.** One ``mapInPandas`` pass turns
+   (doc_id, content) into (doc_id, term, tf, dl): a document's tokens are
+   always local to its row, so per-doc aggregation needs no exchange. This
+   is the map-side-combine idea of the reference's thread-local counters
+   (src/flexible_mpi.c:487-521, O11/O12) taken to its limit.
+2. **term stats — one map-side-combined shuffle.** ``groupBy(term)`` over
+   the tf table; Spark's partial aggregation means each upstream partition
+   emits at most |vocab| rows, so head terms (`def`, `import`) cost the
+   same as tail terms. No skew possible for counts.
+3. **posting encode — the salted term-partitioned merge.** Naive
+   ``groupBy(term)`` would put ALL of `def`'s postings (≈ every doc; at
+   10^12 files that is terabytes) in ONE reduce group — the head-term skew
+   the north rule calls out (the reference hit the same wall when leftover
+   ranks piled onto pattern 0, src/flexible_mpi.c:171-186). The salt here
+   is the **doc-range bucket**: ``bucket = doc_id // bucket_size``. Shuffle
+   key = bucket; every reduce group is bounded by construction
+   (≤ bucket_size docs × avg terms), head terms spread across ALL buckets,
+   tail terms (df ≤ a few) touch ≤ df buckets — i.e. the salt fanout is
+   implicitly proportional to df(term), which is what SURVEY.md §4
+   prescribes. Because buckets are disjoint ORDERED doc ranges, the final
+   per-term merge is a lazy ordered concatenation of bucket rows at query
+   time — the classic two-phase salted merge with a free phase 2.
+
+Postings are docID-sorted, delta+varint block-compressed (dts.codec), one
+row per (term, bucket), written sorted by term so parquet min/max row-group
+stats prune term lookups at query time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dts.codec import BLOCK_SIZE, encode_postings
+from dts.tokenize import tokenize_exploded
+
+DEFAULT_BUCKET_SIZE = 4096  # docs per bucket; at 10^12 docs → ~2.4e8 buckets
+
+TF_SCHEMA = "doc_id long, term string, tf long, dl long"
+POSTINGS_SCHEMA = (
+    "term string, bucket long, n long, doc_blob binary, tf_blob binary, "
+    "dl_blob binary, block_last_doc array<long>, block_max_impact array<double>, "
+    "doc_offs array<int>, tf_offs array<int>, dl_offs array<int>"
+)
+
+
+def build_tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf, dl) with NO shuffle — per-doc agg inside the UDF.
+
+    Zero-token docs contribute no rows (their dl is recovered in
+    doc_stats / meta from the doc table itself).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            flat = tokenize_exploded(pdf["content"])
+            if len(flat) == 0:
+                continue
+            flat["doc_id"] = pdf["doc_id"].to_numpy("int64")[flat["pos"]]
+            g = (
+                flat.groupby(["doc_id", "term"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            dl = flat.groupby("doc_id", sort=False).size()
+            g["dl"] = dl.loc[g["doc_id"]].to_numpy("int64")
+            yield g[["doc_id", "term", "tf", "dl"]]
+
+    return docs.select("doc_id", "content").mapInPandas(gen, TF_SCHEMA)
+
+
+def term_stats(tf: DataFrame) -> DataFrame:
+    """(term, df, cf) — df = #docs containing term, cf = collection freq.
+    Map-side combined; head terms cost one row per upstream partition."""
+    return tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+def corpus_meta(docs: DataFrame, tf: DataFrame) -> dict:
+    """n_docs counts ALL docs (incl. zero-token ones, mirroring the oracle's
+    avgdl over every doc); total_tokens from tf avoids a second tokenize."""
+    n_docs = docs.count()
+    total = tf.agg(F.sum("tf").alias("t")).collect()[0]["t"] or 0
+    return {
+        "n_docs": int(n_docs),
+        "total_tokens": int(total),
+        "avgdl": (float(total) / n_docs) if n_docs else 0.0,
+    }
+
+
+def doc_stats(docs: DataFrame, tf: DataFrame) -> DataFrame:
+    """(doc_id, dl) for every doc, zero-token docs included."""
+    dl = tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    return (
+        docs.select("doc_id")
+        .join(dl, "doc_id", "left")
+        .select("doc_id", F.coalesce("dl", F.lit(0)).cast("long").alias("dl"))
+    )
+
+
+def _encode_bucket_fn(avgdl: float, bucket_size: int, block_size: int):
+    def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+        terms = pdf["term"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy("int64")
+        tfs = pdf["tf"].to_numpy("int64")
+        dls = pdf["dl"].to_numpy("int64")
+        bucket = int(pdf["bucket"].iloc[0])
+        uniq, starts = np.unique(terms, return_index=True)
+        bounds = np.append(starts, len(terms))
+        rows = []
+        for ti in range(len(uniq)):
+            s, e = bounds[ti], bounds[ti + 1]
+            p = encode_postings(
+                doc_ids[s:e], tfs[s:e], dls[s:e], avgdl, block_size
+            )
+            rows.append(
+                {
+                    "term": uniq[ti],
+                    "bucket": bucket,
+                    "n": p.n,
+                    "doc_blob": p.doc_blob,
+                    "tf_blob": p.tf_blob,
+                    "dl_blob": p.dl_blob,
+                    "block_last_doc": p.block_last_doc.tolist(),
+                    "block_max_impact": p.block_max_impact.tolist(),
+                    "doc_offs": p.doc_offs.tolist(),
+                    "tf_offs": p.tf_offs.tolist(),
+                    "dl_offs": p.dl_offs.tolist(),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return encode_bucket
+
+
+def build_postings(
+    tf: DataFrame,
+    avgdl: float,
+    bucket_size: int = DEFAULT_BUCKET_SIZE,
+    block_size: int = BLOCK_SIZE,
+) -> DataFrame:
+    """The salted term-partitioned merge (see module docstring)."""
+    bucketed = tf.withColumn(
+        "bucket", (F.col("doc_id") / F.lit(bucket_size)).cast("long")
+    )
+    return bucketed.groupBy("bucket").applyInPandas(
+        _encode_bucket_fn(avgdl, bucket_size, block_size), POSTINGS_SCHEMA
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    bucket_size: int = DEFAULT_BUCKET_SIZE,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Build + persist the full index. `docs` needs (doc_id, content).
+
+    Layout: <out_dir>/{postings,term_stats,doc_stats}/ parquet + meta.json.
+    Postings written sorted by term for row-group pruning on term lookups.
+    Returns the meta dict (n_docs, avgdl, sizes).
+    """
+    docs = docs.cache()
+    tf = build_tf(docs).cache()
+    meta = corpus_meta(docs, tf)
+    meta.update({"bucket_size": bucket_size, "block_size": block_size})
+
+    stats = term_stats(tf)
+    stats.repartitionByRange(max(1, stats.sparkSession.sparkContext.defaultParallelism // 2), "term").sortWithinPartitions(
+        "term"
+    ).write.mode("overwrite").parquet(f"{out_dir}/term_stats")
+
+    doc_stats(docs, tf).write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
+
+    postings = build_postings(tf, meta["avgdl"], bucket_size, block_size)
+    postings.repartitionByRange(
+        max(1, spark.sparkContext.defaultParallelism), "term", "bucket"
+    ).sortWithinPartitions("term", "bucket").write.mode("overwrite").parquet(
+        f"{out_dir}/postings"
+    )
+
+    meta["vocab_size"] = spark.read.parquet(f"{out_dir}/term_stats").count()
+    os.makedirs(out_dir, exist_ok=True)
+    with open(f"{out_dir}/meta.json", "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+    tf.unpersist()
+    docs.unpersist()
+    return meta
+
+
+def load_meta(index_dir: str) -> dict:
+    with open(f"{index_dir}/meta.json") as f:
+        return json.load(f)

@@ -1,0 +1,204 @@
+"""Index-backed BM25 top-k: query planning + distributed scoring.
+
+Query lifecycle (the amortized replacement for the reference's per-query
+full-corpus scan, src/apm1.c:235-278):
+
+1. tokenize queries (same tokenizer as ingest);
+2. fuzzy terms expand to exact index terms (dts.fuzzy — the Levenshtein
+   graft); exact terms pass through;
+3. postings lookup: parquet scan FILTERED by the expanded term set —
+   pushed down to row-group stats because postings are written term-sorted
+   (check .explain(): PushedFilters In(term, ...));
+4. per-query scoring in one ``applyInPandas`` group: decode blocks, score,
+   top-k. Two exact strategies:
+   - ``taat``: vectorized term-at-a-time numpy accumulation (throughput
+     default — every op is an array op);
+   - ``bmw``: block-max WAND document-at-a-time with skipping (dts.wand,
+     the north-rule operator; rank-identical, pruning is UB-safe).
+
+Broadcast of the (small) query-term side mirrors DISTRIBUTE_PATTERNS=0
+(src/flexible_mpi.c:147-153); the postings side stays partitioned — at
+cluster scale each task reads only the postings row-groups its terms live
+in. Scores are float64 with ascending-term accumulation order — the same
+addition sequence as dts.oracle, hence bit-identical (tested).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dts.codec import PackedPostings, bm25_impact
+from dts.fuzzy import expand_fuzzy_terms
+from dts.index_build import load_meta
+from dts.tokenize import tokenize_udf
+from dts.wand import bmw_topk
+
+ROUND_RANK = 9
+TOPK_SCHEMA = "query_id long, doc_id long, score double, rank int"
+
+
+def load_index(spark: SparkSession, index_dir: str):
+    return {
+        "postings": spark.read.parquet(f"{index_dir}/postings"),
+        "term_stats": spark.read.parquet(f"{index_dir}/term_stats"),
+        "doc_stats": spark.read.parquet(f"{index_dir}/doc_stats"),
+        "meta": load_meta(index_dir),
+    }
+
+
+def expanded_query_terms(queries: DataFrame, term_stats: DataFrame) -> DataFrame:
+    """(query_id, term) multiset after fuzzy expansion.
+
+    `queries` needs (query_id, text, fuzzy_k). Exact queries (fuzzy_k=0)
+    pass through; fuzzy ones expand against the vocabulary. Multiplicity
+    (repeated terms) is preserved on both paths.
+    """
+    qt = queries.select(
+        "query_id",
+        F.coalesce("fuzzy_k", F.lit(0)).alias("fuzzy_k"),
+        F.explode(tokenize_udf("text")).alias("qterm"),
+    )
+    exact = qt.filter(F.col("fuzzy_k") == 0).select(
+        "query_id", F.col("qterm").alias("term")
+    )
+    fuzzy = qt.filter(F.col("fuzzy_k") > 0)
+    expanded = expand_fuzzy_terms(fuzzy, term_stats.select("term"))
+    return exact.unionByName(expanded)
+
+
+def _scorer_fn(n_docs: int, avgdl: float, k: int, strategy: str, block_size: int):
+    from dts.codec import decode_postings
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        query_id = int(pdf["query_id"].iloc[0])
+        # Ascending (term, bucket): fixes the accumulation order AND makes
+        # each term's bucket rows an ordered concatenation (the lazy phase-2
+        # of the salted merge).
+        pdf = pdf.sort_values(["term", "bucket"], kind="mergesort")
+        idf = np.log(
+            1.0 + (n_docs - pdf["df"].to_numpy(np.float64) + 0.5)
+            / (pdf["df"].to_numpy(np.float64) + 0.5)
+        )
+        packs = [
+            (
+                pdf["term"].iat[i],
+                float(idf[i]),
+                PackedPostings(
+                    n=int(pdf["n"].iat[i]),
+                    doc_blob=bytes(pdf["doc_blob"].iat[i]),
+                    tf_blob=bytes(pdf["tf_blob"].iat[i]),
+                    dl_blob=bytes(pdf["dl_blob"].iat[i]),
+                    block_last_doc=np.asarray(pdf["block_last_doc"].iat[i], dtype=np.int64),
+                    block_max_impact=np.asarray(pdf["block_max_impact"].iat[i], dtype=np.float64),
+                    doc_offs=np.asarray(pdf["doc_offs"].iat[i], dtype=np.int32),
+                    tf_offs=np.asarray(pdf["tf_offs"].iat[i], dtype=np.int32),
+                    dl_offs=np.asarray(pdf["dl_offs"].iat[i], dtype=np.int32),
+                    block_size=block_size,
+                ),
+            )
+            for i in range(len(pdf))
+        ]
+        if strategy == "bmw":
+            # Merge bucket rows per (term occurrence): group consecutive
+            # rows with equal term into one logical list per DUPLICATE set.
+            # Duplicates of a term each carry the full bucket set in order;
+            # simplest exact handling: give bmw one cursor per ROW — rows of
+            # one term over disjoint doc ranges never overlap, so their
+            # cursors co-exist safely; duplicates contribute twice as in
+            # the oracle's multiset.
+            ranked = bmw_topk(packs, k, avgdl)
+        else:
+            docs_parts, contrib_parts = [], []
+            for _, w, p in packs:
+                d, tf, dl = decode_postings(p)
+                docs_parts.append(d)
+                contrib_parts.append(w * bm25_impact(tf, dl, avgdl))
+            if not docs_parts:
+                return pd.DataFrame(
+                    columns=["query_id", "doc_id", "score", "rank"]
+                ).astype({"query_id": "int64", "doc_id": "int64", "score": "float64", "rank": "int32"})
+            uniq = np.unique(np.concatenate(docs_parts))
+            acc = np.zeros(len(uniq), dtype=np.float64)
+            for d, c in zip(docs_parts, contrib_parts):
+                acc[np.searchsorted(uniq, d)] += c
+            key = np.round(acc, ROUND_RANK)
+            order = np.lexsort((uniq, -key))[:k]
+            ranked = [(int(uniq[i]), float(acc[i])) for i in order]
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(ranked), query_id, dtype=np.int64),
+                "doc_id": np.array([d for d, _ in ranked], dtype=np.int64),
+                "score": np.array([s for _, s in ranked], dtype=np.float64),
+                "rank": np.arange(1, len(ranked) + 1, dtype=np.int32),
+            }
+        )
+
+    return score_group
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    strategy: str = "taat",
+) -> DataFrame:
+    """Top-k over the persisted index. Returns (query_id, doc_id, score, rank)."""
+    idx = load_index(spark, index_dir)
+    meta = idx["meta"]
+    qterms = expanded_query_terms(queries, idx["term_stats"]).cache()
+    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    postings = idx["postings"].filter(F.col("term").isin(terms))
+    stats = idx["term_stats"].filter(F.col("term").isin(terms)).select("term", "df")
+    joined = postings.join(F.broadcast(stats), "term").join(
+        F.broadcast(qterms), "term"
+    )
+    out = joined.groupBy("query_id").applyInPandas(
+        _scorer_fn(
+            meta["n_docs"], meta["avgdl"], k, strategy, meta["block_size"]
+        ),
+        TOPK_SCHEMA,
+    )
+    return out
+
+
+def match_counts_indexed(
+    spark: SparkSession, index_dir: str, queries: DataFrame
+) -> DataFrame:
+    """The reference-faithful output: per query, TOTAL number of matching
+    token positions across the corpus (the n_matches vector of
+    src/apm1.c:197-203 / O13), resolved through term_stats.cf — no posting
+    decode needed."""
+    idx = load_index(spark, index_dir)
+    qterms = expanded_query_terms(queries, idx["term_stats"])
+    joined = qterms.join(
+        idx["term_stats"].select("term", "cf"), "term"
+    )
+    return (
+        queries.select("query_id")
+        .join(
+            joined.groupBy("query_id").agg(F.sum("cf").alias("n_matches")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id", F.coalesce("n_matches", F.lit(0)).alias("n_matches")
+        )
+    )
+
+
+def topk_merge_global(local_topk: DataFrame, k: int = 10) -> DataFrame:
+    """Final global top-k merge when scoring emitted per-shard candidates
+    (cluster path): window over (query_id) with the shared ranking key."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), ROUND_RANK).desc(), F.col("doc_id").asc()
+    )
+    return (
+        local_topk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

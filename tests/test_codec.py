@@ -1,0 +1,92 @@
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dts.codec import (
+    PackedPostings,
+    bm25_impact,
+    decode_block,
+    decode_postings,
+    encode_postings,
+    varint_decode,
+    varint_encode,
+)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500)
+)
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    got = varint_decode(varint_encode(arr))
+    assert got.tolist() == [v % 2**64 for v in vals]
+
+
+def test_varint_known_bytes():
+    assert varint_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert varint_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert varint_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert varint_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+    assert varint_encode(np.zeros(0, dtype=np.uint64)) == b""
+    assert varint_decode(b"").tolist() == []
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10**12),  # doc gap
+            st.integers(min_value=1, max_value=1000),  # tf
+            st.integers(min_value=1, max_value=100000),  # dl
+        ),
+        min_size=0,
+        max_size=1500,
+    ),
+    st.sampled_from([4, 128, 256]),
+)
+@settings(max_examples=60, deadline=None)
+def test_postings_roundtrip(entries, block_size):
+    gaps = np.array([e[0] for e in entries], dtype=np.int64)
+    doc_ids = np.cumsum(gaps)
+    tfs = np.array([e[1] for e in entries], dtype=np.int64)
+    dls = np.array([e[2] for e in entries], dtype=np.int64)
+    p = encode_postings(doc_ids, tfs, dls, avgdl=50.0, block_size=block_size)
+    d, t, l = decode_postings(p)
+    assert d.tolist() == doc_ids.tolist()
+    assert t.tolist() == tfs.tolist()
+    assert l.tolist() == dls.tolist()
+    # Per-block independent decode agrees with the full decode.
+    n_blocks = len(p.block_last_doc)
+    for bi in range(n_blocks):
+        bd, bt, bl = decode_block(p, bi)
+        s, e = bi * block_size, min(len(entries), (bi + 1) * block_size)
+        assert bd.tolist() == doc_ids[s:e].tolist()
+        assert bt.tolist() == tfs[s:e].tolist()
+        assert bl.tolist() == dls[s:e].tolist()
+        assert p.block_last_doc[bi] == doc_ids[e - 1]
+        imp = bm25_impact(tfs[s:e], dls[s:e], 50.0)
+        assert p.block_max_impact[bi] == imp.max()
+
+
+def test_block_max_is_upper_bound():
+    rng = np.random.RandomState(7)
+    doc_ids = np.cumsum(rng.randint(1, 50, size=1000).astype(np.int64))
+    tfs = rng.randint(1, 30, size=1000)
+    dls = rng.randint(5, 500, size=1000)
+    p = encode_postings(doc_ids, tfs, dls, avgdl=80.0)
+    imp = bm25_impact(tfs, dls, 80.0)
+    for bi in range(len(p.block_last_doc)):
+        s, e = bi * 128, min(1000, (bi + 1) * 128)
+        assert (imp[s:e] <= p.block_max_impact[bi]).all()
+
+
+def test_compression_ratio_dense_lists():
+    # Dense ascending docs (gap 1-3) should take ~1-2 bytes/doc vs 8 raw.
+    rng = np.random.RandomState(3)
+    doc_ids = np.cumsum(rng.randint(1, 4, size=100000).astype(np.int64))
+    tfs = rng.randint(1, 5, size=100000)
+    dls = rng.randint(10, 127, size=100000)
+    p = encode_postings(doc_ids, tfs, dls, avgdl=60.0)
+    assert len(p.doc_blob) < 2 * 100000
+    assert len(p.tf_blob) == 100000
+    assert len(p.dl_blob) == 100000

@@ -1,0 +1,125 @@
+"""End-to-end differential tests of the indexed engine vs the oracle —
+the analogue of the reference's test_generation.py loop (engine vs apm1,
+exact equality, src/test_generation.py:147-178)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from dts.fuzzy import banded_lev_batch
+from dts.index_build import build_index
+from dts.oracle import OracleIndex, banded_levenshtein
+from dts.score_index import bm25_topk_indexed, match_counts_indexed
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, docs_sdf, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    # Small bucket_size so multi-bucket posting lists actually occur.
+    meta = build_index(spark, docs_sdf, d, bucket_size=64, block_size=16)
+    assert meta["n_docs"] == docs_sdf.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_pd):
+    return OracleIndex(list(zip(corpus_pd["doc_id"], corpus_pd["content"])))
+
+
+def _assert_identical(got_rows, oracle_index, queries, tag):
+    want = {}
+    for q in queries.itertuples():
+        for rank, doc_id, score in oracle_index.score_query(
+            q.text, int(q.fuzzy_k), 10
+        ):
+            want[(q.query_id, rank)] = (doc_id, score)
+    got_keys = {(r["query_id"], r["rank"]) for r in got_rows}
+    assert got_keys == set(want), f"{tag}: membership diff"
+    for r in got_rows:
+        doc_id, score = want[(r["query_id"], r["rank"])]
+        assert r["doc_id"] == doc_id, (tag, r["query_id"], r["rank"], r["doc_id"], doc_id)
+        assert math.isclose(r["score"], score, rel_tol=1e-9), (tag, r)
+        # Fixed summation order ⇒ expect BIT identity, not just closeness.
+        assert r["score"] == score, (tag, "bit identity", r["score"], score)
+
+
+@pytest.mark.parametrize("strategy", ["taat", "bmw"])
+def test_rank_identity_indexed(spark, index_dir, oracle, queries_pd, strategy):
+    queries_sdf = spark.createDataFrame(
+        queries_pd[["query_id", "text", "fuzzy_k"]]
+    )
+    got = (
+        bm25_topk_indexed(spark, index_dir, queries_sdf, k=10, strategy=strategy)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    _assert_identical(got, oracle, queries_pd, strategy)
+
+
+def test_match_counts_vs_oracle(spark, index_dir, oracle, queries_pd):
+    """n_matches per query == oracle position counts (exact int equality,
+    the reference's own acceptance criterion)."""
+    queries_sdf = spark.createDataFrame(
+        queries_pd[["query_id", "text", "fuzzy_k"]]
+    )
+    got = {
+        r["query_id"]: r["n_matches"]
+        for r in match_counts_indexed(spark, index_dir, queries_sdf).collect()
+    }
+    from dts.tokenize import tokenize_text
+
+    for q in queries_pd.itertuples():
+        want = 0
+        for qt in tokenize_text(q.text):
+            want += sum(oracle.match_counts(qt, int(q.fuzzy_k)).values())
+        assert got[q.query_id] == want, (q.query_id, q.text, got[q.query_id], want)
+
+
+def test_banded_lev_batch_vs_oracle():
+    rng = np.random.RandomState(11)
+    alphabet = "abcdef"
+    pairs, ks = [], []
+    for _ in range(500):
+        a = "".join(rng.choice(list(alphabet), rng.randint(0, 12)))
+        b = "".join(rng.choice(list(alphabet), rng.randint(0, 12)))
+        pairs.append((a, b))
+        ks.append(int(rng.randint(0, 5)))
+    got = banded_lev_batch(
+        np.array([p[0] for p in pairs], dtype=object),
+        np.array([p[1] for p in pairs], dtype=object),
+        np.array(ks),
+    )
+    for (a, b), k, g in zip(pairs, ks, got):
+        assert g == banded_levenshtein(a, b, k), (a, b, k, g)
+
+
+def test_banded_lev_matches_true_levenshtein():
+    """banded(k) ≤ k  ⟺  true distance ≤ k (Ukkonen band property)."""
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        d = np.zeros((la + 1, lb + 1), dtype=int)
+        d[:, 0] = np.arange(la + 1)
+        d[0, :] = np.arange(lb + 1)
+        for i in range(1, la + 1):
+            for j in range(1, lb + 1):
+                d[i, j] = min(
+                    d[i - 1, j] + 1,
+                    d[i, j - 1] + 1,
+                    d[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return d[la, lb]
+
+    rng = np.random.RandomState(5)
+    for _ in range(300):
+        a = "".join(rng.choice(list("abc"), rng.randint(0, 9)))
+        b = "".join(rng.choice(list("abc"), rng.randint(0, 9)))
+        k = int(rng.randint(0, 4))
+        banded = banded_levenshtein(a, b, k)
+        true = lev(a, b)
+        assert (banded <= k) == (true <= k), (a, b, k, banded, true)
+        if true <= k:
+            assert banded == true
