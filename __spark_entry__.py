@@ -134,15 +134,24 @@ scored AS (
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: BM25 top-10 over sf0.001 documents for the probe query set."""
-    scored = _bm25_scored(spark, "/root/testdata/sf0.001")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score6").desc(), F.col("doc_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "doc_id", "score6", "rank")
+    """Flagship: the full engine on sf0.001 — build the compressed inverted
+    index, then BM25 top-10 for the probe query set plus two fuzzy queries
+    (banded-edit-distance expansion), TAAT over the persisted index."""
+    import tempfile
+
+    from dts.index_build import build_index
+    from dts.io import driver_documents_as_source
+    from dts.score_index import bm25_topk_indexed
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = driver_documents_as_source(spark, sf_dir)
+    idx_dir = tempfile.mkdtemp(prefix="dts_entry_idx_")
+    build_index(spark, docs, idx_dir, bucket_size=256)
+    q = [(i, t, 0) for i, t in PROBE_QUERIES]
+    q += [(100, "tabel scann", 2), (101, "qurey fastt", 1)]
+    queries = spark.createDataFrame(q, "query_id long, text string, fuzzy_k int")
+    return bm25_topk_indexed(spark, idx_dir, queries, k=10).select(
+        "query_id", "doc_id", F.round("score", 6).alias("score6"), "rank"
     )
 
 
@@ -219,8 +228,192 @@ def _q_fuzzy_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# indexed-engine probes (documents text is pure [a-z0-9 ], so the engine's
+# code tokenizer and the SQL oracle tokenizer coincide on this table)
+# --------------------------------------------------------------------------
+
+
+def _q_bm25_topk_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL engine (persisted compressed index + TAAT scorer) against
+    the same SQL oracle as bm25_topk: build index, score all docs, re-rank
+    on round-6 scores."""
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from dts.index_build import build_index
+    from dts.io import driver_documents_as_source
+    from dts.score_index import bm25_topk_indexed
+
+    docs = driver_documents_as_source(spark, sf_dir)
+    idx_dir = tempfile.mkdtemp(prefix="dts_probe_idx_")
+    build_index(spark, docs, idx_dir, bucket_size=256)
+    q = spark.createDataFrame(
+        [(i, t, 0) for i, t in PROBE_QUERIES], "query_id long, text string, fuzzy_k int"
+    )
+    full = bm25_topk_indexed(spark, idx_dir, q, k=10**6)
+    w = W.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), F.col("doc_id").asc()
+    )
+    return (
+        full.withColumn("r6", F.row_number().over(w))
+        .filter(F.col("r6") <= 10)
+        .select("query_id", "doc_id", F.col("r6").alias("rank"))
+    )
+
+
+def _q_fuzzy_expand_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine fuzzy expansion (trigram candidates + banded-DP verify UDF)
+    vs a DuckDB oracle implementing the same candidate rule + levenshtein."""
+    from dts.fuzzy import expand_fuzzy_terms
+
+    vocab = _tok(spark, sf_dir).select("term").distinct()
+    fz = spark.createDataFrame(
+        [(i, t, 2) for i, t in FUZZY_TERMS],
+        "query_id long, qterm string, fuzzy_k int",
+    )
+    return expand_fuzzy_terms(fz, vocab).withColumnRenamed("query_id", "fq_id")
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline probes (dedup / similarity / text analysis)
+# --------------------------------------------------------------------------
+
+
+def _q_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dts.dedup import exact_canonical
+
+    return exact_canonical(_docs(spark, sf_dir))
+
+
+def _q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dts.dedup import minhash_signatures
+
+    sig = minhash_signatures(_docs(spark, sf_dir), n_hashes=8, n=3)
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 1), b -> struct(b AS band, "
+                "array_join(slice(sig, b * 4 + 1, 4), '|') AS key))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dts.dedup import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf_dir), n=1, threshold=0.3)
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dts.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dts.textstats import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dts.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dts.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir), k=4, n=3)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (bitwise majority vote is not reasonably
+    SQL-expressible in both engines)."""
+    from dts.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_docs(spark, sf_dir))
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dts.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("qvec"),
+    )
+    return cosine_topk_bruteforce(emb, queries, k=10)
+
+
+def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (seeded hyperplanes aren't SQL-expressible); recall
+    vs brute force is asserted in pytest."""
+    from dts.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("qvec"),
+    )
+    return lsh_topk(emb, queries, k=10, n_bits=8)
+
+
+def _q_emb_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dts.dedup import embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        embedding_dup_pairs(emb, tau=-1.0)
+        .orderBy(F.col("cos6").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+    ).agg(
+        F.count("*").alias("n"),
+        (
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4).cast("double")
+        ).alias("sum_value4"),
+    )
+
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic join/agg coverage (O13/O21 analogue over TPC-H-ish tables);
+    DECIMAL arithmetic so both engines sum exactly."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1.0).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue2"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # reference-derived operators (SURVEY.md §2)
         "term_df": _q_term_df,
         "term_tf_total": _q_term_tf_total,
         "doc_len": _q_doc_len,
@@ -228,14 +421,187 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": _q_bm25_scores,
         "fuzzy_expand": _q_fuzzy_expand,
         "fuzzy_match_count": _q_fuzzy_match_count,
+        "bm25_topk_engine": _q_bm25_topk_engine,
+        "fuzzy_expand_engine": _q_fuzzy_expand_engine,
+        # training-data pipeline operators
+        "exact_dup": _q_exact_dup,
+        "minhash_bands": _q_minhash_bands,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "token_stats": _q_token_stats,
+        "quality": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "simhash": _q_simhash,
+        "ann_topk": _q_ann_topk,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+        "emb_top_pairs": _q_emb_top_pairs,
+        # generic relational coverage
+        "events_hourly": _q_events_hourly,
+        "revenue_by_nation": _q_revenue_by_nation,
     }
+
+
+_D_TOKS = f"regexp_extract_all(lower(coalesce(text, '')), '{TOK}')"
+_D_SH3 = f"""
+    CASE WHEN len({_D_TOKS}) < 3 THEN [array_to_string({_D_TOKS}, ' ')]
+    ELSE list_distinct(list_transform(range(0, len({_D_TOKS}) - 2),
+         i -> array_to_string(list_slice({_D_TOKS}, (i + 1)::INTEGER, (i + 3)::INTEGER), ' ')))
+    END
+"""
+_D_TRI = """
+    CASE WHEN length({c}) < 3 THEN [{c}]
+    ELSE list_distinct(list_transform(range(1, length({c}) - 1),
+         i -> substring({c}, i::INTEGER, 3)))
+    END
+"""
+_D_COS = (
+    "round(list_dot_product(v, w) / "
+    "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(w, w))), 6)"
+)
+_STOPLIST = "['the','and','is','of','to','in','that','it']"
 
 
 def oracle_sql() -> dict[str, str]:
     tok_cte = (
         f"WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '{TOK}')) AS term FROM documents)"
     )
-    return {
+    _lang_hits = {
+        lang: f"len(list_filter({_D_TOKS}, t -> list_contains(["
+        + ",".join(f"'{w}'" for w in ws)
+        + "], t)))"
+        for lang, ws in sorted(
+            {
+                "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+                "en": ["the", "and", "is", "of", "to", "in", "that", "it"],
+                "es": ["el", "la", "los", "las", "es", "y", "de", "que"],
+                "fr": ["le", "la", "les", "et", "est", "que", "des", "une"],
+            }.items()
+        )
+    }
+    extra = {
+        "bm25_topk_engine": None,  # same oracle as bm25_topk (set below)
+        "fuzzy_expand_engine": f"""
+WITH tok AS (SELECT unnest({_D_TOKS}) AS term FROM documents),
+vocab AS (SELECT DISTINCT term FROM tok),
+fz(fq_id, qterm, k) AS (VALUES {", ".join(f"({i}, '{t}', 2)" for i, t in FUZZY_TERMS)}),
+vt AS (SELECT term, {_D_TRI.format(c="term")} AS tri FROM vocab),
+qt AS (SELECT fq_id::BIGINT AS fq_id, qterm, k, {_D_TRI.format(c="qterm")} AS tri FROM fz)
+SELECT fq_id, term
+FROM vt CROSS JOIN qt
+WHERE len(list_intersect(vt.tri, qt.tri)) >= greatest(1, length(qterm) - 2 - 3 * k)
+  AND abs(length(term) - length(qterm)) <= k
+  AND levenshtein(qterm, term) <= k
+""",
+        "exact_dup": """
+SELECT doc_id, md5(coalesce(text, '')) AS content_md5,
+       min(doc_id) OVER (PARTITION BY md5(coalesce(text, ''))) AS canonical_id
+FROM documents
+""",
+        "minhash_bands": f"""
+WITH sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, 8),
+            i -> list_min(list_transform({_D_SH3}, s -> md5(i::VARCHAR || ':' || s)))) AS sig
+  FROM documents
+)
+SELECT doc_id, band::INTEGER AS band,
+       array_to_string(list_slice(sig, (band * 4 + 1)::INTEGER, (band * 4 + 4)::INTEGER), '|') AS key
+FROM sigs CROSS JOIN (SELECT unnest(range(0, 2)) AS band)
+""",
+        "jaccard_pairs": f"""
+WITH sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len({_D_TOKS}) < 1 THEN [array_to_string({_D_TOKS}, ' ')]
+         ELSE list_distinct({_D_TOKS}) END) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS shared
+  FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+)
+SELECT a, b, round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jac6
+FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.doc_id
+WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 6) >= 0.3
+""",
+        "token_stats": f"""
+SELECT doc_id,
+       len({_D_TOKS})::BIGINT AS n_tokens,
+       len(list_distinct({_D_TOKS}))::BIGINT AS n_distinct,
+       coalesce(list_sum(list_transform({_D_TOKS}, t -> ceil(length(t) / 4.0)::BIGINT)), 0)::BIGINT AS n_subword
+FROM documents
+""",
+        "quality": f"""
+SELECT doc_id,
+       length(coalesce(text, ''))::BIGINT AS n_chars_c,
+       round(length(regexp_replace(lower(coalesce(text, '')), '[^a-z]', '', 'g'))
+             / greatest(length(coalesce(text, '')), 1), 6) AS alpha_ratio6,
+       round(len(list_filter({_D_TOKS}, t -> list_contains({_STOPLIST}, t)))
+             / greatest(len({_D_TOKS}), 1), 6) AS stop_ratio6,
+       round(coalesce(list_sum(list_transform({_D_TOKS}, t -> length(t))), 0)
+             / greatest(len({_D_TOKS}), 1), 6) AS mean_tok_len6,
+       round(0.4 * (length(regexp_replace(lower(coalesce(text, '')), '[^a-z]', '', 'g'))
+                    / greatest(length(coalesce(text, '')), 1))
+             + 0.4 * (len(list_filter({_D_TOKS}, t -> list_contains({_STOPLIST}, t)))
+                      / greatest(len({_D_TOKS}), 1))
+             + 0.2 * least(1.0, len({_D_TOKS}) / 64.0), 6) AS quality6
+FROM documents
+""",
+        "lang_id": f"""
+WITH h AS (
+  SELECT doc_id, {_lang_hits['de']} AS h_de, {_lang_hits['en']} AS h_en,
+         {_lang_hits['es']} AS h_es, {_lang_hits['fr']} AS h_fr
+  FROM documents
+)
+SELECT doc_id, CASE
+  WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+  WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+  WHEN h_es >= h_fr THEN 'es'
+  ELSE 'fr' END AS pred_lang
+FROM h
+""",
+        "fingerprint": f"""
+SELECT doc_id,
+       array_to_string(list_slice(list_sort(list_transform({_D_SH3}, s -> md5(s))), 1, 4), '|') AS fp
+FROM documents
+""",
+        "ann_topk": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS w FROM e WHERE vec_id < 5),
+s AS (SELECT q_id, vec_id, {_D_COS} AS cos6 FROM e CROSS JOIN q)
+SELECT q_id, vec_id, cos6, rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id ASC) AS rank FROM s
+) WHERE rank <= 10
+""",
+        "emb_top_pairs": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         round(list_dot_product(x.v, y.v) /
+               (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cos6
+  FROM e x JOIN e y ON x.vec_id < y.vec_id
+)
+SELECT a, b, cos6 FROM s ORDER BY cos6 DESC, a, b LIMIT 20
+""",
+        "events_hourly": """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*)::BIGINT AS n,
+       round(sum(value::DECIMAL(18,6)), 4)::DOUBLE AS sum_value4
+FROM events GROUP BY 1, 2
+""",
+        "revenue_by_nation": """
+SELECT n_name,
+       round(sum(l_extendedprice::DECIMAL(18,4) * (1.0::DECIMAL(18,4) - l_discount::DECIMAL(18,4))), 2)::DOUBLE AS revenue2,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+""",
+    }
+    base = {
         "term_df": f"{tok_cte} SELECT term, count(*)::BIGINT AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term",
         "term_tf_total": f"{tok_cte} SELECT term, count(*)::BIGINT AS tf_total FROM tok GROUP BY term",
         "doc_len": f"SELECT doc_id, len(regexp_extract_all(lower(coalesce(text, '')), '{TOK}'))::BIGINT AS dl FROM documents",
@@ -265,3 +631,8 @@ WHERE levenshtein(qterm, term) <= 1
 GROUP BY 1, 2, 3
 """,
     }
+    extra["bm25_topk_engine"] = base["bm25_topk"]
+    # simhash and lsh_ann_topk are deliberately absent: not SQL-expressible
+    # in both engines → driver records the weaker rows-only check; their
+    # semantics are pytest-verified against numpy oracles instead.
+    return {**base, **{k: v for k, v in extra.items() if v is not None}}

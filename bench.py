@@ -1,14 +1,23 @@
-"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+"""Benchmark harness: engine headline numbers at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line: {"metric", "value" (total sec), "unit": "sec",
-"queries": {name: sec}, "sf"}. The driver runs this per round; the
-N-vs-4N scaling evidence lives in scripts/scaling_bench.py → BENCH/.
+"queries": {stage: sec}, "sf"}. Stages:
+  index_build      build the persisted compressed index over documents
+  bm25_batch120    120-query BM25 top-10 batch (exact + fuzzy), TAAT
+  bm25_bmw40       40-query batch through block-max WAND
+  match_counts     reference-faithful per-query match-count vector
+  dedup_suite      exact + minhash-band dedup over documents
+  ann_topk         brute-force cosine top-10, 5 queries over embeddings
+  text_analysis    token stats + quality + language id
+
+The N-vs-4N scaling evidence lives in scripts/scaling_bench.py → BENCH/.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import tempfile
 import time
 
 from pyspark.sql import functions as F
@@ -21,28 +30,96 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("dts-bench")
 
-    import __spark_entry__ as entrymod
+    from dts.corpus import make_queries
+    from dts.dedup import exact_canonical, minhash_signatures
+    from dts.index_build import build_index
+    from dts.io import driver_documents_as_source
+    from dts.score_index import bm25_topk_indexed, match_counts_indexed
+    from dts.similarity import cosine_topk_bruteforce
+    from dts.textstats import language_id, quality_scores, token_counts
 
     timings: dict[str, float] = {}
-    # Warm the JVM/Python workers once (session init otherwise lands on q1).
+
+    def stage(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # Warm the JVM/Python workers (session init otherwise lands on stage 1).
     spark.range(1000).select(F.sum("id")).collect()
 
-    for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
+    docs = driver_documents_as_source(spark, sf_dir).cache()
+    n_docs = docs.count()
+    idx_dir = tempfile.mkdtemp(prefix="dts_bench_idx_")
+
+    stage("index_build", lambda: build_index(spark, docs, idx_dir, bucket_size=2048))
+
+    # Query terms drawn from the actual documents vocabulary (deterministic).
+    vocab = [
+        r["term"]
+        for r in spark.read.parquet(f"{idx_dir}/term_stats")
+        .orderBy(F.desc("df"), "term")
+        .limit(400)
+        .collect()
+    ]
+    qrows = []
+    for i in range(120):
+        terms = [vocab[(i * 7 + j) % len(vocab)] for j in range(1 + i % 3)]
+        fuzzy_k = [0, 0, 1, 0, 2, 0][i % 6]
+        if fuzzy_k:
+            terms[0] = terms[0][:-1] + "x" if len(terms[0]) > 3 else terms[0] + "x"
+        qrows.append((i, " ".join(terms), fuzzy_k))
+    queries = spark.createDataFrame(qrows, "query_id long, text string, fuzzy_k int")
+
+    stage(
+        "bm25_batch120",
+        lambda: bm25_topk_indexed(spark, idx_dir, queries, k=10).count(),
+    )
+    stage(
+        "bm25_bmw40",
+        lambda: bm25_topk_indexed(
+            spark, idx_dir, queries.filter(F.col("query_id") < 40), k=10,
+            strategy="bmw",
+        ).count(),
+    )
+    stage(
+        "match_counts",
+        lambda: match_counts_indexed(spark, idx_dir, queries).count(),
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stage(
+        "dedup_suite",
+        lambda: (
+            exact_canonical(d).count(),
+            minhash_signatures(d, n_hashes=8).count(),
+        ),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("qvec"),
+    )
+    stage("ann_topk", lambda: cosine_topk_bruteforce(emb, qv, k=10).count())
+    stage(
+        "text_analysis",
+        lambda: (
+            token_counts(d).count(),
+            quality_scores(d).count(),
+            language_id(d).count(),
+        ),
+    )
 
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
             {
-                "metric": "dts_probe_suite_e2e",
+                "metric": "dts_engine_e2e",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_docs": n_docs,
             }
         )
     )

@@ -1,0 +1,152 @@
+"""CLI entry points for spark-submit (north rule: `spark-submit
+--py-files dts.zip dts/cli.py build ...`). Also runnable as
+`python -m dts.cli`.
+
+Subcommands:
+  gen-corpus  --out DIR --n-docs N [--seed 42]
+  ingest      --source DIR --out DIR  (sha256 invariant + stable doc_id)
+  build       --docs DIR --out INDEX [--bucket-size N] [--resumable]
+  query       --index INDEX (--text "..." [--fuzzy-k K] | --queries DIR)
+              [--k 10] [--strategy taat|bmw] [--out DIR]
+  count       --index INDEX --text "..." [--fuzzy-k K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from dts.session import get_spark
+
+
+def cmd_gen_corpus(args) -> None:
+    from dts.corpus import make_corpus
+
+    spark = get_spark("dts-gen")
+    pdf = make_corpus(n_docs=args.n_docs, seed=args.seed)
+    spark.createDataFrame(pdf).repartition(
+        max(1, args.n_docs // 5000)
+    ).write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"rows": len(pdf), "out": args.out}))
+
+
+def cmd_ingest(args) -> None:
+    from dts.io import ingest, read_source
+
+    spark = get_spark("dts-ingest")
+    out = ingest(read_source(spark, args.source))
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"rows": spark.read.parquet(args.out).count(), "out": args.out}))
+
+
+def cmd_build(args) -> None:
+    spark = get_spark("dts-build")
+    docs = spark.read.parquet(args.docs)
+    if "doc_id" not in docs.columns:
+        from dts.io import ingest
+
+        docs = ingest(docs)
+    if args.resumable:
+        from dts.checkpoint import build_index_resumable
+
+        meta = build_index_resumable(
+            spark, docs, args.out, lineage=args.lineage or args.docs,
+            bucket_size=args.bucket_size,
+        )
+    else:
+        from dts.index_build import build_index
+
+        meta = build_index(spark, docs, args.out, bucket_size=args.bucket_size)
+    print(json.dumps(meta, sort_keys=True))
+
+
+def cmd_query(args) -> None:
+    from dts.score_index import bm25_topk_indexed
+
+    spark = get_spark("dts-query")
+    if args.text:
+        queries = spark.createDataFrame(
+            [(0, args.text, args.fuzzy_k)], "query_id long, text string, fuzzy_k int"
+        )
+    else:
+        queries = spark.read.parquet(args.queries)
+    out = bm25_topk_indexed(spark, args.index, queries, k=args.k, strategy=args.strategy)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out}))
+    else:
+        for r in out.orderBy("query_id", "rank").collect():
+            print(
+                json.dumps(
+                    {
+                        "query_id": r.query_id,
+                        "rank": r.rank,
+                        "doc_id": r.doc_id,
+                        "score": r.score,
+                    }
+                )
+            )
+
+
+def cmd_count(args) -> None:
+    """Reference-faithful output format: the per-pattern match count
+    (mirrors `Number of matches for pattern <%s>: %d`,
+    reference src/apm1.c:294-299)."""
+    from dts.score_index import match_counts_indexed
+
+    spark = get_spark("dts-count")
+    queries = spark.createDataFrame(
+        [(0, args.text, args.fuzzy_k)], "query_id long, text string, fuzzy_k int"
+    )
+    n = match_counts_indexed(spark, args.index, queries).collect()[0]["n_matches"]
+    print(f"Number of matches for pattern <{args.text}>: {n}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="dts")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen-corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n-docs", type=int, default=5000)
+    g.add_argument("--seed", type=int, default=42)
+    g.set_defaults(fn=cmd_gen_corpus)
+
+    g = sub.add_parser("ingest")
+    g.add_argument("--source", required=True)
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=cmd_ingest)
+
+    g = sub.add_parser("build")
+    g.add_argument("--docs", required=True)
+    g.add_argument("--out", required=True)
+    g.add_argument("--bucket-size", type=int, default=4096)
+    g.add_argument("--resumable", action="store_true")
+    g.add_argument("--lineage", default=None)
+    g.set_defaults(fn=cmd_build)
+
+    g = sub.add_parser("query")
+    g.add_argument("--index", required=True)
+    g.add_argument("--text", default=None)
+    g.add_argument("--queries", default=None)
+    g.add_argument("--fuzzy-k", type=int, default=0)
+    g.add_argument("--k", type=int, default=10)
+    g.add_argument("--strategy", choices=["taat", "bmw"], default="taat")
+    g.add_argument("--out", default=None)
+    g.set_defaults(fn=cmd_query)
+
+    g = sub.add_parser("count")
+    g.add_argument("--index", required=True)
+    g.add_argument("--text", required=True)
+    g.add_argument("--fuzzy-k", type=int, default=0)
+    g.set_defaults(fn=cmd_count)
+
+    args = p.parse_args(argv)
+    if args.cmd == "query" and not (args.text or args.queries):
+        p.error("query needs --text or --queries")
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

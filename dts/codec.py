@@ -28,13 +28,14 @@ K1 = 1.2
 B = 0.75
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative ints. Vectorized: fixed loop
+def varint_encode_with_lens(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode an array of non-negative ints; also return the byte
+    length of each value (for offset computation). Vectorized: fixed loop
     over ≤10 byte positions, all-array ops inside."""
     v = np.ascontiguousarray(values, dtype=np.uint64).copy()
     n = len(v)
     if n == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     out = np.zeros((n, 10), dtype=np.uint8)
     lens = np.zeros(n, dtype=np.int64)
     alive = np.ones(n, dtype=bool)
@@ -48,7 +49,11 @@ def varint_encode(values: np.ndarray) -> bytes:
         if not alive.any():
             break
     mask = np.arange(10) < lens[:, None]
-    return out[mask].tobytes()
+    return out[mask].tobytes(), lens
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    return varint_encode_with_lens(values)[0]
 
 
 def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
@@ -145,6 +150,76 @@ def encode_postings(
         dl_offs=dl_offs,
         block_size=block_size,
     )
+
+
+def encode_bucket_vectorized(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    term_bounds: np.ndarray,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+) -> list[dict]:
+    """Encode ALL posting lists of one bucket in one vectorized pass.
+
+    Inputs are the bucket's postings sorted by (term, doc_id);
+    ``term_bounds`` = start indices per term plus a trailing n (len T+1).
+    Semantically identical to calling encode_postings per term (tested),
+    but every numpy op runs once over the whole bucket: deltas with resets
+    at term/block starts, one varint pass per stream, reduceat block
+    maxima. The only per-term Python is output-row slicing.
+
+    Returns a list of dicts (one per term, in term_bounds order) with the
+    same fields as the postings schema (minus the term itself).
+    """
+    n = len(doc_ids)
+    T = len(term_bounds) - 1
+    if n == 0:
+        return []
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    counts = np.diff(term_bounds)
+    # Position of each posting within its term → block starts.
+    pos_in_term = np.arange(n) - np.repeat(term_bounds[:-1], counts)
+    is_block_start = (pos_in_term % block_size) == 0
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = doc_ids[0]
+    deltas[1:] = np.diff(doc_ids)
+    deltas[is_block_start] = doc_ids[is_block_start]
+
+    doc_blob, doc_lens = varint_encode_with_lens(deltas)
+    tf_blob, tf_lens = varint_encode_with_lens(np.asarray(tfs))
+    dl_blob, dl_lens = varint_encode_with_lens(np.asarray(dls))
+    doc_off = np.concatenate(([0], np.cumsum(doc_lens)))
+    tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
+    dl_off = np.concatenate(([0], np.cumsum(dl_lens)))
+
+    block_starts = np.flatnonzero(is_block_start)  # global posting idx
+    block_ends = np.concatenate((block_starts[1:], [n]))
+    impacts = bm25_impact(np.asarray(tfs), np.asarray(dls), avgdl)
+    block_max = np.maximum.reduceat(impacts, block_starts)
+    block_last = doc_ids[block_ends - 1]
+    blocks_per_term = -(-counts // block_size)
+    tb = np.concatenate(([0], np.cumsum(blocks_per_term)))  # term→block range
+
+    out = []
+    for t in range(T):
+        s, e = term_bounds[t], term_bounds[t + 1]
+        b0, b1 = tb[t], tb[t + 1]
+        bs = block_starts[b0:b1]
+        out.append(
+            {
+                "n": int(e - s),
+                "doc_blob": doc_blob[doc_off[s] : doc_off[e]],
+                "tf_blob": tf_blob[tf_off[s] : tf_off[e]],
+                "dl_blob": dl_blob[dl_off[s] : dl_off[e]],
+                "block_last_doc": block_last[b0:b1].tolist(),
+                "block_max_impact": block_max[b0:b1].tolist(),
+                "doc_offs": (doc_off[bs] - doc_off[s]).astype(np.int32).tolist(),
+                "tf_offs": (tf_off[bs] - tf_off[s]).astype(np.int32).tolist(),
+                "dl_offs": (dl_off[bs] - dl_off[s]).astype(np.int32).tolist(),
+            }
+        )
+    return out
 
 
 def decode_postings(p: PackedPostings) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -45,9 +45,26 @@ TEMPLATES = [
 ]
 
 
+_SYLLABLES = [
+    "ba", "con", "dex", "fil", "gra", "hash", "idx", "jor", "key", "lum",
+    "map", "nod", "ora", "pix", "quer", "ran", "sto", "tra", "ume", "vec",
+    "wal", "xen", "yam", "zon", "tab", "ser", "par", "mer", "lin", "deq",
+]
+
+
 def _vocab() -> np.ndarray:
-    tail = [f"ident{i}" for i in range(VOCAB_SIZE - len(HEAD))]
-    return np.array(HEAD + tail)
+    """HEAD terms + a tail of realistic varied-length identifiers (so edit
+    distances between vocabulary terms are diverse — a degenerate `identN`
+    vocabulary would put the whole vocab within distance 4 of itself and
+    make fuzzy queries meaningless)."""
+    rng = np.random.RandomState(1234)
+    tail = set()
+    while len(tail) < VOCAB_SIZE - len(HEAD):
+        n = rng.randint(2, 6)
+        w = "".join(_SYLLABLES[i] for i in rng.randint(0, len(_SYLLABLES), n))
+        if w not in HEAD:
+            tail.add(w)
+    return np.array(HEAD + sorted(tail))
 
 
 def _zipf_probs(n: int) -> np.ndarray:

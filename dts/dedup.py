@@ -1,0 +1,217 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are built-in Spark SQL functions (JVM, codegen) — shingling,
+hashing, minhash and LSH banding are array/string expressions, NOT Python.
+The only UDF in this module is the simhash packer (vectorized numpy).
+
+Cross-engine determinism: every hash is md5-hex (identical in Spark and
+DuckDB), min/aggregation over hex STRINGS (lexicographic — consistent
+everywhere), so each operator has an exact DuckDB oracle.
+
+Operators:
+- exact duplicate groups (content hash)
+- token n-gram shingles + pairwise Jaccard near-dup pairs
+- MinHash signatures + banded LSH candidate pairs (the scale path: no
+  全pairwise join — candidates only within equal band buckets)
+- SimHash (64-bit) fingerprints
+- embedding-cosine near-duplicate pairs
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TOK = "[a-z0-9]+"
+
+
+def tokens_col(text_col: str):
+    """Simple regex tokens (lowercased) — shared with the DuckDB oracles."""
+    return F.expr(f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOK}', 0)")
+
+
+def exact_canonical(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, content_md5, canonical_id): canonical = min doc_id among
+    byte-identical texts. Window over the hash — at cluster scale this is a
+    hash-partitioned shuffle, no skew beyond true duplicate group sizes."""
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    return docs.select("doc_id", h.alias("content_md5")).withColumn(
+        "canonical_id",
+        F.min("doc_id").over(Window.partitionBy("content_md5")),
+    )
+
+
+def shingle_col(text_col: str, n: int = 3):
+    """Distinct token n-gram shingles as array<string> (built-in exprs)."""
+    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOK}', 0)"
+    return F.expr(
+        f"""
+        CASE WHEN size({toks}) < {n} THEN array(array_join({toks}, ' '))
+        ELSE array_distinct(transform(
+            sequence(0, size({toks}) - {n}),
+            i -> concat_ws(' ', slice({toks}, i + 1, {n}))))
+        END
+        """
+    )
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(shingle_col(text_col, n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """(a, b, jac6) for doc pairs with shingle-Jaccard ≥ threshold; a < b.
+
+    Exact pairwise via shingle inverted join — quadratic in the worst case;
+    the LSH path below is the scale variant. Hot shingles would skew the
+    self-join; boilerplate shingles should be df-capped at scale (df filter
+    analogous to the index's head-term handling)."""
+    sh = doc_shingles(docs, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn(
+            "jac6",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+            ),
+        )
+        .filter(F.col("jac6") >= threshold)
+        .select("a", "b", "jac6")
+    )
+
+
+def _minhash_expr(text_col: str, n_hashes: int, n: int) -> str:
+    """array<string> of n_hashes minhashes: min_{s in shingles} md5(i:s).
+
+    md5-hex min is deterministic and engine-portable (identical in DuckDB);
+    at 10^12 scale you'd swap in a 64-bit xxhash for speed, same structure."""
+    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOK}', 0)"
+    sh = f"""
+        CASE WHEN size({toks}) < {n} THEN array(array_join({toks}, ' '))
+        ELSE array_distinct(transform(
+            sequence(0, size({toks}) - {n}),
+            i -> concat_ws(' ', slice({toks}, i + 1, {n}))))
+        END
+    """
+    return f"""
+        transform(sequence(0, {n_hashes - 1}),
+                  i -> array_min(transform({sh}, s -> md5(concat(cast(i as string), ':', s)))))
+    """
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n_hashes: int = 16, n: int = 3
+) -> DataFrame:
+    """(doc_id, sig array<string>[n_hashes])."""
+    return docs.select(
+        "doc_id", F.expr(_minhash_expr(text_col, n_hashes, n)).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """(a, b, band) candidate pairs sharing one full LSH band.
+
+    The scale path: signatures shuffle once on (band, band_key); buckets are
+    tiny, so the pair join is local per bucket — no quadratic blowup."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, text_col, n_hashes, n)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""
+                transform(sequence(0, {bands - 1}),
+                          b -> struct(b AS band,
+                                      array_join(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), '|') AS key))
+                """
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            "band",
+        )
+        .distinct()
+    )
+
+
+@F.pandas_udf(LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over token md5s — vectorized numpy bit voting."""
+    import hashlib
+    import re
+
+    tok_re = re.compile(TOK)
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts.fillna("")):
+        toks = tok_re.findall(t.lower())
+        if not toks:
+            continue
+        hs = np.frombuffer(
+            b"".join(hashlib.md5(w.encode()).digest()[:8] for w in set(toks)),
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        votes = bits.sum(0) * 2 - len(hs)
+        sim = np.uint64(0)
+        sim = (votes >= 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        out[i] = np.int64(np.bitwise_or.reduce(sim))
+    return pd.Series(out)
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select("doc_id", simhash64_udf(F.col(text_col)).alias("simhash"))
+
+
+def embedding_dup_pairs(emb: DataFrame, tau: float = 0.95) -> DataFrame:
+    """(a, b, cos6): embedding pairs with cosine ≥ tau; exact pairwise
+    (brute force) — the LSH/IVF variant lives in dts.similarity."""
+    e = emb.select(
+        F.col("vec_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(x.v, y.v, (a, b) -> a * b), cast(0.0 as double), (acc, z) -> acc + z)"
+    )
+    norm = "sqrt(aggregate(transform({0}, a -> a * a), cast(0.0 as double), (acc, z) -> acc + z))"
+    return (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("a"),
+            F.col("y.vec_id").alias("b"),
+            F.round(
+                dot / (F.expr(norm.format("x.v")) * F.expr(norm.format("y.v"))), 6
+            ).alias("cos6"),
+        )
+        .filter(F.col("cos6") >= tau)
+    )

@@ -111,23 +111,17 @@ def expand_fuzzy_terms(
     expansions twice (the oracle extends per occurrence). ``vocab`` is the
     term_stats table (term column used).
     """
-    # Distinguish repeated occurrences of the same qterm deterministically
-    # (never monotonically_increasing_id — partition-dependent).
-    from pyspark.sql import Window
-
-    q = fuzzy_qterms.withColumn(
-        "occ",
-        F.row_number().over(
-            Window.partitionBy("query_id", "qterm").orderBy("fuzzy_k")
-        ),
-    )
-    qtri = q.select(
-        "query_id", "qterm", "fuzzy_k", "occ", F.explode(trigram_col("qterm")).alias("tri")
+    # Expand each DISTINCT (qterm, fuzzy_k) once, then join expansions back
+    # to the occurrence rows — multiplicity restored by the join, and the
+    # trigram/verify work never repeats per occurrence.
+    pairs = fuzzy_qterms.select("qterm", "fuzzy_k").distinct()
+    qtri = pairs.select(
+        "qterm", "fuzzy_k", F.explode(trigram_col("qterm")).alias("tri")
     )
     vtri = vocab.select("term", F.explode(trigram_col("term")).alias("tri"))
     cand = (
         vtri.join(F.broadcast(qtri), "tri")
-        .groupBy("query_id", "qterm", "fuzzy_k", "occ", "term")
+        .groupBy("qterm", "fuzzy_k", "term")
         .agg(F.count("*").alias("shared"))
         .filter(
             (F.col("shared") >= F.greatest(F.lit(1), F.length("qterm") - 2 - 3 * F.col("fuzzy_k")))
@@ -136,5 +130,7 @@ def expand_fuzzy_terms(
     )
     verified = cand.filter(
         banded_lev_le_k_udf(F.col("qterm"), F.col("term"), F.col("fuzzy_k"))
+    ).select("qterm", "fuzzy_k", "term")
+    return fuzzy_qterms.join(verified, ["qterm", "fuzzy_k"]).select(
+        "query_id", "term"
     )
-    return verified.select("query_id", "term")

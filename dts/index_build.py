@@ -44,7 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dts.codec import BLOCK_SIZE, encode_postings
+from dts.codec import BLOCK_SIZE
 from dts.tokenize import tokenize_exploded
 
 DEFAULT_BUCKET_SIZE = 4096  # docs per bucket; at 10^12 docs → ~2.4e8 buckets
@@ -69,15 +69,23 @@ def build_tf(docs: DataFrame) -> DataFrame:
             flat = tokenize_exploded(pdf["content"])
             if len(flat) == 0:
                 continue
-            flat["doc_id"] = pdf["doc_id"].to_numpy("int64")[flat["pos"]]
-            g = (
-                flat.groupby(["doc_id", "term"], sort=False)
-                .size()
-                .reset_index(name="tf")
+            # Integer-key aggregation (factorize + bincount) — ~3x faster
+            # than a string groupby; all C.
+            pos = flat["pos"].to_numpy("int64")
+            codes, uniq_terms = pd.factorize(flat["term"], sort=False)
+            v = len(uniq_terms)
+            key = pos * v + codes
+            uniq_key, tf = np.unique(key, return_counts=True)
+            k_pos = uniq_key // v
+            dl_per_pos = np.bincount(pos, minlength=len(pdf))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy("int64")[k_pos],
+                    "term": uniq_terms.to_numpy()[uniq_key % v],
+                    "tf": tf.astype("int64"),
+                    "dl": dl_per_pos[k_pos].astype("int64"),
+                }
             )
-            dl = flat.groupby("doc_id", sort=False).size()
-            g["dl"] = dl.loc[g["doc_id"]].to_numpy("int64")
-            yield g[["doc_id", "term", "tf", "dl"]]
 
     return docs.select("doc_id", "content").mapInPandas(gen, TF_SCHEMA)
 
@@ -93,7 +101,7 @@ def term_stats(tf: DataFrame) -> DataFrame:
 def corpus_meta(docs: DataFrame, tf: DataFrame) -> dict:
     """n_docs counts ALL docs (incl. zero-token ones, mirroring the oracle's
     avgdl over every doc); total_tokens from tf avoids a second tokenize."""
-    n_docs = docs.count()
+    n_docs = docs.select("doc_id").count()
     total = tf.agg(F.sum("tf").alias("t")).collect()[0]["t"] or 0
     return {
         "n_docs": int(n_docs),
@@ -113,37 +121,27 @@ def doc_stats(docs: DataFrame, tf: DataFrame) -> DataFrame:
 
 
 def _encode_bucket_fn(avgdl: float, bucket_size: int, block_size: int):
+    from dts.codec import encode_bucket_vectorized
+
     def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
         terms = pdf["term"].to_numpy()
         doc_ids = pdf["doc_id"].to_numpy("int64")
-        tfs = pdf["tf"].to_numpy("int64")
-        dls = pdf["dl"].to_numpy("int64")
         bucket = int(pdf["bucket"].iloc[0])
         uniq, starts = np.unique(terms, return_index=True)
         bounds = np.append(starts, len(terms))
-        rows = []
-        for ti in range(len(uniq)):
-            s, e = bounds[ti], bounds[ti + 1]
-            p = encode_postings(
-                doc_ids[s:e], tfs[s:e], dls[s:e], avgdl, block_size
-            )
-            rows.append(
-                {
-                    "term": uniq[ti],
-                    "bucket": bucket,
-                    "n": p.n,
-                    "doc_blob": p.doc_blob,
-                    "tf_blob": p.tf_blob,
-                    "dl_blob": p.dl_blob,
-                    "block_last_doc": p.block_last_doc.tolist(),
-                    "block_max_impact": p.block_max_impact.tolist(),
-                    "doc_offs": p.doc_offs.tolist(),
-                    "tf_offs": p.tf_offs.tolist(),
-                    "dl_offs": p.dl_offs.tolist(),
-                }
-            )
-        return pd.DataFrame(rows)
+        rows = encode_bucket_vectorized(
+            doc_ids,
+            pdf["tf"].to_numpy("int64"),
+            pdf["dl"].to_numpy("int64"),
+            bounds,
+            avgdl,
+            block_size,
+        )
+        out = pd.DataFrame(rows)
+        out.insert(0, "term", uniq)
+        out.insert(1, "bucket", bucket)
+        return out
 
     return encode_bucket
 
@@ -176,31 +174,60 @@ def build_index(
     Postings written sorted by term for row-group pruning on term lookups.
     Returns the meta dict (n_docs, avgdl, sizes).
     """
-    docs = docs.cache()
+    import time
+
+    stage_wall: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        stage_wall[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # Content is the heavy column: scan it EXACTLY once (inside build_tf's
+    # mapInPandas); every other consumer uses a column-pruned doc_id
+    # projection (near-free parquet scan). Never cache or shuffle content —
+    # at 100 TB that cache/shuffle IS the bottleneck. If the source layout
+    # gives fewer splits than cores (maxPartitionBytes packing), widen it.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par * 2)
     tf = build_tf(docs).cache()
-    meta = corpus_meta(docs, tf)
+    meta = timed("tokenize_tf", lambda: corpus_meta(docs, tf))
     meta.update({"bucket_size": bucket_size, "block_size": block_size})
 
     stats = term_stats(tf)
-    stats.repartitionByRange(max(1, stats.sparkSession.sparkContext.defaultParallelism // 2), "term").sortWithinPartitions(
-        "term"
-    ).write.mode("overwrite").parquet(f"{out_dir}/term_stats")
-
-    doc_stats(docs, tf).write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
-
-    postings = build_postings(tf, meta["avgdl"], bucket_size, block_size)
-    postings.repartitionByRange(
-        max(1, spark.sparkContext.defaultParallelism), "term", "bucket"
-    ).sortWithinPartitions("term", "bucket").write.mode("overwrite").parquet(
-        f"{out_dir}/postings"
+    timed(
+        "term_stats",
+        lambda: stats.repartitionByRange(max(1, par // 2), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/term_stats"),
+    )
+    timed(
+        "doc_stats",
+        lambda: doc_stats(docs, tf)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/doc_stats"),
+    )
+    # NOTE: no repartitionByRange here — RangePartitioner's sampling job
+    # would recompute the whole encode a second time. Sorting WITHIN each
+    # encode task's output by term gives parquet row-group min/max stats
+    # that prune term lookups just as well (one file per bucket group).
+    timed(
+        "postings",
+        lambda: build_postings(tf, meta["avgdl"], bucket_size, block_size)
+        .sortWithinPartitions("term", "bucket")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/postings"),
     )
 
     meta["vocab_size"] = spark.read.parquet(f"{out_dir}/term_stats").count()
+    meta["stage_wall_sec"] = stage_wall
     os.makedirs(out_dir, exist_ok=True)
     with open(f"{out_dir}/meta.json", "w") as f:
         json.dump(meta, f, indent=2, sort_keys=True)
     tf.unpersist()
-    docs.unpersist()
     return meta
 
 

@@ -38,6 +38,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Local corpora are small files; the 128 MB default packs the whole
+        # scan into 1-2 tasks and serializes tokenization. 16 MB keeps scan
+        # parallelism ≥ cores here; on a real cluster raise it back to
+        # 128-256 MB (files there are GB-scale).
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("DTS_MAX_PART_BYTES", str(16 * 1024 * 1024)))
         .config("spark.driver.memory", os.environ.get("DTS_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,110 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk_bruteforce``: exact top-k via broadcast query × corpus join;
+  dot products with built-in zip_with/aggregate (JVM) — the baseline and
+  the oracle-checkable probe.
+- ``lsh_topk``: the scale path — random-hyperplane LSH buckets (signature
+  computed in ONE vectorized pandas UDF as a numpy matmul), queries probe
+  only matching buckets (multi-probe over Hamming-1 neighbors), exact
+  re-rank inside buckets. At 10^12 vectors the bucket join replaces the
+  full cross join; recall is tested against brute force on seeded data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+ROUND = 6
+
+
+def _as_double(col: str):
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """queries(q_id, qvec array<double>) × emb(vec_id, embedding) → exact
+    top-k by cosine: (q_id, vec_id, cos6, rank). Query side broadcast."""
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    q = queries.select("q_id", F.col("qvec").alias("w"))
+    dot = F.expr("aggregate(zip_with(v, w, (a, b) -> a * b), cast(0.0 as double), (acc, z) -> acc + z)")
+    nv = F.expr("sqrt(aggregate(transform(v, a -> a * a), cast(0.0 as double), (acc, z) -> acc + z))")
+    nw = F.expr("sqrt(aggregate(transform(w, a -> a * a), cast(0.0 as double), (acc, z) -> acc + z))")
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "q_id", "vec_id", F.round(dot / (nv * nw), ROUND).alias("cos6")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos6").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos6", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((dim, n_bits)).astype(np.float64)
+
+
+def lsh_bucket_udf(dim: int, n_bits: int = 12, seed: int = 42):
+    planes = _hyperplanes(dim, n_bits, seed)
+
+    @F.pandas_udf(LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        if m.size == 0:
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        bits = (m @ planes) >= 0
+        keys = (bits << np.arange(n_bits)).sum(axis=1).astype(np.int64)
+        return pd.Series(keys)
+
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 12,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: probe the query's bucket (+ Hamming-1 neighbors),
+    exact cosine re-rank inside. Same output schema as brute force."""
+    dim = len(emb.select("embedding").first()["embedding"])
+    bucket = lsh_bucket_udf(dim, n_bits, seed)
+    e = emb.select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).withColumn("bucket", bucket(F.col("v")))
+
+    q = queries.select("q_id", F.col("qvec").alias("w")).withColumn(
+        "qbucket", bucket(F.col("w"))
+    )
+    if multiprobe:
+        flips = ", ".join(
+            f"cast(qbucket as bigint) ^ cast({1 << b} as bigint)" for b in range(n_bits)
+        )
+        q = q.select(
+            "q_id", "w",
+            F.explode(F.expr(f"array(cast(qbucket as bigint), {flips})")).alias("bucket"),
+        )
+    else:
+        q = q.withColumnRenamed("qbucket", "bucket")
+
+    dot = F.expr("aggregate(zip_with(v, w, (a, b) -> a * b), cast(0.0 as double), (acc, z) -> acc + z)")
+    nv = F.expr("sqrt(aggregate(transform(v, a -> a * a), cast(0.0 as double), (acc, z) -> acc + z))")
+    nw = F.expr("sqrt(aggregate(transform(w, a -> a * a), cast(0.0 as double), (acc, z) -> acc + z))")
+    scored = e.join(F.broadcast(q), "bucket").select(
+        "q_id", "vec_id", F.round(dot / (nv * nw), ROUND).alias("cos6")
+    ).dropDuplicates(["q_id", "vec_id"])
+    w = Window.partitionBy("q_id").orderBy(F.col("cos6").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos6", "rank")
+    )

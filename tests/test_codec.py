@@ -80,6 +80,40 @@ def test_block_max_is_upper_bound():
         assert (imp[s:e] <= p.block_max_impact[bi]).all()
 
 
+def test_bucket_vectorized_equals_per_term_encode():
+    from dts.codec import encode_bucket_vectorized
+
+    rng = np.random.RandomState(21)
+    rows = []
+    for t in range(40):  # 40 terms, varied df incl. 1 and multi-block
+        df_t = int(rng.choice([1, 2, 7, 128, 129, 300]))
+        docs = np.cumsum(rng.randint(1, 9, size=df_t).astype(np.int64))
+        for d in docs:
+            rows.append((f"term{t:03d}", d, int(rng.randint(1, 9)), int(rng.randint(5, 99))))
+    rows.sort()
+    terms = np.array([r[0] for r in rows])
+    doc_ids = np.array([r[1] for r in rows], dtype=np.int64)
+    tfs = np.array([r[2] for r in rows], dtype=np.int64)
+    dls = np.array([r[3] for r in rows], dtype=np.int64)
+    uniq, starts = np.unique(terms, return_index=True)
+    bounds = np.append(starts, len(terms))
+    got = encode_bucket_vectorized(doc_ids, tfs, dls, bounds, avgdl=42.0, block_size=128)
+    assert len(got) == len(uniq)
+    for ti in range(len(uniq)):
+        s, e = bounds[ti], bounds[ti + 1]
+        want = encode_postings(doc_ids[s:e], tfs[s:e], dls[s:e], 42.0, 128)
+        g = got[ti]
+        assert g["n"] == want.n
+        assert g["doc_blob"] == want.doc_blob
+        assert g["tf_blob"] == want.tf_blob
+        assert g["dl_blob"] == want.dl_blob
+        assert g["block_last_doc"] == want.block_last_doc.tolist()
+        assert g["block_max_impact"] == want.block_max_impact.tolist()
+        assert g["doc_offs"] == want.doc_offs.tolist()
+        assert g["tf_offs"] == want.tf_offs.tolist()
+        assert g["dl_offs"] == want.dl_offs.tolist()
+
+
 def test_compression_ratio_dense_lists():
     # Dense ascending docs (gap 1-3) should take ~1-2 bytes/doc vs 8 raw.
     rng = np.random.RandomState(3)

@@ -34,7 +34,14 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_every_query_is_checked():
+    """Every queries() entry either has a DuckDB oracle or is on the
+    documented rows-only list (non-SQL-expressible)."""
+    rows_only = {"simhash", "lsh_ann_topk"}
+    assert set(entrymod.queries()) == set(entrymod.oracle_sql()) | rows_only
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
 def test_probe_matches_oracle(spark, ddb, name):
     spark_df = entrymod.queries()[name](spark, SF_DIR).toPandas()
     oracle_df = ddb.execute(entrymod.oracle_sql()[name]).df()
@@ -53,6 +60,12 @@ def test_probe_matches_oracle(spark, ddb, name):
                 )
             else:
                 assert x == y, f"{name}.{col}[{i}]: {x!r} vs {y!r}"
+
+
+@pytest.mark.parametrize("name", ["simhash", "lsh_ann_topk"])
+def test_rows_only_probes(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    assert df.count() > 0
 
 
 def test_entry_smoke(spark):

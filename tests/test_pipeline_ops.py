@@ -1,0 +1,202 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing — unit + small-e2e tests with numpy/python oracles."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dts.dedup import (
+    embedding_dup_pairs,
+    exact_canonical,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_fingerprints,
+)
+from dts.multimodal import (
+    attach_payload,
+    byte_stats,
+    decode_and_resize,
+    decode_image,
+    frame_sample,
+)
+from dts.similarity import cosine_topk_bruteforce, lsh_topk
+from dts.textstats import language_id, quality_scores, token_counts
+
+
+@pytest.fixture(scope="module")
+def text_docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog today"),  # near dup
+        (3, "el gato es negro y la casa es grande de que"),
+        (4, "der hund ist nicht mit der katze und das haus"),
+        (5, "completely different words about spark query engines"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_canonical(spark, text_docs):
+    got = {r.doc_id: r.canonical_id for r in exact_canonical(text_docs).collect()}
+    assert got[0] == 0 and got[1] == 0  # identical texts share canonical
+    assert got[2] == 2 and got[5] == 5 and got[6] == 6
+
+
+def test_jaccard_pairs(spark, text_docs):
+    pairs = {(r.a, r.b): r.jac6 for r in jaccard_pairs(text_docs, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0  # identical docs
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0  # near dup
+    assert (0, 5) not in pairs
+
+
+def test_minhash_lsh(spark, text_docs):
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(text_docs).collect()}
+    assert sigs[0] == sigs[1]  # identical docs → identical signatures
+    assert len(sigs[0]) == 16
+    # python oracle for one doc's first minhash
+    toks = re.findall(r"[a-z0-9]+", "the quick brown fox jumps over the lazy dog")
+    sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    want = min(hashlib.md5(f"0:{s}".encode()).hexdigest() for s in sh)
+    assert sigs[0][0] == want
+    cands = {(r.a, r.b) for r in lsh_candidate_pairs(text_docs).collect()}
+    assert (0, 1) in cands  # exact dups always collide on every band
+    assert (0, 5) not in cands
+
+
+def test_simhash(spark, text_docs):
+    got = {r.doc_id: r.simhash for r in simhash_fingerprints(text_docs).collect()}
+    assert got[0] == got[1]
+    ham_near = bin((got[0] ^ got[2]) & (2**64 - 1)).count("1")
+    ham_far = bin((got[0] ^ got[5]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far
+    assert got[6] == 0
+
+
+def test_token_counts(spark, text_docs):
+    got = {r.doc_id: r for r in token_counts(text_docs).collect()}
+    assert got[0].n_tokens == 9
+    assert got[0].n_distinct == 8  # 'the' twice
+    # BPE-ish: sum ceil(len/4)
+    toks = re.findall(r"[a-z0-9]+", "the quick brown fox jumps over the lazy dog")
+    assert got[0].n_subword == sum(-(-len(t) // 4) for t in toks)
+    assert got[6].n_tokens == 0
+
+
+def test_quality_scores(spark, text_docs):
+    got = {r.doc_id: r for r in quality_scores(text_docs).collect()}
+    assert 0.0 <= got[0].quality6 <= 1.0
+    assert got[0].stop_ratio6 > got[3].stop_ratio6  # english stopwords
+    assert got[6].quality6 == 0.0
+
+
+def test_language_id(spark, text_docs):
+    got = {r.doc_id: r.pred_lang for r in language_id(text_docs).collect()}
+    assert got[0] == "en" and got[3] == "es" and got[4] == "de"
+
+
+def test_cosine_topk_vs_numpy(spark):
+    rng = np.random.RandomState(9)
+    vecs = rng.standard_normal((50, 16)).astype(np.float64)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    qv = vecs[:3]
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in qv[i]]) for i in range(3)],
+        "q_id long, qvec array<double>",
+    )
+    got = cosine_topk_bruteforce(emb, queries, k=5).collect()
+    # numpy oracle (on float32-roundtripped corpus vectors, as stored)
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    for qi in range(3):
+        cos = (v32 @ qv[qi]) / (np.linalg.norm(v32, axis=1) * np.linalg.norm(qv[qi]))
+        cos6 = np.round(cos, 6)
+        order = np.lexsort((np.arange(50), -cos6))[:5]
+        want = [(int(o), cos6[o]) for o in order]
+        rows = sorted(
+            [r for r in got if r.q_id == qi], key=lambda r: r.rank
+        )
+        assert [(r.vec_id) for r in rows] == [w[0] for w in want]
+        for r, w in zip(rows, want):
+            assert math.isclose(r.cos6, w[1], abs_tol=2e-6), (r, w)
+
+
+def test_lsh_topk_recall(spark):
+    # Clustered embeddings (30 centers × 10 members) — the workload LSH
+    # exists for; pure-random gaussians have no neighbor structure and any
+    # sublinear method degrades there.
+    rng = np.random.RandomState(17)
+    centers = rng.standard_normal((30, 16))
+    vecs = np.repeat(centers, 10, axis=0) + 0.15 * rng.standard_normal((300, 16))
+    vecs = vecs.astype(np.float64)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(5)],
+        "q_id long, qvec array<double>",
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=10).collect()
+    approx = lsh_topk(emb, queries, k=10, n_bits=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.q_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.q_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert np.mean(recalls) >= 0.7, recalls  # multiprobe H1, 8 bits, clustered
+    # the query vector itself is always found (same bucket, cos=1)
+    for q in range(5):
+        assert q in approx_sets[q]
+
+
+def test_embedding_dup_pairs(spark):
+    base = np.ones(8)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base * 2.0]),  # same direction → cos 1
+        (2, [float(x) for x in base + np.array([0.1] * 4 + [-0.1] * 4)]),
+        (3, [float(x) for x in np.array([1.0, -1, 1, -1, 1, -1, 1, -1])]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.a, r.b): r.cos6 for r in embedding_dup_pairs(emb, tau=0.95).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_multimodal_plumbing(spark, text_docs):
+    media = attach_payload(text_docs)
+    stats = {r.doc_id: r for r in byte_stats(media).collect()}
+    raw = "the quick brown fox jumps over the lazy dog".encode()
+    b = np.frombuffer(raw, dtype=np.uint8)
+    counts = np.bincount(b, minlength=256).astype(np.float64)
+    p = counts[counts > 0] / len(b)
+    assert stats[0].n_bytes == len(raw)
+    assert math.isclose(stats[0].mean_byte, float(b.mean()), rel_tol=1e-12)
+    assert math.isclose(stats[0].entropy6, round(float(-(p * np.log2(p)).sum()), 6))
+    assert stats[6].n_bytes == 0
+
+    dec = {r.doc_id: r for r in decode_and_resize(media, (4, 4), fake=True).collect()}
+    assert dec[0].height == 4 and dec[0].width == 4
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", fake=False)
+
+    frames = frame_sample(media, frame_bytes=8, every=2).collect()
+    n0 = len([r for r in frames if r.doc_id == 0])
+    total_frames = -(-len(raw) // 8)
+    assert n0 == -(-total_frames // 2)
