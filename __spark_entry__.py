@@ -8,7 +8,7 @@ Levenshtein expansion + counting O8-O10).
 
 Probe tokenizer: the probes use a plain ``[a-z0-9]+`` regex over lowercased
 text so the exact same tokenization is expressible in DuckDB SQL; the
-engine's code-aware tokenizer (dts.tokenize) is exercised by pytest against
+engine's code-aware tokenizer (dts.tokenizer) is exercised by pytest against
 the single-process oracle instead (it is not SQL-expressible).
 
 Float policy: every probe that outputs a score rounds to 6 decimals in BOTH

@@ -12,7 +12,7 @@ per-row Python anywhere).
 
 Modules:
     session     SparkSession factory with the engine's required confs
-    tokenize    code-aware tokenizer (single source of truth, shared w/ oracle)
+    tokenizer   code-aware tokenizer (single source of truth, shared w/ oracle)
     corpus      deterministic synthetic source-code corpus (FIXTURES.md §1)
     io          source-table ingest: sha256 invariant, stable doc_id
     codec       delta+varint posting-block codec (pure numpy)

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dts.codec import BLOCK_SIZE
-from dts.tokenize import tokenize_exploded
+from dts.tokenizer import tokenize_exploded
 
 DEFAULT_BUCKET_SIZE = 4096  # docs per bucket; at 10^12 docs → ~2.4e8 buckets
 
@@ -234,3 +234,97 @@ def build_index(
 def load_meta(index_dir: str) -> dict:
     with open(f"{index_dir}/meta.json") as f:
         return json.load(f)
+
+
+def merge_index(spark: SparkSession, index_dir: str, new_docs: DataFrame) -> dict:
+    """Incremental update: append new documents to an existing index.
+
+    `new_docs` needs (content, …) WITHOUT doc_id — ids continue from the
+    current n_docs (arrival order), so new postings land in the trailing
+    partial bucket + fresh buckets. Multiple rows per (term, bucket) are
+    fine: their doc ranges are disjoint and both scorers treat a term's
+    rows as a concatenation.
+
+    Block-max soundness: stored block maxima were computed with the avgdl
+    AT ENCODE TIME, and the BM25 impact is monotonically increasing in
+    avgdl. The bound stays an upper bound iff the CURRENT scoring avgdl is
+    ≤ every encode-time avgdl; meta tracks ``min_encode_avgdl`` and sets
+    ``bmw_safe`` accordingly — the scorer refuses the bmw strategy when
+    unsafe (TAAT is exact regardless). A compaction/re-encode pass restores
+    safety; at 10^12 scale that is a periodic background job.
+    """
+    from pyspark.sql import Window
+
+    meta = load_meta(index_dir)
+    base = meta["n_docs"]
+    par = spark.sparkContext.defaultParallelism
+
+    # Deterministic id assignment: by natural key when present, else
+    # arrival order. (Single-window OK for append batches; bulk loads go
+    # through io.assign_doc_ids.)
+    key_cols = [c for c in ("repo", "path", "commit") if c in new_docs.columns]
+    w = Window.orderBy(*key_cols) if key_cols else Window.orderBy(F.lit(1))
+    nd = new_docs.withColumn(
+        "doc_id", (F.row_number().over(w) + F.lit(base - 1)).cast("long")
+    )
+    tf = build_tf(nd).cache()
+    add_tokens = int(tf.agg(F.sum("tf")).collect()[0][0] or 0)
+    n_new = nd.count()
+    new_total = meta["total_tokens"] + add_tokens
+    new_n = base + n_new
+    new_avgdl = new_total / new_n if new_n else 0.0
+
+    # Postings for the new docs, encoded with the NEW avgdl (their blocks'
+    # maxima are exact for it); appended as extra parquet files.
+    postings = build_postings(
+        tf, new_avgdl, meta["bucket_size"], meta["block_size"]
+    ).sortWithinPartitions("term", "bucket")
+    # Checkpoint-built indexes partition postings by chunk=N directories;
+    # mixing top-level files into that layout breaks partition discovery,
+    # so merges land in their own chunk dir there.
+    pdir = f"{index_dir}/postings"
+    if any(d.startswith("chunk=") for d in os.listdir(pdir)):
+        merge_id = meta.get("n_merges", 0)
+        postings.write.mode("overwrite").parquet(f"{pdir}/chunk=m{merge_id}")
+        meta["n_merges"] = merge_id + 1
+    else:
+        postings.write.mode("append").parquet(pdir)
+
+    # term_stats: old + delta, re-aggregated (map-side combined, no skew).
+    old_stats = spark.read.parquet(f"{index_dir}/term_stats")
+    delta = term_stats(tf)
+    merged = (
+        old_stats.unionByName(delta)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    )
+    tmp = f"{index_dir}/term_stats_new"
+    merged.repartitionByRange(max(1, par // 2), "term").sortWithinPartitions(
+        "term"
+    ).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(f"{index_dir}/term_stats")
+    os.replace(tmp, f"{index_dir}/term_stats")
+
+    doc_stats(nd, tf).write.mode("append").parquet(f"{index_dir}/doc_stats")
+
+    min_encode = min(meta.get("min_encode_avgdl", meta["avgdl"]), new_avgdl)
+    meta.update(
+        {
+            "n_docs": new_n,
+            "total_tokens": new_total,
+            "avgdl": new_avgdl,
+            "min_encode_avgdl": min_encode,
+            "bmw_safe": new_avgdl <= min_encode + 1e-12,
+            # read back from the swapped dir — `merged` is lazy and its old
+            # input was just deleted
+            "vocab_size": int(
+                spark.read.parquet(f"{index_dir}/term_stats").count()
+            ),
+        }
+    )
+    with open(f"{index_dir}/meta.json", "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+    tf.unpersist()
+    return meta

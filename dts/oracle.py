@@ -7,7 +7,7 @@ obviously-correct oracle. ~200 LoC, numpy only, no Spark.
 
 Shared constants (FIXTURES.md §5) — the engine imports nothing from here,
 but both sides implement these verbatim:
-- tokenizer: dts.tokenize.tokenize_text (single source of truth, imported)
+- tokenizer: dts.tokenizer.tokenize_text (single source of truth, imported)
 - BM25: k1=1.2, b=0.75, idf = ln(1 + (N - df + 0.5)/(df + 0.5)), float64
 - per-doc score = sum of per-term contributions in ASCENDING TERM ORDER
   (fixed summation order ⇒ bit-identical float64 across implementations)
@@ -24,7 +24,7 @@ from collections import Counter
 
 import numpy as np
 
-from dts.tokenize import tokenize_text
+from dts.tokenizer import tokenize_text
 
 K1 = 1.2
 B = 0.75

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dts.tokenize import tokenize_udf
+from dts.tokenizer import tokenize_udf
 
 K1 = 1.2
 B = 0.75

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from dts.codec import PackedPostings, bm25_impact
 from dts.fuzzy import expand_fuzzy_terms
 from dts.index_build import load_meta
-from dts.tokenize import tokenize_udf
+from dts.tokenizer import tokenize_udf
 from dts.wand import bmw_topk
 
 ROUND_RANK = 9
@@ -149,6 +149,13 @@ def bm25_topk_indexed(
     """Top-k over the persisted index. Returns (query_id, doc_id, score, rank)."""
     idx = load_index(spark, index_dir)
     meta = idx["meta"]
+    if strategy == "bmw" and not meta.get("bmw_safe", True):
+        raise ValueError(
+            "bmw strategy unavailable: the index was incrementally merged "
+            "and avgdl grew past an encode-time avgdl, so stored block "
+            "maxima are no longer sound upper bounds. Use strategy='taat' "
+            "(exact) or re-encode/compact the index."
+        )
     qterms = expanded_query_terms(queries, idx["term_stats"]).cache()
     terms = [r["term"] for r in qterms.select("term").distinct().collect()]
     if not terms:

@@ -158,9 +158,13 @@ def main() -> None:
 
 Protocol: same job, same input ({lo['n_docs']:,} synthetic source-code docs,
 seed 42; {lo['n_queries']} queries incl. fuzzy), each parallelism level in
-its own JVM. Mirrors the reference's scaling methodology
-(`generate_results.py:254-281`); its 8→64-node weak-scaling efficiency was
-≈0.80 (`results_weak_scaling_v4.csv:5,8`) — the target here is ≥0.8.
+its own JVM, warm best-of-2 walls. Corpus + index live on tmpfs: local[N]
+shares ONE physical disk across all threads, so disk-backed scans impose a
+fixed bandwidth floor that a real cluster does not have (per-executor
+disks scale with N) — RAM-backed storage removes that artifact. Mirrors
+the reference's scaling methodology (`generate_results.py:254-281`); its
+8→64-node weak-scaling efficiency was ≈0.80
+(`results_weak_scaling_v4.csv:5,8`) — the target here is ≥0.8.
 
 ## Sandbox capacity note (why N=2 → 4N=8)
 

@@ -69,7 +69,7 @@ def test_match_counts_vs_oracle(spark, index_dir, oracle, queries_pd):
         r["query_id"]: r["n_matches"]
         for r in match_counts_indexed(spark, index_dir, queries_sdf).collect()
     }
-    from dts.tokenize import tokenize_text
+    from dts.tokenizer import tokenize_text
 
     for q in queries_pd.itertuples():
         want = 0

@@ -1,0 +1,61 @@
+"""Incremental merge: appended docs are queryable, stats update, results
+match an oracle over the combined corpus; bmw safety flag honored."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from dts.index_build import build_index, load_meta, merge_index
+from dts.oracle import OracleIndex
+from dts.score_index import bm25_topk_indexed
+
+
+def test_merge_matches_oracle_on_combined_corpus(spark, corpus_pd, tmp_path):
+    idx = str(tmp_path / "merge_idx")
+    split = 150
+    old_pd = corpus_pd.iloc[:split]
+    new_pd = corpus_pd.iloc[split:].copy()
+
+    build_index(spark, spark.createDataFrame(old_pd), idx, bucket_size=64)
+    meta0 = load_meta(idx)
+    assert meta0["n_docs"] == split
+
+    meta1 = merge_index(
+        spark,
+        idx,
+        spark.createDataFrame(new_pd.drop(columns=["doc_id"])),
+    )
+    assert meta1["n_docs"] == len(corpus_pd)
+
+    # Oracle over the combined corpus with merge-order doc_ids: old ids as
+    # assigned, new ids continue from `split` in arrival (row) order.
+    docs = list(zip(old_pd["doc_id"], old_pd["content"])) + [
+        (split + i, c) for i, c in enumerate(new_pd["content"])
+    ]
+    oracle = OracleIndex(docs)
+
+    q = spark.createDataFrame(
+        [(0, "def import", 0), (1, "value data result", 0)],
+        "query_id long, text string, fuzzy_k int",
+    )
+    got = bm25_topk_indexed(spark, idx, q, k=10).collect()
+    assert len(got) > 0
+    want = {}
+    for qid, text in [(0, "def import"), (1, "value data result")]:
+        for rank, doc_id, score in oracle.score_query(text, 0, 10):
+            want[(qid, rank)] = (doc_id, score)
+    for r in got:
+        doc_id, score = want[(r["query_id"], r["rank"])]
+        assert r["doc_id"] == doc_id, (r, doc_id)
+        assert math.isclose(r["score"], score, rel_tol=1e-9)
+    # top-k must include post-merge docs for at least one query (the new
+    # half contains the same Zipf head terms).
+    assert any(r["doc_id"] >= split for r in got)
+
+    # bmw gate: avgdl moved ⇒ only allowed if still ≤ every encode avgdl.
+    if not meta1["bmw_safe"]:
+        with pytest.raises(ValueError, match="bmw"):
+            bm25_topk_indexed(spark, idx, q, k=10, strategy="bmw").collect()

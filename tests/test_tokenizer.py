@@ -1,6 +1,6 @@
 import pandas as pd
 
-from dts.tokenize import tokenize_exploded, tokenize_series, tokenize_text
+from dts.tokenizer import tokenize_exploded, tokenize_series, tokenize_text
 
 
 def test_golden_cases():
