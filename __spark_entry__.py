@@ -411,6 +411,35 @@ def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) via built-in session_window —
+    oracle reproduces it with lag+cumsum in DuckDB."""
+    from dts.streaming import session_windows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_windows(ev, gap="30 minutes")
+
+
+def _q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (nation → total) over the TPC-H-ish join; DECIMAL-exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1.0).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .rollup("n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue2"))
+        .select(F.coalesce("n_name", F.lit("ALL")).alias("n_name"), "revenue2")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference-derived operators (SURVEY.md §2)
@@ -438,6 +467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # generic relational coverage
         "events_hourly": _q_events_hourly,
         "revenue_by_nation": _q_revenue_by_nation,
+        "user_sessions": _q_user_sessions,
+        "revenue_rollup": _q_revenue_rollup,
     }
 
 
@@ -599,6 +630,35 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1
+""",
+        "user_sessions": """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, session_id
+""",
+        "revenue_rollup": """
+SELECT coalesce(n_name, 'ALL') AS n_name,
+       round(sum(l_extendedprice::DECIMAL(18,4) * (1.0::DECIMAL(18,4) - l_discount::DECIMAL(18,4))), 2)::DOUBLE AS revenue2
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name)
 """,
     }
     base = {

@@ -89,6 +89,16 @@ def cmd_query(args) -> None:
             )
 
 
+def cmd_compact(args) -> None:
+    """Re-encode postings with current stats (post-merge maintenance)."""
+    import json as _json
+
+    from dts.index_build import compact_index
+
+    spark = get_spark("dts-compact")
+    print(_json.dumps(compact_index(spark, args.index), sort_keys=True))
+
+
 def cmd_count(args) -> None:
     """Reference-faithful output format: the per-pattern match count
     (mirrors `Number of matches for pattern <%s>: %d`,
@@ -135,6 +145,10 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("--strategy", choices=["taat", "bmw"], default="taat")
     g.add_argument("--out", default=None)
     g.set_defaults(fn=cmd_query)
+
+    g = sub.add_parser("compact")
+    g.add_argument("--index", required=True)
+    g.set_defaults(fn=cmd_compact)
 
     g = sub.add_parser("count")
     g.add_argument("--index", required=True)

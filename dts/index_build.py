@@ -236,6 +236,83 @@ def load_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
+def compact_index(spark: SparkSession, index_dir: str) -> dict:
+    """Re-encode the postings with the CURRENT corpus stats: merges the
+    duplicate (term, bucket) rows that incremental merges leave behind and
+    recomputes exact block maxima, restoring block-max-WAND soundness
+    (meta.bmw_safe). The periodic background job of a long-lived index.
+    """
+    import shutil
+
+    from dts.codec import decode_postings
+
+    meta = load_meta(index_dir)
+    avgdl = meta["avgdl"]
+    block_size = meta["block_size"]
+
+    def compact(pdf: pd.DataFrame) -> pd.DataFrame:
+        from dts.codec import PackedPostings, encode_bucket_vectorized
+
+        bucket = int(pdf["bucket"].iloc[0])
+        per_term: dict[str, list] = {}
+        for i in range(len(pdf)):
+            p = PackedPostings(
+                n=int(pdf["n"].iat[i]),
+                doc_blob=bytes(pdf["doc_blob"].iat[i]),
+                tf_blob=bytes(pdf["tf_blob"].iat[i]),
+                dl_blob=bytes(pdf["dl_blob"].iat[i]),
+                block_last_doc=np.asarray(pdf["block_last_doc"].iat[i], dtype=np.int64),
+                block_max_impact=np.asarray(pdf["block_max_impact"].iat[i], dtype=np.float64),
+                doc_offs=np.asarray(pdf["doc_offs"].iat[i], dtype=np.int32),
+                tf_offs=np.asarray(pdf["tf_offs"].iat[i], dtype=np.int32),
+                dl_offs=np.asarray(pdf["dl_offs"].iat[i], dtype=np.int32),
+                block_size=block_size,
+            )
+            per_term.setdefault(pdf["term"].iat[i], []).append(decode_postings(p))
+        terms = sorted(per_term)
+        d_parts, t_parts, l_parts, bounds = [], [], [], [0]
+        for t in terms:
+            runs = sorted(per_term[t], key=lambda r: r[0][0] if len(r[0]) else -1)
+            d = np.concatenate([r[0] for r in runs])
+            d_parts.append(d)
+            t_parts.append(np.concatenate([r[1] for r in runs]).astype(np.int64))
+            l_parts.append(np.concatenate([r[2] for r in runs]).astype(np.int64))
+            bounds.append(bounds[-1] + len(d))
+        rows = encode_bucket_vectorized(
+            np.concatenate(d_parts),
+            np.concatenate(t_parts),
+            np.concatenate(l_parts),
+            np.asarray(bounds, dtype=np.int64),
+            avgdl,
+            block_size,
+        )
+        out = pd.DataFrame(rows)
+        out.insert(0, "term", np.array(terms))
+        out.insert(1, "bucket", bucket)
+        return out
+
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    compacted = (
+        postings.select(
+            "term", "bucket", "n", "doc_blob", "tf_blob", "dl_blob",
+            "block_last_doc", "block_max_impact", "doc_offs", "tf_offs", "dl_offs",
+        )
+        .groupBy("bucket")
+        .applyInPandas(compact, POSTINGS_SCHEMA)
+        .sortWithinPartitions("term", "bucket")
+    )
+    tmp = f"{index_dir}/postings_compact"
+    compacted.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(f"{index_dir}/postings")
+    os.replace(tmp, f"{index_dir}/postings")
+    meta["min_encode_avgdl"] = avgdl
+    meta["bmw_safe"] = True
+    meta.pop("n_merges", None)
+    with open(f"{index_dir}/meta.json", "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+    return meta
+
+
 def merge_index(spark: SparkSession, index_dir: str, new_docs: DataFrame) -> dict:
     """Incremental update: append new documents to an existing index.
 

@@ -59,3 +59,23 @@ def test_merge_matches_oracle_on_combined_corpus(spark, corpus_pd, tmp_path):
     if not meta1["bmw_safe"]:
         with pytest.raises(ValueError, match="bmw"):
             bm25_topk_indexed(spark, idx, q, k=10, strategy="bmw").collect()
+
+    # Compaction merges duplicate (term,bucket) rows, restores bmw safety,
+    # and changes NO results (TAAT before == TAAT after == BMW after).
+    from dts.index_build import compact_index
+
+    before = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_topk_indexed(spark, idx, q, k=10).collect()
+    )
+    meta2 = compact_index(spark, idx)
+    assert meta2["bmw_safe"] is True
+    after_taat = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_topk_indexed(spark, idx, q, k=10).collect()
+    )
+    after_bmw = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_topk_indexed(spark, idx, q, k=10, strategy="bmw").collect()
+    )
+    assert before == after_taat == after_bmw
