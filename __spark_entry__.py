@@ -411,6 +411,14 @@ def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mandated per-row invariant (BASELINE.json input_hint): sha256
+    over content bytes, computed JVM-side (F.sha2), oracle-checked."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("sha")
+    )
+
+
 def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap) via built-in session_window —
     oracle reproduces it with lag+cumsum in DuckDB."""
@@ -469,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "user_sessions": _q_user_sessions,
         "revenue_rollup": _q_revenue_rollup,
+        "doc_sha256": _q_doc_sha256,
     }
 
 
@@ -660,6 +669,34 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name)
 """,
+        "doc_sha256": "SELECT doc_id, sha256(coalesce(text, '')) AS sha FROM documents",
+        # SimHash: DuckDB md5_number_upper(term) == numpy's little-endian
+        # uint64 of the first 8 md5 bytes (verified), so the bit-vote is
+        # fully SQL-expressible.
+        "simhash": f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(coalesce(text, '')), '{TOK}'))) AS term
+  FROM documents
+),
+h AS (SELECT doc_id, md5_number_upper(term) AS hv FROM tok),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (hv >> b::INTEGER) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote >= 0 THEN (1::HUGEINT << b::INTEGER) ELSE 0 END) AS u
+  FROM bits GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce((CASE WHEN s.u >= 9223372036854775808::HUGEINT
+                      THEN s.u - 18446744073709551616::HUGEINT
+                      ELSE s.u END)::BIGINT, 0) AS simhash
+FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id
+""",
     }
     base = {
         "term_df": f"{tok_cte} SELECT term, count(*)::BIGINT AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term",
@@ -692,7 +729,7 @@ GROUP BY 1, 2, 3
 """,
     }
     extra["bm25_topk_engine"] = base["bm25_topk"]
-    # simhash and lsh_ann_topk are deliberately absent: not SQL-expressible
-    # in both engines → driver records the weaker rows-only check; their
-    # semantics are pytest-verified against numpy oracles instead.
+    # lsh_ann_topk is deliberately absent (seeded hyperplanes aren't
+    # SQL-expressible) → driver records the weaker rows-only check; its
+    # recall is pytest-verified against brute force instead.
     return {**base, **{k: v for k, v in extra.items() if v is not None}}
