@@ -145,8 +145,25 @@ def bm25_topk_indexed(
     queries: DataFrame,
     k: int = 10,
     strategy: str = "taat",
+    distribute: str | None = None,
 ) -> DataFrame:
-    """Top-k over the persisted index. Returns (query_id, doc_id, score, rank)."""
+    """Top-k over the persisted index. Returns (query_id, doc_id, score, rank).
+
+    ``distribute``:
+    - ``"query"``: one scoring group per query — every posting row of the
+      query's terms ships to one task. Fine up to medium indexes.
+    - ``"bucket"``: one group per (query, bucket) — the CLUSTER-scale path.
+      Buckets are term-independent doc ranges, so a document's entire score
+      accumulates inside exactly one group; per-group local top-k is
+      therefore EXACT, and a tiny global window merge
+      (`topk_merge_global`) ranks the k×buckets candidates. A head term's
+      postings spread over all buckets instead of converging on one task —
+      the same property the salted build merge relies on.
+    - ``None`` (default): auto — "bucket" when the query-relevant postings
+      span many buckets, else "query".
+
+    Both modes, both strategies, are rank-identical (tested).
+    """
     idx = load_index(spark, index_dir)
     meta = idx["meta"]
     if strategy == "bmw" and not meta.get("bmw_safe", True):
@@ -165,13 +182,20 @@ def bm25_topk_indexed(
     joined = postings.join(F.broadcast(stats), "term").join(
         F.broadcast(qterms), "term"
     )
-    out = joined.groupBy("query_id").applyInPandas(
-        _scorer_fn(
-            meta["n_docs"], meta["avgdl"], k, strategy, meta["block_size"]
-        ),
-        TOPK_SCHEMA,
+    if distribute is None:
+        n_buckets = -(-meta["n_docs"] // meta["bucket_size"])
+        distribute = "bucket" if n_buckets >= 64 else "query"
+    scorer = _scorer_fn(
+        meta["n_docs"], meta["avgdl"], k, strategy, meta["block_size"]
     )
-    return out
+    if distribute == "bucket":
+        local = joined.groupBy("query_id", "bucket").applyInPandas(
+            scorer, TOPK_SCHEMA
+        )
+        return topk_merge_global(local.drop("rank"), k).select(
+            "query_id", "doc_id", "score", "rank"
+        )
+    return joined.groupBy("query_id").applyInPandas(scorer, TOPK_SCHEMA)
 
 
 def match_counts_indexed(

@@ -59,6 +59,26 @@ def test_rank_identity_indexed(spark, index_dir, oracle, queries_pd, strategy):
     _assert_identical(got, oracle, queries_pd, strategy)
 
 
+@pytest.mark.parametrize("strategy", ["taat", "bmw"])
+def test_bucket_distribution_rank_identity(
+    spark, index_dir, oracle, queries_pd, strategy
+):
+    """The cluster-scale (query, bucket) scoring path with global top-k
+    merge returns exactly what per-query scoring returns (and the oracle)."""
+    queries_sdf = spark.createDataFrame(
+        queries_pd[["query_id", "text", "fuzzy_k"]]
+    )
+    got = (
+        bm25_topk_indexed(
+            spark, index_dir, queries_sdf, k=10, strategy=strategy,
+            distribute="bucket",
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    _assert_identical(got, oracle, queries_pd, f"bucket-{strategy}")
+
+
 def test_match_counts_vs_oracle(spark, index_dir, oracle, queries_pd):
     """n_matches per query == oracle position counts (exact int equality,
     the reference's own acceptance criterion)."""
