@@ -182,15 +182,35 @@ def bm25_topk_indexed(
     joined = postings.join(F.broadcast(stats), "term").join(
         F.broadcast(qterms), "term"
     )
+    n_buckets = -(-meta["n_docs"] // meta["bucket_size"])
     if distribute is None:
-        n_buckets = -(-meta["n_docs"] // meta["bucket_size"])
-        distribute = "bucket" if n_buckets >= 64 else "query"
+        # Default: per-query grouping — predictable, and optimal for large
+        # batches (ample parallel groups, minimal per-group overhead).
+        # "bucket" wins when a batch has FEW queries relative to cores but
+        # substantial per-query work (measured on 480k docs at local[8]:
+        # 60 queries 13.7s→7.5s; but 1 query pays ~0.5s for the extra
+        # merge stage, and 960 queries pay per-group overhead ×30k).
+        # Calibrating the crossover is a round-2 cost-model item
+        # (ROADMAP.md); callers with latency-critical small batches pass
+        # distribute="bucket" explicitly.
+        distribute = "query"
     scorer = _scorer_fn(
         meta["n_docs"], meta["avgdl"], k, strategy, meta["block_size"]
     )
     if distribute == "bucket":
-        local = joined.groupBy("query_id", "bucket").applyInPandas(
-            scorer, TOPK_SCHEMA
+        # Cap group count: per-group applyInPandas overhead is real, so
+        # hash buckets into ~4×cores shards. Exactness is preserved under
+        # ANY partition of buckets (a doc's postings all live in its one
+        # bucket → one shard); contiguity is not required.
+        n_shards = max(
+            1, min(n_buckets, 4 * spark.sparkContext.defaultParallelism)
+        )
+        local = (
+            joined.withColumn(
+                "shard", F.pmod(F.col("bucket"), F.lit(n_shards))
+            )
+            .groupBy("query_id", "shard")
+            .applyInPandas(scorer, TOPK_SCHEMA)
         )
         return topk_merge_global(local.drop("rank"), k).select(
             "query_id", "doc_id", "score", "rank"
