@@ -528,7 +528,7 @@ vt AS (SELECT term, {_D_TRI.format(c="term")} AS tri FROM vocab),
 qt AS (SELECT fq_id::BIGINT AS fq_id, qterm, k, {_D_TRI.format(c="qterm")} AS tri FROM fz)
 SELECT fq_id, term
 FROM vt CROSS JOIN qt
-WHERE len(list_intersect(vt.tri, qt.tri)) >= greatest(1, length(qterm) - 2 - 3 * k)
+WHERE len(list_intersect(vt.tri, qt.tri)) >= greatest(1, len(qt.tri) - 3 * k)
   AND abs(length(term) - length(qterm)) <= k
   AND levenshtein(qterm, term) <= k
 """,
@@ -643,9 +643,11 @@ GROUP BY 1
         "user_sessions": """
 WITH e AS (
   SELECT user_id, ts,
+         -- session_window is end-exclusive [start, last+gap): an event
+         -- exactly `gap` after the previous one STARTS a new session → >=
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                      > INTERVAL 30 MINUTE
+                      >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ),

@@ -107,9 +107,25 @@ def build_index_resumable(
     par = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par * 2)
-    n_docs = docs.select("doc_id").count()
+    id_agg = docs.agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).collect()[0]
+    n_docs = int(id_agg["n"])
     docs_per_chunk = bucket_size * buckets_per_chunk
     n_chunks = max(1, -(-n_docs // docs_per_chunk))
+    # Chunking covers exactly [0, n_chunks*docs_per_chunk): fail LOUDLY on
+    # sparse/offset id spaces instead of silently dropping docs outside it.
+    if n_docs and (
+        int(id_agg["lo"]) < 0 or int(id_agg["hi"]) >= n_chunks * docs_per_chunk
+    ):
+        raise ValueError(
+            "build_index_resumable requires dense 0-based doc_ids: got "
+            f"range [{id_agg['lo']}, {id_agg['hi']}] for {n_docs} docs "
+            f"(chunking covers [0, {n_chunks * docs_per_chunk})). "
+            "Re-assign ids with dts.io.assign_doc_ids first."
+        )
     completed_fresh = 0
 
     def _lineage_ok(m: dict | None, stage: str) -> bool:

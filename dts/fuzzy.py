@@ -10,7 +10,11 @@ Pipeline (all DataFrame ops + one vectorized pandas UDF):
 1. candidate generation — character trigrams of vocabulary terms (from the
    persisted term_stats table = the vocabulary) joined to query-term
    trigrams; a candidate survives if shared distinct-trigram count
-   ≥ max(1, len(q) - 2 - 3k) and |len(t) - len(q)| ≤ k. Trigrams are
+   ≥ max(1, |distinct_trigrams(q)| - 3k) and |len(t) - len(q)| ≤ k.
+   (Distinct-world q-gram bound: one edit destroys ≤ 3 trigram
+   OCCURRENCES, hence ≤ 3 distinct trigram TYPES can vanish per edit —
+   sound for terms with repeated trigrams, unlike the multiset bound
+   len(q)-2-3k which over-filters e.g. 'abababab'.) Trigrams are
    computed with built-in SQL (sequence/transform/substring) — zero Python.
 2. verification — banded Wagner–Fischer DP (band 2k+1), the same
    recurrence as the reference kernel, vectorized ACROSS the candidate
@@ -116,15 +120,18 @@ def expand_fuzzy_terms(
     # trigram/verify work never repeats per occurrence.
     pairs = fuzzy_qterms.select("qterm", "fuzzy_k").distinct()
     qtri = pairs.select(
-        "qterm", "fuzzy_k", F.explode(trigram_col("qterm")).alias("tri")
+        "qterm",
+        "fuzzy_k",
+        F.size(trigram_col("qterm")).alias("n_qtri"),
+        F.explode(trigram_col("qterm")).alias("tri"),
     )
     vtri = vocab.select("term", F.explode(trigram_col("term")).alias("tri"))
     cand = (
         vtri.join(F.broadcast(qtri), "tri")
-        .groupBy("qterm", "fuzzy_k", "term")
+        .groupBy("qterm", "fuzzy_k", "n_qtri", "term")
         .agg(F.count("*").alias("shared"))
         .filter(
-            (F.col("shared") >= F.greatest(F.lit(1), F.length("qterm") - 2 - 3 * F.col("fuzzy_k")))
+            (F.col("shared") >= F.greatest(F.lit(1), F.col("n_qtri") - 3 * F.col("fuzzy_k")))
             & (F.abs(F.length("term") - F.length("qterm")) <= F.col("fuzzy_k"))
         )
     )

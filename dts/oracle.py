@@ -13,7 +13,9 @@ but both sides implement these verbatim:
   (fixed summation order ⇒ bit-identical float64 across implementations)
 - tie-break: (score DESC, doc_id ASC)
 - fuzzy expansion: char trigrams of the raw term; candidate if shared
-  distinct-trigram count ≥ max(1, len(q) - 2 - 3*k); verified with banded
+  distinct-trigram count ≥ max(1, |distinct_trigrams(q)| - 3*k) (sound
+  distinct-world q-gram bound — one edit kills ≤ 3 trigram occurrences,
+  so ≤ 3 distinct types can vanish per edit); verified with banded
   Levenshtein ≤ k (band width 2k+1), replicating the reference kernel's
   DP semantics (src/apm1.c:82-105) restricted to a band
 """
@@ -88,7 +90,7 @@ class OracleIndex:
         if k == 0:
             return [q] if q in self.tf else []
         qt = trigrams(q)
-        thresh = max(1, len(q) - 2 - 3 * k)
+        thresh = max(1, len(qt) - 3 * k)
         out = []
         for t in self.vocab:
             if abs(len(t) - len(q)) > k:

@@ -143,3 +143,47 @@ def test_banded_lev_matches_true_levenshtein():
         assert (banded <= k) == (true <= k), (a, b, k, banded, true)
         if true <= k:
             assert banded == true
+
+
+def test_expand_term_prefilter_completeness():
+    """Regression (round-2 ADVICE): the trigram prefilter must not drop
+    terms with REPEATED trigrams. Sound distinct-world bound:
+    shared ≥ max(1, |distinct_tri(q)| - 3k). Oracle expansion must equal
+    brute-force banded verification over the whole vocab."""
+    from dts.oracle import OracleIndex
+
+    vocab_terms = [
+        "abababab", "ababababa", "abababab".replace("ab", "ba", 1),
+        "aaaa", "aaab", "abcabcabc", "zzzz", "ababab",
+    ]
+    docs = [(i, t) for i, t in enumerate(vocab_terms)]
+    oi = OracleIndex(docs)
+    for q in ["abababab", "aaaa", "abcabcabc", "bababa"]:
+        for k in (1, 2):
+            got = set(oi.expand_term(q, k))
+            want = {
+                t for t in oi.vocab if banded_levenshtein(q, t, k) <= k
+            }
+            assert got == want, (q, k, got, want)
+    # The ADVICE repro: exact term (dist 0) must survive its own expansion.
+    assert "abababab" in oi.expand_term("abababab", 1)
+
+
+def test_expand_fuzzy_terms_spark_repeated_trigrams(spark):
+    """Spark path agrees with the fixed oracle on repeated-trigram terms."""
+    from dts.fuzzy import expand_fuzzy_terms
+
+    vocab = spark.createDataFrame(
+        [("abababab",), ("ababababa",), ("aaaa",), ("zzzz",)], "term string"
+    )
+    fq = spark.createDataFrame(
+        [(0, "abababab", 1), (1, "aaaa", 1)],
+        "query_id long, qterm string, fuzzy_k int",
+    )
+    got = {
+        (r["query_id"], r["term"])
+        for r in expand_fuzzy_terms(fq, vocab).collect()
+    }
+    assert got == {
+        (0, "abababab"), (0, "ababababa"), (1, "aaaa"),
+    }, got
