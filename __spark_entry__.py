@@ -352,16 +352,21 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (seeded hyperplanes aren't SQL-expressible); recall
-    vs brute force is asserted in pytest."""
-    from dts.similarity import lsh_topk
+    """LSH ANN with md5-derived hyperplanes (dts.similarity.md5_hyperplanes)
+    — the plane matrix is a pure function of md5, so the DuckDB oracle
+    recomputes the SAME planes via md5_number_upper and replicates bucket
+    assignment + Hamming-1 multiprobe + exact cosine re-rank bit-for-bit."""
+    from dts.similarity import lsh_topk, md5_hyperplanes
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"),
         F.expr("transform(embedding, x -> cast(x as double))").alias("qvec"),
     )
-    return lsh_topk(emb, queries, k=10, n_bits=8)
+    dim = len(emb.select("embedding").first()["embedding"])
+    return lsh_topk(
+        emb, queries, k=10, n_bits=8, planes=md5_hyperplanes(dim, 8)
+    )
 
 
 def _q_emb_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -730,8 +735,40 @@ WHERE levenshtein(qterm, term) <= 1
 GROUP BY 1, 2, 3
 """,
     }
+    # LSH ANN: md5-derived planes make the whole pipeline SQL-expressible —
+    # plane[d][b] = (md5_u64("lsh:b:d") / 2^64) * 2 - 1, bucket = sign-bit
+    # pack, probes = bucket + its 8 Hamming-1 neighbors, exact cosine
+    # re-rank inside probed buckets.
+    _plane = (
+        "((md5_number_upper('lsh:' || bb || ':' || d)::DOUBLE"
+        " / 18446744073709551616.0) * 2.0 - 1.0)"
+    )
+    extra["lsh_ann_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+eb AS (
+  SELECT vec_id, v,
+    list_sum(list_transform(range(0, 8), bb ->
+      CASE WHEN list_sum(list_transform(range(0, 64), d ->
+        v[(d+1)::INTEGER] * {_plane})) >= 0
+      THEN (1::BIGINT << bb::INTEGER) ELSE 0::BIGINT END))::BIGINT AS bucket
+  FROM e
+),
+q AS (SELECT vec_id AS q_id, v AS w, bucket AS qb FROM eb WHERE vec_id < 5),
+probes AS (
+  SELECT q_id, w,
+         unnest(list_prepend(qb, list_transform(range(0, 8),
+                bb -> xor(qb, (1::BIGINT << bb::INTEGER))))) AS bucket
+  FROM q
+),
+s AS (
+  SELECT q_id, eb.vec_id,
+         round(list_dot_product(eb.v, w) /
+               (sqrt(list_dot_product(eb.v, eb.v)) * sqrt(list_dot_product(w, w))), 6) AS cos6
+  FROM probes JOIN eb USING (bucket)
+)
+SELECT q_id, vec_id, cos6, rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id ASC) AS rank FROM s
+) WHERE rank <= 10
+"""
     extra["bm25_topk_engine"] = base["bm25_topk"]
-    # lsh_ann_topk is deliberately absent (seeded hyperplanes aren't
-    # SQL-expressible) → driver records the weaker rows-only check; its
-    # recall is pytest-verified against brute force instead.
     return {**base, **{k: v for k, v in extra.items() if v is not None}}

@@ -166,7 +166,9 @@ def lsh_candidate_pairs(
 
 @F.pandas_udf(LongType())
 def simhash64_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over token md5s — vectorized numpy bit voting."""
+    """64-bit SimHash over token md5s — the per-row reference used only by
+    the differential pytest; the production path is the pure-JVM
+    simhash_fingerprints below."""
     import hashlib
     import re
 
@@ -188,8 +190,53 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# Little-endian u64 of the first 8 md5 bytes as a signed BIGINT, pure JVM:
+# md5 hex chars [1..16] are bytes m0..m7; LE value = m0 | m1<<8 | … | m7<<56
+# = lo32(m3 m2 m1 m0 as hex) | hi32(m7 m6 m5 m4) << 32. conv() parses each
+# 32-bit half (< 2^32, so the BIGINT cast never overflows); the <<32 wraps
+# into the sign bit exactly like numpy's int64 view. Matches DuckDB's
+# md5_number_upper and the numpy packer in simhash64_udf bit-for-bit.
+_MD5_LE64 = """
+shiftleft(cast(conv(concat(substring(h,15,2),substring(h,13,2),
+                           substring(h,11,2),substring(h,9,2)), 16, 10) as bigint), 32)
+| cast(conv(concat(substring(h,7,2),substring(h,5,2),
+                   substring(h,3,2),substring(h,1,2)), 16, 10) as bigint)
+"""
+
+
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.select("doc_id", simhash64_udf(F.col(text_col)).alias("simhash"))
+    """(doc_id, simhash): 64-bit SimHash, 100% JVM expressions (codegen) —
+    explode distinct tokens, md5→u64 per term, per-bit ±1 vote aggregated
+    by (doc_id, bit) (map-side combined: ≤ 64 rows per doc cross the
+    shuffle), then bit_or-compose the signature. Zero Python in the plan;
+    a corpus scan at 100 TB stays whole-stage-codegen."""
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(text_col))).alias("term")
+    )
+    hv = tok.select("doc_id", F.md5("term").alias("h")).select(
+        "doc_id", F.expr(_MD5_LE64).alias("hv")
+    )
+    votes = (
+        hv.select(
+            "doc_id", "hv", F.explode(F.expr("sequence(0, 63)")).alias("b")
+        )
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.expr("IF((shiftrightunsigned(hv, b) & 1) = 1, 1, -1)")
+            ).alias("vote")
+        )
+    )
+    sim = votes.groupBy("doc_id").agg(
+        F.expr(
+            "bit_or(IF(vote >= 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
+        ).alias("simhash")
+    )
+    return (
+        docs.select("doc_id")
+        .join(sim, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 def embedding_dup_pairs(emb: DataFrame, tau: float = 0.95) -> DataFrame:

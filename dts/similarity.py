@@ -51,8 +51,28 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((dim, n_bits)).astype(np.float64)
 
 
-def lsh_bucket_udf(dim: int, n_bits: int = 12, seed: int = 42):
-    planes = _hyperplanes(dim, n_bits, seed)
+def md5_hyperplanes(dim: int, n_bits: int) -> np.ndarray:
+    """Engine-portable hyperplanes: plane[d, b] derives from md5("lsh:b:d")
+    → uniform in [-1, 1). DuckDB computes the SAME values via
+    md5_number_upper (== little-endian u64 of the first 8 md5 bytes,
+    verified), so the LSH probe has an exact SQL oracle — no side table,
+    no seed smuggling."""
+    import hashlib
+
+    u = np.empty((dim, n_bits), dtype=np.uint64)
+    for b in range(n_bits):
+        for d in range(dim):
+            u[d, b] = np.frombuffer(
+                hashlib.md5(f"lsh:{b}:{d}".encode()).digest()[:8], "<u8"
+            )[0]
+    return (u.astype(np.float64) / 2.0**64) * 2.0 - 1.0
+
+
+def lsh_bucket_udf(
+    dim: int, n_bits: int = 12, seed: int = 42, planes: np.ndarray | None = None
+):
+    if planes is None:
+        planes = _hyperplanes(dim, n_bits, seed)
 
     @F.pandas_udf(LongType())
     def bucket(vecs: pd.Series) -> pd.Series:
@@ -73,11 +93,14 @@ def lsh_topk(
     n_bits: int = 12,
     seed: int = 42,
     multiprobe: bool = True,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the query's bucket (+ Hamming-1 neighbors),
-    exact cosine re-rank inside. Same output schema as brute force."""
+    exact cosine re-rank inside. Same output schema as brute force.
+    ``planes`` overrides the seeded hyperplanes (see md5_hyperplanes for
+    the oracle-checkable variant)."""
     dim = len(emb.select("embedding").first()["embedding"])
-    bucket = lsh_bucket_udf(dim, n_bits, seed)
+    bucket = lsh_bucket_udf(dim, n_bits, seed, planes)
     e = emb.select(
         "vec_id", _as_double("embedding").alias("v")
     ).withColumn("bucket", bucket(F.col("v")))

@@ -35,10 +35,9 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def test_every_query_is_checked():
-    """Every queries() entry either has a DuckDB oracle or is on the
-    documented rows-only list (non-SQL-expressible)."""
-    rows_only = {"lsh_ann_topk"}
-    assert set(entrymod.queries()) == set(entrymod.oracle_sql()) | rows_only
+    """Every queries() entry has a DuckDB oracle (round 2: lsh_ann_topk
+    gained one via md5-derived hyperplanes)."""
+    assert set(entrymod.queries()) == set(entrymod.oracle_sql())
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
@@ -62,10 +61,6 @@ def test_probe_matches_oracle(spark, ddb, name):
                 assert x == y, f"{name}.{col}[{i}]: {x!r} vs {y!r}"
 
 
-@pytest.mark.parametrize("name", ["lsh_ann_topk"])
-def test_rows_only_probes(spark, name):
-    df = entrymod.queries()[name](spark, SF_DIR)
-    assert df.count() > 0
 
 
 def test_entry_smoke(spark):
