@@ -39,6 +39,15 @@ PROBE_QUERIES = [
     (7, "slow batch value"),
 ]
 FUZZY_TERMS = [(0, "fastt"), (1, "joon"), (2, "tabel"), (3, "qurey"), (4, "merg")]
+# Byte-granularity patterns (reference-faithful sliding-window counting):
+# includes a cross-token pattern with a space — byte windows don't care
+# about token boundaries, exactly like the reference's flat byte array.
+BYTE_PATTERNS = [
+    (0, "fastt", 1),
+    (1, "tabel scan", 2),
+    (2, "qurey", 1),
+    (3, "merge", 0),
+]
 
 VALUES_QUERIES = ", ".join(f"({i}, '{t}')" for i, t in PROBE_QUERIES)
 VALUES_FUZZY = ", ".join(f"({i}, '{t}')" for i, t in FUZZY_TERMS)
@@ -210,6 +219,23 @@ def _q_fuzzy_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("qterm", "term"))
         .filter(F.col("dist") <= 2)
         .select("fq_id", "qterm", "term", "dist")
+    )
+
+
+def _q_byte_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core semantic, byte-faithful (src/apm1.c:252-278):
+    per (pattern, doc), count start positions j whose window
+    text[j : j+m] — TRUNCATED at document end (size = n - j,
+    src/apm1.c:263-270) — is within levenshtein distance k. The trailing
+    truncated positions are included, replicating the reference's
+    prefix-truncation semantics."""
+    from dts.bytematch import byte_match_counts
+
+    pat = spark.createDataFrame(
+        BYTE_PATTERNS, "pat_id long, pattern string, k int"
+    )
+    return byte_match_counts(
+        _docs(spark, sf_dir).select("doc_id", "text"), pat
     )
 
 
@@ -463,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": _q_bm25_scores,
         "fuzzy_expand": _q_fuzzy_expand,
         "fuzzy_match_count": _q_fuzzy_match_count,
+        "byte_match_count": _q_byte_match_count,
         "bm25_topk_engine": _q_bm25_topk_engine,
         "fuzzy_expand_engine": _q_fuzzy_expand_engine,
         # training-data pipeline operators
@@ -733,6 +760,16 @@ SELECT fq_id::BIGINT AS fq_id, qterm, doc_id, count(*)::BIGINT AS n_matches
 FROM tok CROSS JOIN fz
 WHERE levenshtein(qterm, term) <= 1
 GROUP BY 1, 2, 3
+""",
+        "byte_match_count": f"""
+WITH pat(pat_id, pattern, k) AS (VALUES {", ".join(f"({i}, '{p}', {k})" for i, p, k in BYTE_PATTERNS)})
+SELECT pat_id::BIGINT AS pat_id, doc_id,
+       (CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+        ELSE len(list_filter(range(1, length(coalesce(text, '')) + 1),
+             j -> levenshtein(pattern,
+                              substring(coalesce(text, ''), j::INTEGER, length(pattern))) <= k))
+        END)::BIGINT AS n_matches
+FROM documents CROSS JOIN pat
 """,
     }
     # LSH ANN: md5-derived planes make the whole pipeline SQL-expressible —

@@ -1,0 +1,74 @@
+"""Byte-faithful approximate pattern counting (the reference's core query).
+
+Replicates the reference's per-position sliding-window Levenshtein count
+(reference src/apm1.c:252-278) EXACTLY, at byte granularity, per document:
+for every start position j in [0, n) the window is content[j : j+m]
+TRUNCATED at the end of the document (size = n - j when j + m > n —
+src/apm1.c:263-270), the pattern matches at j iff
+levenshtein(pattern, window) <= k (the θ-filter, src/apm1.c:272-274),
+and n_matches counts matching positions (overlaps all count).
+
+Semantic delta vs the reference (documented in SURVEY.md §7.6): the
+reference concatenates all files into ONE byte array, so matches may
+straddle file boundaries; our unit of matching is the document row —
+windows never cross documents.
+
+Execution: 100% JVM expressions — the position sweep is a higher-order
+``filter`` over ``sequence(1, n)`` and each window check uses Spark's
+bounded ``levenshtein(p, w, k)`` (threshold form: returns -1 when the
+distance exceeds k, so each check is O(k·m) not O(m²)). The pattern table
+is broadcast, mirroring DISTRIBUTE_PATTERNS=0 (src/flexible_mpi.c:147-153);
+the content scan parallelizes over document partitions, which is the
+reference's MPI split (src/apm1.c:212-232) re-expressed as Spark
+partitioning. No Python in the plan, no shuffle except the final
+(tiny) result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Per (pattern, doc): number of byte positions whose truncated window is
+# within edit distance k. sequence(1,0) would be DESCENDING in Spark, so
+# empty texts short-circuit to 0.
+_COUNT_EXPR = """
+IF(length(t) = 0, CAST(0 AS BIGINT),
+   CAST(size(filter(sequence(1, length(t)),
+                    j -> levenshtein(pattern, substring(t, j, length(pattern)), k) >= 0))
+        AS BIGINT))
+"""
+
+
+def byte_match_counts(
+    docs: DataFrame, patterns: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(pat_id, doc_id, n_matches) for every (pattern, document) pair.
+
+    ``patterns`` needs (pat_id, pattern, k). Zero-match pairs are kept —
+    the reference's n_matches vector has an entry per pattern regardless
+    (src/apm1.c:197-203).
+    """
+    d = docs.select(
+        "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("t")
+    )
+    return (
+        d.crossJoin(F.broadcast(patterns.select("pat_id", "pattern", "k")))
+        .select(
+            "pat_id",
+            "doc_id",
+            F.expr(_COUNT_EXPR).alias("n_matches"),
+        )
+    )
+
+
+def byte_match_totals(
+    docs: DataFrame, patterns: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(pat_id, n_matches) — the reference's actual output shape: one
+    global counter per pattern (src/apm1.c:197-203, O13 final agg)."""
+    return (
+        byte_match_counts(docs, patterns, text_col)
+        .groupBy("pat_id")
+        .agg(F.sum("n_matches").alias("n_matches"))
+    )

@@ -133,3 +133,17 @@ class OracleIndex:
         # summation noise so ranks are stable across implementations.
         ranked = sorted(scores.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))[:topk]
         return [(r + 1, doc_id, s) for r, (doc_id, s) in enumerate(ranked)]
+
+
+def byte_match_count(text: str, pattern: str, k: int) -> int:
+    """Reference-faithful per-document byte counting (src/apm1.c:252-278):
+    for every start position j, window = text[j:j+m] truncated at the end
+    of the document (size = n - j when j + m > n, src/apm1.c:263-270);
+    count positions with levenshtein(pattern, window) <= k (the θ-filter,
+    src/apm1.c:272-274). Overlapping matches all count."""
+    n, m = len(text), len(pattern)
+    return sum(
+        1
+        for j in range(n)
+        if banded_levenshtein(pattern, text[j : j + m], k) <= k
+    )

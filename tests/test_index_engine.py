@@ -187,3 +187,39 @@ def test_expand_fuzzy_terms_spark_repeated_trigrams(spark):
     assert got == {
         (0, "abababab"), (0, "ababababa"), (1, "aaaa"),
     }, got
+
+
+def test_byte_match_counts_vs_oracle(spark, corpus_pd):
+    """Byte-granularity sliding-window counting (dts.bytematch) equals the
+    single-process reference — including the prefix-truncation positions
+    at document end (src/apm1.c:263-270 semantics)."""
+    from dts.bytematch import byte_match_counts, byte_match_totals
+    from dts.oracle import byte_match_count
+
+    sub = corpus_pd.head(40)
+    docs = spark.createDataFrame(sub[["doc_id", "content"]])
+    pats = [(0, "def", 1), (1, "import ", 2), (2, "zzqx", 1), (3, "a", 0)]
+    pat_sdf = spark.createDataFrame(pats, "pat_id long, pattern string, k int")
+    got = {
+        (r["pat_id"], r["doc_id"]): r["n_matches"]
+        for r in byte_match_counts(docs, pat_sdf, text_col="content").collect()
+    }
+    for pid, p, k in pats:
+        for row in sub.itertuples():
+            want = byte_match_count(row.content, p, k)
+            assert got[(pid, row.doc_id)] == want, (p, k, row.doc_id)
+    totals = {
+        r["pat_id"]: r["n_matches"]
+        for r in byte_match_totals(docs, pat_sdf, text_col="content").collect()
+    }
+    for pid, p, k in pats:
+        assert totals[pid] == sum(
+            byte_match_count(row.content, p, k) for row in sub.itertuples()
+        )
+    # truncation sanity: pattern longer than the doc tail still counts when
+    # the truncated window is within k
+    tiny = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    one = spark.createDataFrame([(0, "abcd", 1)], "pat_id long, pattern string, k int")
+    n = byte_match_counts(tiny, one).collect()[0]["n_matches"]
+    # j=0: window 'abc' (truncated, dist 1 ≤ 1) ✓; j=1: 'bc' dist 2 ✗;
+    assert n == 1
