@@ -65,15 +65,30 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
 
 
 def jaccard_pairs(
-    docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """(a, b, jac6) for doc pairs with shingle-Jaccard ≥ threshold; a < b.
 
     Exact pairwise via shingle inverted join — quadratic in the worst case;
-    the LSH path below is the scale variant. Hot shingles would skew the
-    self-join; boilerplate shingles should be df-capped at scale (df filter
-    analogous to the index's head-term handling)."""
+    the LSH path below is the scale variant. ``max_shingle_df`` caps hot
+    (boilerplate) shingles: shingles appearing in more than that many docs
+    are dropped BEFORE the self-join (a df^2 blowup killer, analogous to
+    the index's head-term handling), and Jaccard is then computed over the
+    surviving informative-shingle universe — an approximation, default off
+    so the exact probe semantics are unchanged."""
     sh = doc_shingles(docs, text_col, n)
+    if max_shingle_df is not None:
+        ok = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("sdf"))
+            .filter(F.col("sdf") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(ok, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairs = (
         sh.alias("x")

@@ -330,20 +330,17 @@ def merge_index(spark: SparkSession, index_dir: str, new_docs: DataFrame) -> dic
     unsafe (TAAT is exact regardless). A compaction/re-encode pass restores
     safety; at 10^12 scale that is a periodic background job.
     """
-    from pyspark.sql import Window
+    from dts.io import assign_doc_ids
 
     meta = load_meta(index_dir)
     base = meta["n_docs"]
     par = spark.sparkContext.defaultParallelism
 
-    # Deterministic id assignment: by natural key when present, else
-    # arrival order. (Single-window OK for append batches; bulk loads go
-    # through io.assign_doc_ids.)
-    key_cols = [c for c in ("repo", "path", "commit") if c in new_docs.columns]
-    w = Window.orderBy(*key_cols) if key_cols else Window.orderBy(F.lit(1))
-    nd = new_docs.withColumn(
-        "doc_id", (F.row_number().over(w) + F.lit(base - 1)).cast("long")
-    )
+    # Deterministic id assignment continuing at `base`: natural key when
+    # present, md5(content) otherwise — via the per-partition-offset form
+    # (range shuffle + tiny driver prefix sum), NOT a global Window, so a
+    # 10^9-doc append never funnels through one partition.
+    nd = assign_doc_ids(new_docs, base=base)
     tf = build_tf(nd).cache()
     add_tokens = int(tf.agg(F.sum("tf")).collect()[0][0] or 0)
     n_new = nd.count()

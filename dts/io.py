@@ -34,18 +34,36 @@ def with_sha256(docs: DataFrame) -> DataFrame:
     return docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
 
 
-def assign_doc_ids(docs: DataFrame) -> DataFrame:
-    """Stable dense doc_id over (repo, path, commit) — no global Window.
+def assign_doc_ids(
+    docs: DataFrame,
+    base: int = 0,
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+) -> DataFrame:
+    """Stable dense doc_id in [base, base+n) over key_cols — no global Window.
 
     Sorts by the key (range shuffle), then adds each partition's row offset
     (computed from per-partition counts, a tiny driver-side prefix sum) to
     the within-partition row_number. Equivalent to a global row_number but
-    scales: no single-partition sort.
+    scales: no single-partition sort. ``base`` shifts the id space — the
+    incremental-merge path appends with base = current n_docs.
+
+    When none of ``key_cols`` exist, a deterministic md5-of-content sort
+    key substitutes (arrival keys don't exist, but the assignment must
+    still be layout-independent).
     """
+    keys = [c for c in key_cols if c in docs.columns]
+    tmp_key = None
+    if not keys:
+        tmp_key = "_sortkey"
+        src = "content" if "content" in docs.columns else docs.columns[0]
+        docs = docs.withColumn(
+            tmp_key, F.md5(F.coalesce(F.col(src).cast("string"), F.lit("")))
+        )
+        keys = [tmp_key]
     sorted_docs = docs.repartitionByRange(
-        docs.sparkSession.sparkContext.defaultParallelism, "repo", "path", "commit"
-    ).sortWithinPartitions("repo", "path", "commit")
-    part_w = Window.partitionBy("_pid").orderBy("repo", "path", "commit")
+        docs.sparkSession.sparkContext.defaultParallelism, *keys
+    ).sortWithinPartitions(*keys)
+    part_w = Window.partitionBy("_pid").orderBy(*keys)
     with_pid = sorted_docs.withColumn("_pid", F.spark_partition_id()).cache()
     counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").count().withColumnRenamed("count", "cnt").collect()}
     offsets, acc = {}, 0
@@ -58,12 +76,16 @@ def assign_doc_ids(docs: DataFrame) -> DataFrame:
             [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
         )
     )
-    return (
+    out = (
         with_pid.withColumn("_rn", F.row_number().over(part_w))
         .join(offs_df, "_pid")
-        .withColumn("doc_id", (F.col("_off") + F.col("_rn") - F.lit(1)).cast("long"))
+        .withColumn(
+            "doc_id",
+            (F.col("_off") + F.col("_rn") - F.lit(1) + F.lit(base)).cast("long"),
+        )
         .drop("_pid", "_rn", "_off")
     )
+    return out.drop(tmp_key) if tmp_key else out
 
 
 def ingest(docs: DataFrame, n_shards: int = 32) -> DataFrame:

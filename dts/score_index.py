@@ -38,6 +38,10 @@ from dts.wand import bmw_topk
 
 ROUND_RANK = 9
 TOPK_SCHEMA = "query_id long, doc_id long, score double, rank int"
+# Above this many distinct expanded terms, an IN-list filter stops being a
+# pushdown win and starts being a plan-size bomb (a 10^5-term fuzzy batch
+# would inline 10^5 literals); fall back to a broadcast left-semi join.
+MAX_ISIN_TERMS = 10_000
 
 
 def load_index(spark: SparkSession, index_dir: str):
@@ -146,6 +150,7 @@ def bm25_topk_indexed(
     k: int = 10,
     strategy: str = "taat",
     distribute: str | None = None,
+    max_isin_terms: int = MAX_ISIN_TERMS,
 ) -> DataFrame:
     """Top-k over the persisted index. Returns (query_id, doc_id, score, rank).
 
@@ -174,11 +179,28 @@ def bm25_topk_indexed(
             "(exact) or re-encode/compact the index."
         )
     qterms = expanded_query_terms(queries, idx["term_stats"]).cache()
-    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    distinct_terms = qterms.select("term").distinct()
+    # Collect at most cap+1 terms: enough to know whether the IN-list is
+    # safe, never a driver-side blowup on huge fuzzy expansions.
+    terms = [
+        r["term"] for r in distinct_terms.limit(max_isin_terms + 1).collect()
+    ]
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
-    postings = idx["postings"].filter(F.col("term").isin(terms))
-    stats = idx["term_stats"].filter(F.col("term").isin(terms)).select("term", "df")
+    if len(terms) <= max_isin_terms:
+        # IN-list filter → parquet row-group pushdown (PLANS.md: PushedFilters
+        # In(term, …)) — the fast path for normal query batches.
+        postings = idx["postings"].filter(F.col("term").isin(terms))
+        stats = idx["term_stats"].filter(F.col("term").isin(terms)).select("term", "df")
+    else:
+        # Fallback: broadcast semi-join keeps the plan bounded; loses
+        # row-group pruning but a batch this wide reads most groups anyway.
+        postings = idx["postings"].join(
+            F.broadcast(distinct_terms), "term", "left_semi"
+        )
+        stats = idx["term_stats"].join(
+            F.broadcast(distinct_terms), "term", "left_semi"
+        ).select("term", "df")
     joined = postings.join(F.broadcast(stats), "term").join(
         F.broadcast(qterms), "term"
     )

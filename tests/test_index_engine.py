@@ -223,3 +223,28 @@ def test_byte_match_counts_vs_oracle(spark, corpus_pd):
     n = byte_match_counts(tiny, one).collect()[0]["n_matches"]
     # j=0: window 'abc' (truncated, dist 1 ≤ 1) ✓; j=1: 'bc' dist 2 ✗;
     assert n == 1
+
+
+def test_isin_cap_semi_join_fallback(spark, index_dir, oracle, queries_pd):
+    """Above the IN-list cap the term filter becomes a broadcast left-semi
+    join; results are identical to the pushdown path (rank identity holds).
+    max_isin_terms=1 forces the fallback on every multi-term batch."""
+    queries_sdf = spark.createDataFrame(
+        queries_pd[["query_id", "text", "fuzzy_k"]].head(8)
+    )
+    fast = (
+        bm25_topk_indexed(spark, index_dir, queries_sdf, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    fb = (
+        bm25_topk_indexed(
+            spark, index_dir, queries_sdf, k=10, max_isin_terms=1
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [(r.query_id, r.rank, r.doc_id, r.score) for r in fast] == [
+        (r.query_id, r.rank, r.doc_id, r.score) for r in fb
+    ]
+    assert len(fb) > 0

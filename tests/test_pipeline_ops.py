@@ -237,3 +237,31 @@ def test_simhash_jvm_matches_udf_reference(spark):
         simhash_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_jaccard_pairs_shingle_df_cap(spark):
+    """max_shingle_df drops boilerplate shingles before the self-join:
+    the hot-shingle pair explosion disappears while pairs sharing rare
+    shingles survive with Jaccard over the informative universe."""
+    from dts.dedup import jaccard_pairs
+
+    boiler = "copyright acme corp all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{boiler} alpha beta gamma delta"),
+            (1, f"{boiler} alpha beta gamma delta"),
+            (2, f"{boiler} epsilon zeta eta theta"),
+            (3, f"{boiler} iota kappa lambda mu"),
+            (4, f"{boiler} nu xi omicron pi"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = jaccard_pairs(docs, n=1, threshold=0.01)
+    capped = jaccard_pairs(docs, n=1, threshold=0.01, max_shingle_df=2)
+    # boilerplate unigrams appear in 5 docs -> all 10 pairs match without
+    # the cap; with df<=2 only the true near-dup pair (0,1) remains, at
+    # jaccard 1.0 over its informative shingles.
+    assert exact.count() == 10
+    rows = capped.collect()
+    assert {(r["a"], r["b"]) for r in rows} == {(0, 1)}
+    assert rows[0]["jac6"] == 1.0
