@@ -48,6 +48,15 @@ BYTE_PATTERNS = [
     (2, "qurey", 1),
     (3, "merge", 0),
 ]
+# Token phrases for the positional-index probe (unigram = tf identity,
+# bigrams, plus a trigram that may legitimately miss).
+PHRASE_QUERIES = [
+    (0, "fast join"),
+    (1, "table scan"),
+    (2, "customer order"),
+    (3, "data"),
+    (4, "merge group row"),
+]
 
 VALUES_QUERIES = ", ".join(f"({i}, '{t}')" for i, t in PROBE_QUERIES)
 VALUES_FUZZY = ", ".join(f"({i}, '{t}')" for i, t in FUZZY_TERMS)
@@ -289,6 +298,24 @@ def _q_bm25_topk_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional index + phrase intersection (dts.phrase): per (phrase,
+    doc), occurrences of the phrase as consecutive tokens — the indexed
+    analogue of the reference's per-position match enumeration
+    (src/apm1.c:252-268). Oracle replays it with a token-array scan."""
+    import tempfile
+
+    from dts.index_build import build_index
+    from dts.io import driver_documents_as_source
+    from dts.phrase import phrase_match_counts
+
+    docs = driver_documents_as_source(spark, sf_dir)
+    idx_dir = tempfile.mkdtemp(prefix="dts_phrase_idx_")
+    build_index(spark, docs, idx_dir, bucket_size=256, positions=True)
+    ph = spark.createDataFrame(PHRASE_QUERIES, "phrase_id long, text string")
+    return phrase_match_counts(spark, idx_dir, ph)
+
+
 def _q_fuzzy_expand_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine fuzzy expansion (trigram candidates + banded-DP verify UDF)
     vs a DuckDB oracle implementing the same candidate rule + levenshtein."""
@@ -492,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "byte_match_count": _q_byte_match_count,
         "bm25_topk_engine": _q_bm25_topk_engine,
         "fuzzy_expand_engine": _q_fuzzy_expand_engine,
+        "phrase_match": _q_phrase_match,
         # training-data pipeline operators
         "exact_dup": _q_exact_dup,
         "minhash_bands": _q_minhash_bands,
@@ -531,6 +559,28 @@ _D_COS = (
     "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(w, w))), 6)"
 )
 _STOPLIST = "['the','and','is','of','to','in','that','it']"
+
+
+def _phrase_match_sql() -> str:
+    """Token-array replay of the positional phrase probe: for each phrase,
+    count start offsets j with toks[j+i] = term_i for all i (engine
+    tokenizer == the [a-z0-9]+ regex on this table)."""
+    parts = []
+    for pid, text in PHRASE_QUERIES:
+        terms = text.split(" ")
+        m = len(terms)
+        cond = " AND ".join(
+            f"toks[j + {i}] = '{t}'" for i, t in enumerate(terms)
+        )
+        parts.append(f"""
+SELECT {pid}::BIGINT AS phrase_id, doc_id,
+       len(list_filter(range(1, len(toks) - {m} + 2), j -> {cond}))::BIGINT AS n_matches
+FROM t WHERE len(toks) >= {m}""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
+SELECT phrase_id, doc_id, n_matches FROM ({body}) WHERE n_matches > 0
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -761,6 +811,7 @@ FROM tok CROSS JOIN fz
 WHERE levenshtein(qterm, term) <= 1
 GROUP BY 1, 2, 3
 """,
+        "phrase_match": _phrase_match_sql(),
         "byte_match_count": f"""
 WITH pat(pat_id, pattern, k) AS (VALUES {", ".join(f"({i}, '{p}', {k})" for i, p, k in BYTE_PATTERNS)})
 SELECT pat_id::BIGINT AS pat_id, doc_id,

@@ -222,6 +222,50 @@ def encode_bucket_vectorized(
     return out
 
 
+def encode_positions(flat: np.ndarray, counts: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Delta+varint encode concatenated per-posting token-position lists.
+
+    ``flat``: all positions of all postings back to back (each posting's
+    list ascending); ``counts``: positions per posting (== tf). First
+    position of each posting is ABSOLUTE, the rest are deltas — every
+    posting decodes independently. Returns (blob, byte_offsets[n_postings+1])
+    so callers can slice per-posting or per-term byte ranges.
+    """
+    n = len(flat)
+    bounds = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    if n == 0:
+        return b"", np.zeros(len(counts) + 1, dtype=np.int64)
+    flat = np.ascontiguousarray(flat, dtype=np.int64)
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = flat[0]
+    deltas[1:] = np.diff(flat)
+    posting_starts = bounds[:-1][counts > 0]
+    deltas[posting_starts] = flat[posting_starts]
+    blob, lens = varint_encode_with_lens(deltas)
+    byte_cum = np.concatenate(([0], np.cumsum(lens)))
+    return blob, byte_cum[bounds]
+
+
+def decode_positions(blob: bytes, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_positions: (flat positions int64, bounds[n+1])."""
+    total = int(np.sum(counts))
+    bounds = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    deltas = varint_decode(blob, total).astype(np.int64)
+    if total == 0:
+        return deltas, bounds
+    orig = np.cumsum(deltas)
+    starts = bounds[:-1][np.asarray(counts) > 0]
+    # Undo cumsum carry-in at each posting start (first entry absolute).
+    inner = starts[starts > 0]
+    if len(inner):
+        carries = orig[inner - 1].copy()
+        seg_end = np.concatenate((inner[1:], [total]))
+        sub = np.zeros(total, dtype=np.int64)
+        sub[inner[0] :] = np.repeat(carries, seg_end - inner)
+        orig = orig - sub
+    return orig, bounds
+
+
 def decode_postings(p: PackedPostings) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full decode → (doc_ids int64 ascending, tfs uint64, dls uint64)."""
     deltas = varint_decode(p.doc_blob, p.n).astype(np.int64)

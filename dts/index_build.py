@@ -50,18 +50,28 @@ from dts.tokenizer import tokenize_exploded
 DEFAULT_BUCKET_SIZE = 4096  # docs per bucket; at 10^12 docs → ~2.4e8 buckets
 
 TF_SCHEMA = "doc_id long, term string, tf long, dl long"
+TF_SCHEMA_POS = TF_SCHEMA + ", positions array<int>"
 POSTINGS_SCHEMA = (
     "term string, bucket long, n long, doc_blob binary, tf_blob binary, "
     "dl_blob binary, block_last_doc array<long>, block_max_impact array<double>, "
     "doc_offs array<int>, tf_offs array<int>, dl_offs array<int>"
 )
+# Positional variant: pos_blob holds each posting's token positions
+# (delta+varint, first absolute per posting — dts.codec.encode_positions);
+# per-posting boundaries are derivable from the decoded tfs, so no extra
+# offsets column. Parquet is columnar: BM25 queries that never select
+# pos_blob never read those bytes.
+POSTINGS_SCHEMA_POS = POSTINGS_SCHEMA + ", pos_blob binary"
 
 
-def build_tf(docs: DataFrame) -> DataFrame:
-    """(doc_id, term, tf, dl) with NO shuffle — per-doc agg inside the UDF.
+def build_tf(docs: DataFrame, positions: bool = False) -> DataFrame:
+    """(doc_id, term, tf, dl[, positions]) with NO shuffle — per-doc agg
+    inside the UDF.
 
     Zero-token docs contribute no rows (their dl is recovered in
-    doc_stats / meta from the doc table itself).
+    doc_stats / meta from the doc table itself). With ``positions=True``
+    each row also carries the term's ascending token offsets within the
+    doc (array<int>) — the positional-postings payload.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -69,16 +79,27 @@ def build_tf(docs: DataFrame) -> DataFrame:
             flat = tokenize_exploded(pdf["content"])
             if len(flat) == 0:
                 continue
-            # Integer-key aggregation (factorize + bincount) — ~3x faster
+            # Integer-key aggregation (factorize + unique) — ~3x faster
             # than a string groupby; all C.
             pos = flat["pos"].to_numpy("int64")
             codes, uniq_terms = pd.factorize(flat["term"], sort=False)
             v = len(uniq_terms)
             key = pos * v + codes
-            uniq_key, tf = np.unique(key, return_counts=True)
-            k_pos = uniq_key // v
             dl_per_pos = np.bincount(pos, minlength=len(pdf))
-            yield pd.DataFrame(
+            if positions:
+                # Stable sort groups (doc, term) keys; token order (and so
+                # ascending toff) is preserved within each group.
+                order = np.argsort(key, kind="stable")
+                sk = key[order]
+                uniq_key, starts = np.unique(sk, return_index=True)
+                tf = np.diff(np.append(starts, len(sk)))
+                toff_sorted = flat["toff"].to_numpy("int32")[order]
+                pos_lists = np.split(toff_sorted, starts[1:])
+            else:
+                uniq_key, tf = np.unique(key, return_counts=True)
+                pos_lists = None
+            k_pos = uniq_key // v
+            out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy("int64")[k_pos],
                     "term": uniq_terms.to_numpy()[uniq_key % v],
@@ -86,8 +107,12 @@ def build_tf(docs: DataFrame) -> DataFrame:
                     "dl": dl_per_pos[k_pos].astype("int64"),
                 }
             )
+            if positions:
+                out["positions"] = pos_lists
+            yield out
 
-    return docs.select("doc_id", "content").mapInPandas(gen, TF_SCHEMA)
+    schema = TF_SCHEMA_POS if positions else TF_SCHEMA
+    return docs.select("doc_id", "content").mapInPandas(gen, schema)
 
 
 def term_stats(tf: DataFrame) -> DataFrame:
@@ -120,19 +145,22 @@ def doc_stats(docs: DataFrame, tf: DataFrame) -> DataFrame:
     )
 
 
-def _encode_bucket_fn(avgdl: float, bucket_size: int, block_size: int):
-    from dts.codec import encode_bucket_vectorized
+def _encode_bucket_fn(
+    avgdl: float, bucket_size: int, block_size: int, positions: bool = False
+):
+    from dts.codec import encode_bucket_vectorized, encode_positions
 
     def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
         terms = pdf["term"].to_numpy()
         doc_ids = pdf["doc_id"].to_numpy("int64")
+        tfs = pdf["tf"].to_numpy("int64")
         bucket = int(pdf["bucket"].iloc[0])
         uniq, starts = np.unique(terms, return_index=True)
         bounds = np.append(starts, len(terms))
         rows = encode_bucket_vectorized(
             doc_ids,
-            pdf["tf"].to_numpy("int64"),
+            tfs,
             pdf["dl"].to_numpy("int64"),
             bounds,
             avgdl,
@@ -141,6 +169,22 @@ def _encode_bucket_fn(avgdl: float, bucket_size: int, block_size: int):
         out = pd.DataFrame(rows)
         out.insert(0, "term", uniq)
         out.insert(1, "bucket", bucket)
+        if positions:
+            # One delta+varint stream over the bucket, sliced per term row
+            # via the per-posting byte offsets (posting order == row order
+            # after the (term, doc_id) sort).
+            flat = (
+                np.concatenate(
+                    [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
+                )
+                if len(pdf)
+                else np.zeros(0, dtype=np.int64)
+            )
+            blob, byte_offs = encode_positions(flat, tfs)
+            out["pos_blob"] = [
+                blob[byte_offs[bounds[t]] : byte_offs[bounds[t + 1]]]
+                for t in range(len(uniq))
+            ]
         return out
 
     return encode_bucket
@@ -152,12 +196,15 @@ def build_postings(
     bucket_size: int = DEFAULT_BUCKET_SIZE,
     block_size: int = BLOCK_SIZE,
 ) -> DataFrame:
-    """The salted term-partitioned merge (see module docstring)."""
+    """The salted term-partitioned merge (see module docstring). Positional
+    when the tf table carries a ``positions`` column."""
+    positions = "positions" in tf.columns
     bucketed = tf.withColumn(
         "bucket", (F.col("doc_id") / F.lit(bucket_size)).cast("long")
     )
     return bucketed.groupBy("bucket").applyInPandas(
-        _encode_bucket_fn(avgdl, bucket_size, block_size), POSTINGS_SCHEMA
+        _encode_bucket_fn(avgdl, bucket_size, block_size, positions),
+        POSTINGS_SCHEMA_POS if positions else POSTINGS_SCHEMA,
     )
 
 
@@ -167,12 +214,16 @@ def build_index(
     out_dir: str,
     bucket_size: int = DEFAULT_BUCKET_SIZE,
     block_size: int = BLOCK_SIZE,
+    positions: bool = False,
 ) -> dict:
     """Build + persist the full index. `docs` needs (doc_id, content).
 
     Layout: <out_dir>/{postings,term_stats,doc_stats}/ parquet + meta.json.
     Postings written sorted by term for row-group pruning on term lookups.
-    Returns the meta dict (n_docs, avgdl, sizes).
+    ``positions=True`` additionally stores each posting's token positions
+    (pos_blob column) enabling phrase/proximity queries (dts.phrase) —
+    opt-in, like Lucene index options: pure BM25 workloads skip the
+    encode cost and the column bytes. Returns the meta dict.
     """
     import time
 
@@ -192,9 +243,15 @@ def build_index(
     par = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par * 2)
-    tf = build_tf(docs).cache()
+    tf = build_tf(docs, positions=positions).cache()
     meta = timed("tokenize_tf", lambda: corpus_meta(docs, tf))
-    meta.update({"bucket_size": bucket_size, "block_size": block_size})
+    meta.update(
+        {
+            "bucket_size": bucket_size,
+            "block_size": block_size,
+            "positions": positions,
+        }
+    )
 
     stats = term_stats(tf)
     timed(
@@ -250,8 +307,15 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     avgdl = meta["avgdl"]
     block_size = meta["block_size"]
 
+    positional = meta.get("positions", False)
+
     def compact(pdf: pd.DataFrame) -> pd.DataFrame:
-        from dts.codec import PackedPostings, encode_bucket_vectorized
+        from dts.codec import (
+            PackedPostings,
+            decode_positions,
+            encode_bucket_vectorized,
+            encode_positions,
+        )
 
         bucket = int(pdf["bucket"].iloc[0])
         per_term: dict[str, list] = {}
@@ -268,19 +332,30 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
                 dl_offs=np.asarray(pdf["dl_offs"].iat[i], dtype=np.int32),
                 block_size=block_size,
             )
-            per_term.setdefault(pdf["term"].iat[i], []).append(decode_postings(p))
+            run = decode_postings(p)
+            if positional:
+                pos_flat, _ = decode_positions(
+                    bytes(pdf["pos_blob"].iat[i]), run[1]
+                )
+                run = (*run, pos_flat)
+            per_term.setdefault(pdf["term"].iat[i], []).append(run)
         terms = sorted(per_term)
-        d_parts, t_parts, l_parts, bounds = [], [], [], [0]
+        d_parts, t_parts, l_parts, p_parts, bounds = [], [], [], [], [0]
         for t in terms:
             runs = sorted(per_term[t], key=lambda r: r[0][0] if len(r[0]) else -1)
             d = np.concatenate([r[0] for r in runs])
             d_parts.append(d)
             t_parts.append(np.concatenate([r[1] for r in runs]).astype(np.int64))
             l_parts.append(np.concatenate([r[2] for r in runs]).astype(np.int64))
+            if positional:
+                p_parts.append(
+                    np.concatenate([r[3] for r in runs]).astype(np.int64)
+                )
             bounds.append(bounds[-1] + len(d))
+        all_tf = np.concatenate(t_parts)
         rows = encode_bucket_vectorized(
             np.concatenate(d_parts),
-            np.concatenate(t_parts),
+            all_tf,
             np.concatenate(l_parts),
             np.asarray(bounds, dtype=np.int64),
             avgdl,
@@ -289,16 +364,27 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         out = pd.DataFrame(rows)
         out.insert(0, "term", np.array(terms))
         out.insert(1, "bucket", bucket)
+        if positional:
+            blob, byte_offs = encode_positions(np.concatenate(p_parts), all_tf)
+            out["pos_blob"] = [
+                blob[byte_offs[bounds[t]] : byte_offs[bounds[t + 1]]]
+                for t in range(len(terms))
+            ]
         return out
 
+    cols = [
+        "term", "bucket", "n", "doc_blob", "tf_blob", "dl_blob",
+        "block_last_doc", "block_max_impact", "doc_offs", "tf_offs", "dl_offs",
+    ]
+    if positional:
+        cols.append("pos_blob")
     postings = spark.read.parquet(f"{index_dir}/postings")
     compacted = (
-        postings.select(
-            "term", "bucket", "n", "doc_blob", "tf_blob", "dl_blob",
-            "block_last_doc", "block_max_impact", "doc_offs", "tf_offs", "dl_offs",
-        )
+        postings.select(*cols)
         .groupBy("bucket")
-        .applyInPandas(compact, POSTINGS_SCHEMA)
+        .applyInPandas(
+            compact, POSTINGS_SCHEMA_POS if positional else POSTINGS_SCHEMA
+        )
         .sortWithinPartitions("term", "bucket")
     )
     tmp = f"{index_dir}/postings_compact"
@@ -341,7 +427,7 @@ def merge_index(spark: SparkSession, index_dir: str, new_docs: DataFrame) -> dic
     # (range shuffle + tiny driver prefix sum), NOT a global Window, so a
     # 10^9-doc append never funnels through one partition.
     nd = assign_doc_ids(new_docs, base=base)
-    tf = build_tf(nd).cache()
+    tf = build_tf(nd, positions=meta.get("positions", False)).cache()
     add_tokens = int(tf.agg(F.sum("tf")).collect()[0][0] or 0)
     n_new = nd.count()
     new_total = meta["total_tokens"] + add_tokens

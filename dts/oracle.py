@@ -147,3 +147,16 @@ def byte_match_count(text: str, pattern: str, k: int) -> int:
         for j in range(n)
         if banded_levenshtein(pattern, text[j : j + m], k) <= k
     )
+
+
+def phrase_count(text: str, phrase_terms: list[str]) -> int:
+    """Occurrences of the token phrase (consecutive tokens; overlaps count)
+    — the position-level spec for dts.phrase (analogue of the reference's
+    per-position match enumeration, src/apm1.c:252-268)."""
+    toks = tokenize_text(text)
+    m = len(phrase_terms)
+    if m == 0 or len(toks) < m:
+        return 0
+    return sum(
+        1 for j in range(len(toks) - m + 1) if toks[j : j + m] == phrase_terms
+    )

@@ -1,0 +1,152 @@
+"""Phrase queries over positional postings.
+
+The reference enumerates byte positions per match (src/apm1.c:252-268);
+the index analogue is a positional posting list: each (term, doc) posting
+stores its ascending token offsets (built with build_index(...,
+positions=True), wire format dts.codec.encode_positions). A phrase
+"t0 t1 … t(m-1)" matches doc d at start offset p iff p+i ∈ positions(ti, d)
+for every i — the classic positional-intersection phrase algorithm.
+
+Distribution mirrors BM25 scoring: the (tiny) phrase-term table is
+broadcast; postings arrive pre-partitioned by the doc-range bucket, and a
+(phrase, bucket) group holds ALL of a document's postings for every phrase
+term (buckets are term-independent doc ranges), so per-group results are
+exact and globally disjoint — no merge stage at all. Inside a group the
+intersection is numpy over decoded blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dts.codec import PackedPostings, decode_positions, decode_postings
+from dts.index_build import load_meta
+from dts.tokenizer import tokenize_udf
+
+PHRASE_SCHEMA = "phrase_id long, doc_id long, n_matches long"
+
+
+def _decode_row(row, block_size: int):
+    p = PackedPostings(
+        n=int(row["n"]),
+        doc_blob=bytes(row["doc_blob"]),
+        tf_blob=bytes(row["tf_blob"]),
+        dl_blob=bytes(row["dl_blob"]),
+        block_last_doc=np.asarray(row["block_last_doc"], dtype=np.int64),
+        block_max_impact=np.asarray(row["block_max_impact"], dtype=np.float64),
+        doc_offs=np.asarray(row["doc_offs"], dtype=np.int32),
+        tf_offs=np.asarray(row["tf_offs"], dtype=np.int32),
+        dl_offs=np.asarray(row["dl_offs"], dtype=np.int32),
+        block_size=block_size,
+    )
+    docs, tfs, _ = decode_postings(p)
+    pos_flat, bounds = decode_positions(bytes(row["pos_blob"]), tfs)
+    return docs, pos_flat, bounds
+
+
+def _matcher_fn(block_size: int):
+    def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "phrase_id": np.zeros(0, dtype=np.int64),
+                "doc_id": np.zeros(0, dtype=np.int64),
+                "n_matches": np.zeros(0, dtype=np.int64),
+            }
+        )
+        phrase_id = int(pdf["phrase_id"].iloc[0])
+        m = int(pdf["m"].iloc[0])
+        if pdf["i"].nunique() != m:
+            return empty  # some phrase term absent from this bucket
+        # Per phrase slot i: docs (ascending) + per-doc position slices.
+        # Multiple rows per slot (incrementally merged indexes) concat in
+        # run order — runs cover disjoint ascending doc ranges.
+        slot_docs: list[np.ndarray] = []
+        slot_pos: list[tuple[np.ndarray, np.ndarray]] = []
+        for i in range(m):
+            rows = pdf[pdf["i"] == i]
+            decs = sorted(
+                (_decode_row(r, block_size) for _, r in rows.iterrows()),
+                key=lambda t: t[0][0] if len(t[0]) else -1,
+            )
+            docs = np.concatenate([d[0] for d in decs])
+            flat = np.concatenate([d[1] for d in decs])
+            # rebase each run's bounds into the concatenated flat array
+            bnds = [np.asarray(d[2], dtype=np.int64) for d in decs]
+            offs = np.concatenate(
+                ([0], np.cumsum([b[-1] for b in bnds])[:-1])
+            )
+            bounds = np.concatenate(
+                [b[1:] + o for b, o in zip(bnds, offs)]
+            )
+            bounds = np.concatenate(([0], bounds))
+            slot_docs.append(docs)
+            slot_pos.append((flat, bounds))
+        cand = slot_docs[0]
+        for i in range(1, m):
+            cand = np.intersect1d(cand, slot_docs[i], assume_unique=True)
+            if len(cand) == 0:
+                return empty
+        out_docs, out_counts = [], []
+        for d in cand:
+            flat0, b0 = slot_pos[0]
+            j0 = int(np.searchsorted(slot_docs[0], d))
+            starts = flat0[b0[j0] : b0[j0 + 1]]
+            for i in range(1, m):
+                flat, b = slot_pos[i]
+                j = int(np.searchsorted(slot_docs[i], d))
+                starts = starts[
+                    np.isin(starts + i, flat[b[j] : b[j + 1]], assume_unique=True)
+                ]
+                if len(starts) == 0:
+                    break
+            if len(starts):
+                out_docs.append(int(d))
+                out_counts.append(len(starts))
+        return pd.DataFrame(
+            {
+                "phrase_id": np.full(len(out_docs), phrase_id, dtype=np.int64),
+                "doc_id": np.array(out_docs, dtype=np.int64),
+                "n_matches": np.array(out_counts, dtype=np.int64),
+            }
+        )
+
+    return match_group
+
+
+def phrase_match_counts(
+    spark: SparkSession, index_dir: str, phrases: DataFrame
+) -> DataFrame:
+    """(phrase_id, doc_id, n_matches) for docs containing each phrase as
+    consecutive tokens (≥1 occurrence; overlaps all count).
+
+    ``phrases`` needs (phrase_id, text); text is tokenized with the shared
+    engine tokenizer. Requires a positional index (build_index
+    positions=True)."""
+    meta = load_meta(index_dir)
+    if not meta.get("positions"):
+        raise ValueError(
+            "phrase queries need a positional index: "
+            "build_index(..., positions=True)"
+        )
+    qt = (
+        phrases.select("phrase_id", tokenize_udf("text").alias("toks"))
+        .select(
+            "phrase_id",
+            F.size("toks").alias("m"),
+            F.posexplode("toks").alias("i", "term"),
+        )
+    )
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    if not terms:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    postings = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("term").isin(terms))
+        .join(F.broadcast(qt), "term")
+    )
+    return postings.groupBy("phrase_id", "bucket").applyInPandas(
+        _matcher_fn(meta["block_size"]), PHRASE_SCHEMA
+    )

@@ -42,6 +42,13 @@ TOPK_SCHEMA = "query_id long, doc_id long, score double, rank int"
 # pushdown win and starts being a plan-size bomb (a 10^5-term fuzzy batch
 # would inline 10^5 literals); fall back to a broadcast left-semi join.
 MAX_ISIN_TERMS = 10_000
+# BM25 scoring never reads pos_blob (positional indexes only): explicit
+# projection keeps the parquet scan and the applyInPandas transfer free of
+# position bytes.
+POSTING_SCORE_COLS = [
+    "term", "bucket", "n", "doc_blob", "tf_blob", "dl_blob",
+    "block_last_doc", "block_max_impact", "doc_offs", "tf_offs", "dl_offs",
+]
 
 
 def load_index(spark: SparkSession, index_dir: str):
@@ -187,15 +194,16 @@ def bm25_topk_indexed(
     ]
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
+    scan = idx["postings"].select(*POSTING_SCORE_COLS)
     if len(terms) <= max_isin_terms:
         # IN-list filter → parquet row-group pushdown (PLANS.md: PushedFilters
         # In(term, …)) — the fast path for normal query batches.
-        postings = idx["postings"].filter(F.col("term").isin(terms))
+        postings = scan.filter(F.col("term").isin(terms))
         stats = idx["term_stats"].filter(F.col("term").isin(terms)).select("term", "df")
     else:
         # Fallback: broadcast semi-join keeps the plan bounded; loses
         # row-group pruning but a batch this wide reads most groups anyway.
-        postings = idx["postings"].join(
+        postings = scan.join(
             F.broadcast(distinct_terms), "term", "left_semi"
         )
         stats = idx["term_stats"].join(

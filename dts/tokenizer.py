@@ -54,14 +54,23 @@ def tokenize_exploded(s: pd.Series) -> pd.DataFrame:
     """Flat (index-build) form: one row per token, all ops C-level.
 
     Returns a DataFrame with columns ``pos`` (the input Series' positional
-    index, int64) and ``term`` (lowercased token). Rows with zero tokens
-    contribute nothing.
+    index, int64), ``term`` (lowercased token) and ``toff`` (the token's
+    0-based offset within its document — the positional-postings payload).
+    Rows with zero tokens contribute nothing.
     """
+    import numpy as np
+
     found = s.fillna("").str.findall(TOKEN_RE)
     found.index = pd.RangeIndex(len(found))
     flat = found.explode().dropna()
+    pos = flat.index.to_numpy("int64")
+    # Token offset within doc: explode preserves order, so within each pos
+    # run the offset is arange from the run start.
+    starts = np.flatnonzero(np.concatenate(([True], pos[1:] != pos[:-1])))
+    run_len = np.diff(np.concatenate((starts, [len(pos)])))
+    toff = np.arange(len(pos), dtype="int64") - np.repeat(starts, run_len)
     return pd.DataFrame(
-        {"pos": flat.index.to_numpy("int64"), "term": flat.str.lower().to_numpy()}
+        {"pos": pos, "term": flat.str.lower().to_numpy(), "toff": toff}
     )
 
 

@@ -1,0 +1,132 @@
+"""Positional postings + phrase queries: codec roundtrip, engine vs the
+single-process oracle (including merged and compacted indexes)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dts.codec import decode_positions, encode_positions
+from dts.index_build import build_index, compact_index, load_meta, merge_index
+from dts.oracle import phrase_count
+from dts.phrase import phrase_match_counts
+from dts.tokenizer import tokenize_text
+
+
+def test_positions_codec_roundtrip():
+    rng = np.random.RandomState(3)
+    for _ in range(50):
+        n_postings = rng.randint(1, 40)
+        counts = rng.randint(1, 9, n_postings)
+        lists = [
+            np.cumsum(rng.randint(1, 50, c)) - 1 for c in counts
+        ]  # ascending per posting
+        flat = np.concatenate(lists)
+        blob, offs = encode_positions(flat, counts)
+        back, bounds = decode_positions(blob, counts)
+        assert (back == flat).all()
+        assert (bounds == np.concatenate(([0], np.cumsum(counts)))).all()
+        # per-posting byte slices decode independently
+        j = rng.randint(n_postings)
+        piece, _ = decode_positions(
+            blob[offs[j] : offs[j + 1]], counts[j : j + 1]
+        )
+        assert (piece == lists[j]).all()
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, docs_sdf, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pos_index"))
+    build_index(spark, docs_sdf, d, bucket_size=64, block_size=16, positions=True)
+    return d
+
+
+def _phrases_from(corpus_pd, n=6, m=2, seed=7):
+    """Sample real m-token phrases from the corpus (guaranteed hits)."""
+    rng = np.random.RandomState(seed)
+    out = []
+    rows = corpus_pd.sample(n=n, random_state=seed)
+    for _, r in rows.iterrows():
+        toks = tokenize_text(r["content"])
+        if len(toks) < m:
+            continue
+        j = rng.randint(len(toks) - m + 1)
+        out.append(" ".join(toks[j : j + m]))
+    out.append("zzz qqq xxx")  # guaranteed miss
+    return out
+
+
+@pytest.mark.parametrize("m", [1, 2, 3])
+def test_phrase_match_vs_oracle(spark, pos_index, corpus_pd, m):
+    phrases = _phrases_from(corpus_pd, n=6, m=m, seed=10 + m)
+    ph_sdf = spark.createDataFrame(
+        list(enumerate(phrases)), "phrase_id long, text string"
+    )
+    got = {
+        (r["phrase_id"], r["doc_id"]): r["n_matches"]
+        for r in phrase_match_counts(spark, pos_index, ph_sdf).collect()
+    }
+    want = {}
+    for pid, p in enumerate(phrases):
+        terms = tokenize_text(p)
+        for row in corpus_pd.itertuples():
+            c = phrase_count(row.content, terms)
+            if c:
+                want[(pid, row.doc_id)] = c
+    assert got == want
+    assert any(v > 0 for v in want.values())  # sampled phrases really hit
+
+
+def test_phrase_requires_positional_index(spark, docs_sdf, tmp_path):
+    d = str(tmp_path / "plain")
+    build_index(spark, docs_sdf, d, bucket_size=64)
+    ph = spark.createDataFrame([(0, "def")], "phrase_id long, text string")
+    with pytest.raises(ValueError, match="positional"):
+        phrase_match_counts(spark, d, ph)
+
+
+def test_phrase_survives_merge_and_compact(spark, corpus_pd, tmp_path):
+    idx = str(tmp_path / "pos_merge")
+    split = 150
+    build_index(
+        spark,
+        spark.createDataFrame(corpus_pd.iloc[:split]),
+        idx,
+        bucket_size=64,
+        positions=True,
+    )
+    merge_index(
+        spark,
+        idx,
+        spark.createDataFrame(corpus_pd.iloc[split:].drop(columns=["doc_id"])),
+    )
+    assert load_meta(idx)["positions"] is True
+    docs = list(zip(corpus_pd["doc_id"][:split], corpus_pd["content"][:split])) + [
+        (split + i, c) for i, c in enumerate(corpus_pd["content"][split:])
+    ]
+    phrases = _phrases_from(corpus_pd, n=5, m=2, seed=3)
+    ph_sdf = spark.createDataFrame(
+        list(enumerate(phrases)), "phrase_id long, text string"
+    )
+
+    def expected():
+        want = {}
+        for pid, p in enumerate(phrases):
+            terms = tokenize_text(p)
+            for doc_id, content in docs:
+                c = phrase_count(content, terms)
+                if c:
+                    want[(pid, doc_id)] = c
+        return want
+
+    got_merged = {
+        (r["phrase_id"], r["doc_id"]): r["n_matches"]
+        for r in phrase_match_counts(spark, idx, ph_sdf).collect()
+    }
+    assert got_merged == expected()
+    compact_index(spark, idx)
+    got_compacted = {
+        (r["phrase_id"], r["doc_id"]): r["n_matches"]
+        for r in phrase_match_counts(spark, idx, ph_sdf).collect()
+    }
+    assert got_compacted == expected()
