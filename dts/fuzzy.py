@@ -106,14 +106,27 @@ def banded_lev_le_k_udf(
     return pd.Series(d <= k.to_numpy("int64"))
 
 
+def vocab_trigrams(vocab: DataFrame) -> DataFrame:
+    """(term, tri) exploded distinct trigrams of the vocabulary — persisted
+    at build time (index_build writes it tri-sorted so query-time trigram
+    lookups prune parquet row-groups instead of re-deriving trigrams from
+    the whole vocabulary per batch)."""
+    return vocab.select("term", F.explode(trigram_col("term")).alias("tri"))
+
+
 def expand_fuzzy_terms(
-    fuzzy_qterms: DataFrame, vocab: DataFrame
+    fuzzy_qterms: DataFrame,
+    vocab: DataFrame,
+    vocab_tri: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, qterm, fuzzy_k) × vocab(term) → (query_id, term).
 
     Multiplicity preserved: a qterm occurring twice in a query yields its
     expansions twice (the oracle extends per occurrence). ``vocab`` is the
-    term_stats table (term column used).
+    term_stats table (term column used). ``vocab_tri`` is the persisted
+    (term, tri) table when the index has one: the query's distinct
+    trigrams then become an IN-list filter pushed into its tri-sorted
+    parquet scan, replacing the full-vocabulary trigram re-derivation.
     """
     # Expand each DISTINCT (qterm, fuzzy_k) once, then join expansions back
     # to the occurrence rows — multiplicity restored by the join, and the
@@ -125,7 +138,15 @@ def expand_fuzzy_terms(
         F.size(trigram_col("qterm")).alias("n_qtri"),
         F.explode(trigram_col("qterm")).alias("tri"),
     )
-    vtri = vocab.select("term", F.explode(trigram_col("term")).alias("tri"))
+    if vocab_tri is not None:
+        tris = [r["tri"] for r in qtri.select("tri").distinct().collect()]
+        if not tris:  # no fuzzy occurrences at all — skip the join plan
+            return fuzzy_qterms.sparkSession.createDataFrame(
+                [], "query_id long, term string"
+            )
+        vtri = vocab_tri.filter(F.col("tri").isin(tris))
+    else:
+        vtri = vocab_trigrams(vocab)
     cand = (
         vtri.join(F.broadcast(qtri), "tri")
         .groupBy("qterm", "fuzzy_k", "n_qtri", "term")

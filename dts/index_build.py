@@ -261,6 +261,7 @@ def build_index(
         .write.mode("overwrite")
         .parquet(f"{out_dir}/term_stats"),
     )
+    timed("trigrams", lambda: write_trigrams(spark, out_dir))
     timed(
         "doc_stats",
         lambda: doc_stats(docs, tf)
@@ -286,6 +287,30 @@ def build_index(
         json.dump(meta, f, indent=2, sort_keys=True)
     tf.unpersist()
     return meta
+
+
+def write_trigrams(spark: SparkSession, index_dir: str) -> None:
+    """Persist the vocabulary trigram table (fuzzy-expansion amortization):
+    (tri, term) written tri-sorted so a query batch's distinct trigrams
+    push down as an IN-list over row-group stats. Derived from the
+    PERSISTED term_stats (read back — cheap, vocab-sized)."""
+    from dts.fuzzy import vocab_trigrams
+
+    par = spark.sparkContext.defaultParallelism
+    vocab = spark.read.parquet(f"{index_dir}/term_stats").select("term")
+    tmp = f"{index_dir}/trigrams_new"
+    (
+        vocab_trigrams(vocab)
+        .repartitionByRange(max(1, par // 4), "tri")
+        .sortWithinPartitions("tri")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    import shutil
+
+    if os.path.isdir(f"{index_dir}/trigrams"):
+        shutil.rmtree(f"{index_dir}/trigrams")
+    os.replace(tmp, f"{index_dir}/trigrams")
 
 
 def load_meta(index_dir: str) -> dict:
@@ -466,6 +491,8 @@ def merge_index(spark: SparkSession, index_dir: str, new_docs: DataFrame) -> dic
 
     shutil.rmtree(f"{index_dir}/term_stats")
     os.replace(tmp, f"{index_dir}/term_stats")
+    if os.path.isdir(f"{index_dir}/trigrams"):
+        write_trigrams(spark, index_dir)
 
     doc_stats(nd, tf).write.mode("append").parquet(f"{index_dir}/doc_stats")
 

@@ -52,19 +52,30 @@ POSTING_SCORE_COLS = [
 
 
 def load_index(spark: SparkSession, index_dir: str):
-    return {
+    import os
+
+    out = {
         "postings": spark.read.parquet(f"{index_dir}/postings"),
         "term_stats": spark.read.parquet(f"{index_dir}/term_stats"),
         "doc_stats": spark.read.parquet(f"{index_dir}/doc_stats"),
         "meta": load_meta(index_dir),
+        "trigrams": None,
     }
+    if os.path.isdir(f"{index_dir}/trigrams"):
+        out["trigrams"] = spark.read.parquet(f"{index_dir}/trigrams")
+    return out
 
 
-def expanded_query_terms(queries: DataFrame, term_stats: DataFrame) -> DataFrame:
+def expanded_query_terms(
+    queries: DataFrame,
+    term_stats: DataFrame,
+    vocab_tri: DataFrame | None = None,
+) -> DataFrame:
     """(query_id, term) multiset after fuzzy expansion.
 
     `queries` needs (query_id, text, fuzzy_k). Exact queries (fuzzy_k=0)
-    pass through; fuzzy ones expand against the vocabulary. Multiplicity
+    pass through; fuzzy ones expand against the vocabulary — through the
+    persisted trigram table when the index has one. Multiplicity
     (repeated terms) is preserved on both paths.
     """
     qt = queries.select(
@@ -76,7 +87,7 @@ def expanded_query_terms(queries: DataFrame, term_stats: DataFrame) -> DataFrame
         "query_id", F.col("qterm").alias("term")
     )
     fuzzy = qt.filter(F.col("fuzzy_k") > 0)
-    expanded = expand_fuzzy_terms(fuzzy, term_stats.select("term"))
+    expanded = expand_fuzzy_terms(fuzzy, term_stats.select("term"), vocab_tri)
     return exact.unionByName(expanded)
 
 
@@ -185,7 +196,9 @@ def bm25_topk_indexed(
             "maxima are no longer sound upper bounds. Use strategy='taat' "
             "(exact) or re-encode/compact the index."
         )
-    qterms = expanded_query_terms(queries, idx["term_stats"]).cache()
+    qterms = expanded_query_terms(
+        queries, idx["term_stats"], idx.get("trigrams")
+    ).cache()
     distinct_terms = qterms.select("term").distinct()
     # Collect at most cap+1 terms: enough to know whether the IN-list is
     # safe, never a driver-side blowup on huge fuzzy expansions.
@@ -256,7 +269,9 @@ def match_counts_indexed(
     src/apm1.c:197-203 / O13), resolved through term_stats.cf — no posting
     decode needed."""
     idx = load_index(spark, index_dir)
-    qterms = expanded_query_terms(queries, idx["term_stats"])
+    qterms = expanded_query_terms(
+        queries, idx["term_stats"], idx.get("trigrams")
+    )
     joined = qterms.join(
         idx["term_stats"].select("term", "cf"), "term"
     )

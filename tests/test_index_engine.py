@@ -248,3 +248,34 @@ def test_isin_cap_semi_join_fallback(spark, index_dir, oracle, queries_pd):
         (r.query_id, r.rank, r.doc_id, r.score) for r in fb
     ]
     assert len(fb) > 0
+
+
+def test_persisted_trigram_table(spark, index_dir, oracle):
+    """build_index persists trigrams/ (tri-sorted); fuzzy expansion through
+    it equals the on-the-fly path and the oracle."""
+    import os
+
+    from dts.fuzzy import expand_fuzzy_terms
+    from dts.score_index import load_index
+
+    assert os.path.isdir(f"{index_dir}/trigrams")
+    idx = load_index(spark, index_dir)
+    assert idx["trigrams"] is not None
+    fq = spark.createDataFrame(
+        [(0, "improt", 1), (1, "funciton", 2), (2, "abababab", 1)],
+        "query_id long, qterm string, fuzzy_k int",
+    )
+    vocab = idx["term_stats"].select("term")
+    via_table = {
+        (r["query_id"], r["term"])
+        for r in expand_fuzzy_terms(fq, vocab, idx["trigrams"]).collect()
+    }
+    on_the_fly = {
+        (r["query_id"], r["term"])
+        for r in expand_fuzzy_terms(fq, vocab).collect()
+    }
+    assert via_table == on_the_fly
+    for qid, q, k in [(0, "improt", 1), (1, "funciton", 2), (2, "abababab", 1)]:
+        assert {t for i, t in via_table if i == qid} == set(
+            oracle.expand_term(q, k)
+        )
