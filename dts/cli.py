@@ -6,9 +6,12 @@ Subcommands:
   gen-corpus  --out DIR --n-docs N [--seed 42]
   ingest      --source DIR --out DIR  (sha256 invariant + stable doc_id)
   build       --docs DIR --out INDEX [--bucket-size N] [--resumable]
+              [--positions]
   query       --index INDEX (--text "..." [--fuzzy-k K] | --queries DIR)
               [--k 10] [--strategy taat|bmw] [--out DIR]
   count       --index INDEX --text "..." [--fuzzy-k K]
+  phrase      --index INDEX --text "exact token phrase" [--out DIR]
+  byte-count  --docs DIR --pattern "raw bytes" [--k 0]
 """
 
 from __future__ import annotations
@@ -57,8 +60,48 @@ def cmd_build(args) -> None:
     else:
         from dts.index_build import build_index
 
-        meta = build_index(spark, docs, args.out, bucket_size=args.bucket_size)
+        meta = build_index(
+            spark, docs, args.out, bucket_size=args.bucket_size,
+            positions=args.positions,
+        )
     print(json.dumps(meta, sort_keys=True))
+
+
+def cmd_phrase(args) -> None:
+    """Exact token-phrase occurrences over a positional index."""
+    from dts.phrase import phrase_match_counts
+
+    spark = get_spark("dts-phrase")
+    ph = spark.createDataFrame(
+        [(0, args.text)], "phrase_id long, text string"
+    )
+    out = phrase_match_counts(spark, args.index, ph)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out}))
+    else:
+        rows = out.orderBy("doc_id").collect()
+        for r in rows:
+            print(json.dumps({"doc_id": r.doc_id, "n_matches": r.n_matches}))
+        print(
+            f"Number of matches for pattern <{args.text}>: "
+            f"{sum(r.n_matches for r in rows)}"
+        )
+
+
+def cmd_byte_count(args) -> None:
+    """Reference-faithful byte-window count over the raw docs table (no
+    index, no tokenizer — arbitrary byte patterns incl. punctuation)."""
+    from dts.bytematch import byte_match_totals
+
+    spark = get_spark("dts-byte-count")
+    docs = spark.read.parquet(args.docs)
+    text_col = "content" if "content" in docs.columns else "text"
+    pat = spark.createDataFrame(
+        [(0, args.pattern, args.k)], "pat_id long, pattern string, k int"
+    )
+    n = byte_match_totals(docs, pat, text_col=text_col).collect()[0]["n_matches"]
+    print(f"Number of matches for pattern <{args.pattern}>: {n}")
 
 
 def cmd_query(args) -> None:
@@ -133,8 +176,21 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("--out", required=True)
     g.add_argument("--bucket-size", type=int, default=4096)
     g.add_argument("--resumable", action="store_true")
+    g.add_argument("--positions", action="store_true")
     g.add_argument("--lineage", default=None)
     g.set_defaults(fn=cmd_build)
+
+    g = sub.add_parser("phrase")
+    g.add_argument("--index", required=True)
+    g.add_argument("--text", required=True)
+    g.add_argument("--out", default=None)
+    g.set_defaults(fn=cmd_phrase)
+
+    g = sub.add_parser("byte-count")
+    g.add_argument("--docs", required=True)
+    g.add_argument("--pattern", required=True)
+    g.add_argument("--k", type=int, default=0)
+    g.set_defaults(fn=cmd_byte_count)
 
     g = sub.add_parser("query")
     g.add_argument("--index", required=True)

@@ -21,6 +21,14 @@ Broadcast of the (small) query-term side mirrors DISTRIBUTE_PATTERNS=0
 cluster scale each task reads only the postings row-groups its terms live
 in. Scores are float64 with ascending-term accumulation order — the same
 addition sequence as dts.oracle, hence bit-identical (tested).
+
+Non-tokenizable patterns (contract): the reference matches arbitrary byte
+strings (src/apm1.c:152-184); this index is TOKEN-based, so a query whose
+text tokenizes to nothing (pure punctuation/operators — TOKEN_RE matches
+no run) contributes no terms and scores no documents, BY DESIGN. The
+byte-granularity path for such patterns is dts.bytematch.byte_match_counts
+(raw substring windows, no tokenizer) — the engine keeps both surfaces
+rather than pretending one index serves both semantics.
 """
 
 from __future__ import annotations
@@ -161,6 +169,24 @@ def _scorer_fn(n_docs: int, avgdl: float, k: int, strategy: str, block_size: int
     return score_group
 
 
+def auto_distribute(n_queries: int, n_buckets: int) -> str:
+    """Measured crossover for the scoring distribution (scripts/
+    calibrate_distribute.py, 480k docs / 118 buckets, warm best-of-2):
+
+    local[8]:  n_q=1 q1.48/b1.60 | 4 q2.59/b1.83 | 16 q2.31/b1.94
+               | 60 q3.17/b3.59 | 240 q8.4/b10.9 | 960 q24.5/b42.5
+    local[32]: n_q=1 q1.59/b2.22 | 4 q2.63/b2.26 | 16 q2.60/b2.92
+               | 60 q3.43/b4.02 | 240 q5.1/b10.9 | 960 q16.1/b36.6
+
+    Bucket sharding buys parallelism only when the batch is too small to
+    occupy the cores by itself (one group per query) yet has real per-query
+    work; past ~16 queries the per-group applyInPandas overhead
+    (n_queries × n_shards groups) dominates, and a single query pays the
+    extra merge stage for nothing. Tiny indexes (few buckets) have nothing
+    to shard."""
+    return "bucket" if 2 <= n_queries <= 16 and n_buckets >= 32 else "query"
+
+
 def bm25_topk_indexed(
     spark: SparkSession,
     index_dir: str,
@@ -182,8 +208,9 @@ def bm25_topk_indexed(
       (`topk_merge_global`) ranks the k×buckets candidates. A head term's
       postings spread over all buckets instead of converging on one task —
       the same property the salted build merge relies on.
-    - ``None`` (default): auto — "bucket" when the query-relevant postings
-      span many buckets, else "query".
+    - ``None`` (default): auto — ``auto_distribute``: "bucket" for small
+      batches (2–16 queries) over many-bucket indexes (measured crossover,
+      see auto_distribute's docstring), else "query".
 
     Both modes, both strategies, are rank-identical (tested).
     """
@@ -227,16 +254,7 @@ def bm25_topk_indexed(
     )
     n_buckets = -(-meta["n_docs"] // meta["bucket_size"])
     if distribute is None:
-        # Default: per-query grouping — predictable, and optimal for large
-        # batches (ample parallel groups, minimal per-group overhead).
-        # "bucket" wins when a batch has FEW queries relative to cores but
-        # substantial per-query work (measured on 480k docs at local[8]:
-        # 60 queries 13.7s→7.5s; but 1 query pays ~0.5s for the extra
-        # merge stage, and 960 queries pay per-group overhead ×30k).
-        # Calibrating the crossover is a round-2 cost-model item
-        # (ROADMAP.md); callers with latency-critical small batches pass
-        # distribute="bucket" explicitly.
-        distribute = "query"
+        distribute = auto_distribute(queries.count(), n_buckets)
     scorer = _scorer_fn(
         meta["n_docs"], meta["avgdl"], k, strategy, meta["block_size"]
     )

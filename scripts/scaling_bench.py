@@ -89,26 +89,16 @@ def run_one_level(cpus: int, corpus_dir: str, n_queries: int) -> dict:
     }
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--one-level", type=int, default=None)
-    ap.add_argument("--corpus", default=None)
-    ap.add_argument("--queries", type=int, default=N_QUERIES)
-    args = ap.parse_args()
-
-    if args.one_level:
-        print(json.dumps(run_one_level(args.one_level, args.corpus, args.queries)))
-        return
-
-    workdir = os.environ.get("DTS_BENCH_DIR", "/tmp/dts_scaling")
-    os.makedirs(workdir, exist_ok=True)
-    corpus_dir = f"{workdir}/corpus_{N_DOCS}"
+def ensure_corpus(workdir: str, n_docs: int) -> str:
+    """Generate (once) a seeded corpus of n_docs with assigned doc_ids;
+    returns the _ids parquet dir."""
+    corpus_dir = f"{workdir}/corpus_{n_docs}"
     if not os.path.exists(f"{corpus_dir}/_SUCCESS"):
-        print(f"generating corpus ({N_DOCS} docs)...", file=sys.stderr)
+        print(f"generating corpus ({n_docs} docs)...", file=sys.stderr)
         subprocess.run(
             [
                 sys.executable, "-m", "dts.cli", "gen-corpus",
-                "--out", corpus_dir, "--n-docs", str(N_DOCS),
+                "--out", corpus_dir, "--n-docs", str(n_docs),
             ],
             cwd=REPO, check=True, env={**os.environ, "PYTHONPATH": REPO},
         )
@@ -124,21 +114,50 @@ def main() -> None:
             ],
             check=True, env={**os.environ, "PYTHONPATH": REPO},
         )
-    corpus_ids = corpus_dir + "_ids"
+    return corpus_dir + "_ids"
+
+
+def run_level_subprocess(cpus: int, corpus: str, queries: int) -> dict:
+    out = subprocess.run(
+        [
+            sys.executable, os.path.abspath(__file__),
+            "--one-level", str(cpus), "--corpus", corpus,
+            "--queries", str(queries),
+        ],
+        check=True, capture_output=True, text=True,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+# Weak scaling: work ∝ cores (the reference's own headline claim shape,
+# results_weak_scaling_v4.csv — 8→64 nodes at ≈0.80). Per-core work is
+# DOCS_PER_CORE docs / QUERIES_PER_CORE queries; efficiency =
+# wall(N) / wall(4N) (ideal 1.0 — equal wall at 4× the work on 4× cores).
+DOCS_PER_CORE = int(os.environ.get("DTS_BENCH_DOCS_PER_CORE", "60000"))
+QUERIES_PER_CORE = int(os.environ.get("DTS_BENCH_QUERIES_PER_CORE", "120"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--one-level", type=int, default=None)
+    ap.add_argument("--corpus", default=None)
+    ap.add_argument("--queries", type=int, default=N_QUERIES)
+    ap.add_argument("--skip-weak", action="store_true")
+    args = ap.parse_args()
+
+    if args.one_level:
+        print(json.dumps(run_one_level(args.one_level, args.corpus, args.queries)))
+        return
+
+    workdir = os.environ.get("DTS_BENCH_DIR", "/tmp/dts_scaling")
+    os.makedirs(workdir, exist_ok=True)
+    corpus_ids = ensure_corpus(workdir, N_DOCS)
 
     results = {}
     for cpus in LEVELS:
         print(f"=== level local[{cpus}] ===", file=sys.stderr)
-        out = subprocess.run(
-            [
-                sys.executable, os.path.abspath(__file__),
-                "--one-level", str(cpus), "--corpus", corpus_ids,
-                "--queries", str(args.queries),
-            ],
-            check=True, capture_output=True, text=True,
-            env={**os.environ, "PYTHONPATH": REPO},
-        )
-        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        results[cpus] = run_level_subprocess(cpus, corpus_ids, args.queries)
         print(json.dumps(results[cpus]), file=sys.stderr)
 
     lo, hi = results[PAIR[0]], results[PAIR[1]]
@@ -196,7 +215,49 @@ sha256 invariant) must be green before these timings count.
 Raw: ```{json.dumps(results)}```
 """
         )
-    print(json.dumps({"build_eff": round(eff_build, 3), "query_eff": round(eff_query, 3), "levels": results}))
+
+    weak = {}
+    if not args.skip_weak:
+        for cpus in PAIR:
+            n_docs = DOCS_PER_CORE * cpus
+            n_q = QUERIES_PER_CORE * cpus
+            print(f"=== weak level local[{cpus}] ({n_docs} docs) ===", file=sys.stderr)
+            c = ensure_corpus(workdir, n_docs)
+            weak[cpus] = run_level_subprocess(cpus, c, n_q)
+            print(json.dumps(weak[cpus]), file=sys.stderr)
+        wlo, whi = weak[PAIR[0]], weak[PAIR[1]]
+        weff_build = wlo["build_wall_sec"] / whi["build_wall_sec"]
+        weff_query = wlo["query_wall_sec"] / whi["query_wall_sec"]
+        with open(f"{REPO}/BENCH/BASELINE.md", "a") as f:
+            f.write(
+                f"""
+## Weak scaling (work ∝ cores — the reference's own claim shape)
+
+The reference's headline number is WEAK-scaling efficiency ≈0.80 from 8 to
+64 nodes (`results_weak_scaling_v4.csv:5,8`, `README.md:3`): corpus grows
+with the node count. Mirrored here: {DOCS_PER_CORE:,} docs and
+{QUERIES_PER_CORE} queries PER CORE, so local[{PAIR[0]}] processes
+{DOCS_PER_CORE * PAIR[0]:,} docs and local[{PAIR[1]}] processes
+{DOCS_PER_CORE * PAIR[1]:,} — efficiency = wall(N) / wall(4N), ideal 1.0.
+
+| metric | local[{PAIR[0]}] wall (s) | local[{PAIR[1]}] wall (s) | weak efficiency |
+|---|---|---|---|
+| index build ({DOCS_PER_CORE:,} docs/core) | {wlo['build_wall_sec']} | {whi['build_wall_sec']} | **{weff_build:.3f}** |
+| BM25 top-k ({QUERIES_PER_CORE} queries/core) | {wlo['query_wall_sec']} | {whi['query_wall_sec']} | **{weff_query:.3f}** |
+
+Raw: ```{json.dumps(weak)}```
+"""
+            )
+    print(
+        json.dumps(
+            {
+                "build_eff": round(eff_build, 3),
+                "query_eff": round(eff_query, 3),
+                "levels": results,
+                "weak": weak,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

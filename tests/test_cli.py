@@ -1,0 +1,52 @@
+"""CLI surface (python -m dts.cli / spark-submit entry): build with
+positions, phrase + byte-count subcommands, reference-exact count line."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from dts.cli import main
+
+
+@pytest.fixture(scope="module")
+def cli_dirs(spark, corpus_pd, tmp_path_factory):
+    base = tmp_path_factory.mktemp("cli")
+    docs_dir = str(base / "docs")
+    idx_dir = str(base / "idx")
+    spark.createDataFrame(corpus_pd).write.mode("overwrite").parquet(docs_dir)
+    return docs_dir, idx_dir
+
+
+def test_cli_build_positions_and_phrase(cli_dirs, corpus_pd, capsys):
+    from dts.oracle import phrase_count
+    from dts.tokenizer import tokenize_text
+
+    docs_dir, idx_dir = cli_dirs
+    main(["build", "--docs", docs_dir, "--out", idx_dir,
+          "--bucket-size", "64", "--positions"])
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["positions"] is True
+
+    # pick a phrase that really occurs
+    toks = tokenize_text(corpus_pd["content"].iloc[0])
+    phrase = " ".join(toks[:2])
+    main(["phrase", "--index", idx_dir, "--text", phrase])
+    out = capsys.readouterr().out.strip().splitlines()
+    total = int(out[-1].rsplit(": ", 1)[1])
+    want = sum(
+        phrase_count(c, tokenize_text(phrase)) for c in corpus_pd["content"]
+    )
+    assert total == want > 0
+    assert out[-1] == f"Number of matches for pattern <{phrase}>: {want}"
+
+
+def test_cli_byte_count(cli_dirs, corpus_pd, capsys):
+    from dts.oracle import byte_match_count
+
+    docs_dir, _ = cli_dirs
+    main(["byte-count", "--docs", docs_dir, "--pattern", "def", "--k", "1"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    want = sum(byte_match_count(c, "def", 1) for c in corpus_pd["content"])
+    assert out == f"Number of matches for pattern <def>: {want}"

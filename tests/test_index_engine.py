@@ -279,3 +279,32 @@ def test_persisted_trigram_table(spark, index_dir, oracle):
         assert {t for i, t in via_table if i == qid} == set(
             oracle.expand_term(q, k)
         )
+
+
+def test_auto_distribute_rule_and_rank_identity(spark, oracle, queries_pd, docs_sdf, tmp_path):
+    """auto_distribute picks bucket only for small batches over many-bucket
+    indexes; the auto path stays rank-identical when it picks bucket."""
+    from dts.score_index import auto_distribute
+
+    assert auto_distribute(1, 118) == "query"    # merge stage for nothing
+    assert auto_distribute(4, 118) == "bucket"   # measured 1.2-1.4x win
+    assert auto_distribute(16, 118) == "bucket"
+    assert auto_distribute(60, 118) == "query"   # group overhead dominates
+    assert auto_distribute(960, 118) == "query"
+    assert auto_distribute(4, 2) == "query"      # nothing to shard
+
+    d = str(tmp_path / "many_bucket_idx")
+    build_index(spark, docs_sdf, d, bucket_size=4, block_size=16)  # 50 buckets
+    q4 = spark.createDataFrame(queries_pd[["query_id", "text", "fuzzy_k"]].head(4))
+    got_auto = (
+        bm25_topk_indexed(spark, d, q4, k=10)  # auto → bucket
+        .orderBy("query_id", "rank").collect()
+    )
+    got_query = (
+        bm25_topk_indexed(spark, d, q4, k=10, distribute="query")
+        .orderBy("query_id", "rank").collect()
+    )
+    assert [(r.query_id, r.rank, r.doc_id, r.score) for r in got_auto] == [
+        (r.query_id, r.rank, r.doc_id, r.score) for r in got_query
+    ]
+    assert len(got_auto) > 0
