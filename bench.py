@@ -9,6 +9,9 @@ Prints ONE JSON line: {"metric", "value" (total sec), "unit": "sec",
   dedup_suite      exact + minhash-band dedup over documents
   ann_topk         brute-force cosine top-10, 5 queries over embeddings
   text_analysis    token stats + quality + language id
+  index_build_pos  positional index build (positions=True) — round 2
+  phrase_batch40   40 exact-phrase queries over the positional index
+  byte_match8      byte-window approx counting, 8 patterns (prefix trunc)
 
 The N-vs-4N scaling evidence lives in scripts/scaling_bench.py → BENCH/.
 """
@@ -109,6 +112,38 @@ def main() -> None:
             language_id(d).count(),
         ),
     )
+
+    # Round-2 stages: positional index + phrase + byte-window counting.
+    from dts.bytematch import byte_match_totals
+    from dts.phrase import phrase_match_counts
+    from dts.tokenizer import tokenize_text
+
+    pos_idx_dir = tempfile.mkdtemp(prefix="dts_bench_posidx_")
+    stage(
+        "index_build_pos",
+        lambda: build_index(
+            spark, docs, pos_idx_dir, bucket_size=2048, positions=True
+        ),
+    )
+    sample_texts = [
+        r["content"]
+        for r in docs.select("content").limit(40).collect()
+    ]
+    phrases = []
+    for i, t in enumerate(sample_texts):
+        toks = tokenize_text(t)
+        if len(toks) >= 3:
+            phrases.append((i, " ".join(toks[1:3])))
+    ph = spark.createDataFrame(phrases, "phrase_id long, text string")
+    stage(
+        "phrase_batch40",
+        lambda: phrase_match_counts(spark, pos_idx_dir, ph).count(),
+    )
+    pats = spark.createDataFrame(
+        [(i, vocab[i * 13 % len(vocab)], i % 2) for i in range(8)],
+        "pat_id long, pattern string, k int",
+    )
+    stage("byte_match8", lambda: byte_match_totals(d, pats).count())
 
     total = round(sum(timings.values()), 4)
     print(

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from dts.codec import PackedPostings, decode_positions, decode_postings
 from dts.index_build import load_meta
-from dts.tokenizer import tokenize_udf
+from dts.tokenizer import tokenize_text
 
 PHRASE_SCHEMA = "phrase_id long, doc_id long, n_matches long"
 
@@ -84,32 +84,39 @@ def _matcher_fn(block_size: int):
             bounds = np.concatenate(([0], bounds))
             slot_docs.append(docs)
             slot_pos.append((flat, bounds))
-        cand = slot_docs[0]
-        for i in range(1, m):
-            cand = np.intersect1d(cand, slot_docs[i], assume_unique=True)
-            if len(cand) == 0:
+        # Vectorized intersection over the WHOLE group (no per-doc Python):
+        # pack each slot's occurrences as key = doc * P + (pos - i); a
+        # phrase occurrence at start p in doc d is exactly one key present
+        # in every slot. Keys are unique within a slot (positions unique
+        # per doc) and ascending (docs ascend, positions ascend per doc),
+        # so m-way np.intersect1d(assume_unique) is exact.
+        pos_max = max(
+            (int(f.max()) for f, _ in slot_pos if len(f)), default=0
+        )
+        doc_max = max((int(d.max()) for d in slot_docs if len(d)), default=0)
+        P = pos_max + 2
+        if doc_max and P > (2**63 - 1) // (doc_max + 1):
+            raise OverflowError(
+                "doc_id * position key space exceeds int64"
+            )  # 10^12 docs x 10^6 positions still fits; guard regardless
+        keys = None
+        for i in range(m):
+            docs_i = slot_docs[i]
+            flat, bounds = slot_pos[i]
+            docs_rep = np.repeat(docs_i, np.diff(bounds))
+            ok = flat >= i  # starts can't be negative offsets
+            k = docs_rep[ok] * P + (flat[ok] - i)
+            keys = k if keys is None else np.intersect1d(
+                keys, k, assume_unique=True
+            )
+            if len(keys) == 0:
                 return empty
-        out_docs, out_counts = [], []
-        for d in cand:
-            flat0, b0 = slot_pos[0]
-            j0 = int(np.searchsorted(slot_docs[0], d))
-            starts = flat0[b0[j0] : b0[j0 + 1]]
-            for i in range(1, m):
-                flat, b = slot_pos[i]
-                j = int(np.searchsorted(slot_docs[i], d))
-                starts = starts[
-                    np.isin(starts + i, flat[b[j] : b[j + 1]], assume_unique=True)
-                ]
-                if len(starts) == 0:
-                    break
-            if len(starts):
-                out_docs.append(int(d))
-                out_counts.append(len(starts))
+        docs_out, counts = np.unique(keys // P, return_counts=True)
         return pd.DataFrame(
             {
-                "phrase_id": np.full(len(out_docs), phrase_id, dtype=np.int64),
-                "doc_id": np.array(out_docs, dtype=np.int64),
-                "n_matches": np.array(out_counts, dtype=np.int64),
+                "phrase_id": np.full(len(docs_out), phrase_id, dtype=np.int64),
+                "doc_id": docs_out.astype(np.int64),
+                "n_matches": counts.astype(np.int64),
             }
         )
 
@@ -131,17 +138,20 @@ def phrase_match_counts(
             "phrase queries need a positional index: "
             "build_index(..., positions=True)"
         )
-    qt = (
-        phrases.select("phrase_id", tokenize_udf("text").alias("toks"))
-        .select(
-            "phrase_id",
-            F.size("toks").alias("m"),
-            F.posexplode("toks").alias("i", "term"),
-        )
-    )
-    terms = [r["term"] for r in qt.select("term").distinct().collect()]
-    if not terms:
+    # Phrase batches are query-sized (broadcast below anyway): tokenize on
+    # the driver with the SAME shared tokenizer — one tiny collect instead
+    # of a python-UDF stage + distinct shuffle.
+    qt_rows = []
+    for r in phrases.select("phrase_id", "text").collect():
+        toks = tokenize_text(r["text"])
+        for i, term in enumerate(toks):
+            qt_rows.append((int(r["phrase_id"]), len(toks), i, term))
+    if not qt_rows:
         return spark.createDataFrame([], PHRASE_SCHEMA)
+    qt = spark.createDataFrame(
+        qt_rows, "phrase_id long, m int, i int, term string"
+    )
+    terms = sorted({t for *_, t in qt_rows})
     postings = (
         spark.read.parquet(f"{index_dir}/postings")
         .filter(F.col("term").isin(terms))
