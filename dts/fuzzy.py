@@ -46,6 +46,13 @@ def trigram_col(col: str):
     return F.expr(_TRIGRAM_EXPR.format(c=col))
 
 
+def trigrams_py(t: str) -> set[str]:
+    """Driver-side twin of _TRIGRAM_EXPR (whole term when len < 3)."""
+    if len(t) < 3:
+        return {t}
+    return {t[i : i + 3] for i in range(len(t) - 2)}
+
+
 def banded_lev_batch(
     a_list: np.ndarray, b_list: np.ndarray, k_arr: np.ndarray
 ) -> np.ndarray:
@@ -118,6 +125,7 @@ def expand_fuzzy_terms(
     fuzzy_qterms: DataFrame,
     vocab: DataFrame,
     vocab_tri: DataFrame | None = None,
+    qtris: list[str] | None = None,
 ) -> DataFrame:
     """(query_id, qterm, fuzzy_k) × vocab(term) → (query_id, term).
 
@@ -139,7 +147,13 @@ def expand_fuzzy_terms(
         F.explode(trigram_col("qterm")).alias("tri"),
     )
     if vocab_tri is not None:
-        tris = [r["tri"] for r in qtri.select("tri").distinct().collect()]
+        # qtris (precomputed driver-side by expanded_query_terms) saves the
+        # collect; derive with a tiny job otherwise.
+        tris = (
+            qtris
+            if qtris is not None
+            else [r["tri"] for r in qtri.select("tri").distinct().collect()]
+        )
         if not tris:  # no fuzzy occurrences at all — skip the join plan
             return fuzzy_qterms.sparkSession.createDataFrame(
                 [], "query_id long, term string"

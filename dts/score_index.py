@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from dts.codec import PackedPostings, bm25_impact
 from dts.fuzzy import expand_fuzzy_terms
 from dts.index_build import load_meta
-from dts.tokenizer import tokenize_udf
+from dts.tokenizer import tokenize_text
 from dts.wand import bmw_topk
 
 ROUND_RANK = 9
@@ -85,17 +85,38 @@ def expanded_query_terms(
     pass through; fuzzy ones expand against the vocabulary — through the
     persisted trigram table when the index has one. Multiplicity
     (repeated terms) is preserved on both paths.
+
+    Query batches are client-sized (the whole batch is broadcast into the
+    scoring join anyway), so tokenization happens on the driver with the
+    SAME shared tokenizer — no python-UDF stage, no extra collect job for
+    the trigram pushdown (the corpus-side tokenizer stays a vectorized
+    UDF; this is the query side only).
     """
-    qt = queries.select(
-        "query_id",
-        F.coalesce("fuzzy_k", F.lit(0)).alias("fuzzy_k"),
-        F.explode(tokenize_udf("text")).alias("qterm"),
+    from dts.fuzzy import trigrams_py
+
+    spark = queries.sparkSession
+    exact_rows: list[tuple[int, str]] = []
+    fuzzy_rows: list[tuple[int, str, int]] = []
+    qtris: set[str] = set()
+    for r in queries.select("query_id", "text", "fuzzy_k").collect():
+        k = int(r["fuzzy_k"] or 0)
+        for t in tokenize_text(r["text"]):
+            if k == 0:
+                exact_rows.append((int(r["query_id"]), t))
+            else:
+                fuzzy_rows.append((int(r["query_id"]), t, k))
+                qtris.update(trigrams_py(t))
+    exact = spark.createDataFrame(
+        exact_rows, "query_id long, term string"
+    ) if exact_rows else spark.createDataFrame([], "query_id long, term string")
+    if not fuzzy_rows:
+        return exact
+    fuzzy = spark.createDataFrame(
+        fuzzy_rows, "query_id long, qterm string, fuzzy_k int"
     )
-    exact = qt.filter(F.col("fuzzy_k") == 0).select(
-        "query_id", F.col("qterm").alias("term")
+    expanded = expand_fuzzy_terms(
+        fuzzy, term_stats.select("term"), vocab_tri, qtris=sorted(qtris)
     )
-    fuzzy = qt.filter(F.col("fuzzy_k") > 0)
-    expanded = expand_fuzzy_terms(fuzzy, term_stats.select("term"), vocab_tri)
     return exact.unionByName(expanded)
 
 
