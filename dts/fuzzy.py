@@ -46,6 +46,11 @@ def trigram_col(col: str):
     return F.expr(_TRIGRAM_EXPR.format(c=col))
 
 
+# Above this many distinct query trigrams, the IN-list pushdown on the
+# persisted trigram table loses to a plain scan + broadcast join.
+MAX_TRI_ISIN = 512
+
+
 def trigrams_py(t: str) -> set[str]:
     """Driver-side twin of _TRIGRAM_EXPR (whole term when len < 3)."""
     if len(t) < 3:
@@ -158,7 +163,14 @@ def expand_fuzzy_terms(
             return fuzzy_qterms.sparkSession.createDataFrame(
                 [], "query_id long, term string"
             )
-        vtri = vocab_tri.filter(F.col("tri").isin(tris))
+        if len(tris) <= MAX_TRI_ISIN:
+            # Small batch: IN-list pushdown prunes the tri-sorted parquet.
+            vtri = vocab_tri.filter(F.col("tri").isin(tris))
+        else:
+            # Wide batch (measured: a ~1500-literal In costs more in plan
+            # compile + per-row eval than it saves): plain scan — the
+            # broadcast tri join below does the filtering.
+            vtri = vocab_tri
     else:
         vtri = vocab_trigrams(vocab)
     cand = (

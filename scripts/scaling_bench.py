@@ -130,12 +130,15 @@ def run_level_subprocess(cpus: int, corpus: str, queries: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-# Weak scaling: work ∝ cores (the reference's own headline claim shape,
-# results_weak_scaling_v4.csv — 8→64 nodes at ≈0.80). Per-core work is
-# DOCS_PER_CORE docs / QUERIES_PER_CORE queries; efficiency =
-# wall(N) / wall(4N) (ideal 1.0 — equal wall at 4× the work on 4× cores).
+# Weak scaling: CORPUS ∝ cores, query set FIXED (the reference's own claim
+# shape, results_weak_scaling_v4.csv — corpus grows with nodes, pattern set
+# fixed; 8→64 nodes at ≈0.80). Work then scales with cores on BOTH axes:
+# build work ∝ docs, and per-query cost ∝ posting-list length ∝ docs.
+# Efficiency = wall(N) / wall(4N), ideal 1.0. (Scaling the query COUNT too
+# would square the query-phase work — 16× work on 4× cores — which is why
+# the query set stays fixed.)
 DOCS_PER_CORE = int(os.environ.get("DTS_BENCH_DOCS_PER_CORE", "60000"))
-QUERIES_PER_CORE = int(os.environ.get("DTS_BENCH_QUERIES_PER_CORE", "120"))
+WEAK_QUERIES = int(os.environ.get("DTS_BENCH_WEAK_QUERIES", "240"))
 
 
 def main() -> None:
@@ -220,10 +223,9 @@ Raw: ```{json.dumps(results)}```
     if not args.skip_weak:
         for cpus in PAIR:
             n_docs = DOCS_PER_CORE * cpus
-            n_q = QUERIES_PER_CORE * cpus
             print(f"=== weak level local[{cpus}] ({n_docs} docs) ===", file=sys.stderr)
             c = ensure_corpus(workdir, n_docs)
-            weak[cpus] = run_level_subprocess(cpus, c, n_q)
+            weak[cpus] = run_level_subprocess(cpus, c, WEAK_QUERIES)
             print(json.dumps(weak[cpus]), file=sys.stderr)
         wlo, whi = weak[PAIR[0]], weak[PAIR[1]]
         weff_build = wlo["build_wall_sec"] / whi["build_wall_sec"]
@@ -235,15 +237,17 @@ Raw: ```{json.dumps(results)}```
 
 The reference's headline number is WEAK-scaling efficiency ≈0.80 from 8 to
 64 nodes (`results_weak_scaling_v4.csv:5,8`, `README.md:3`): corpus grows
-with the node count. Mirrored here: {DOCS_PER_CORE:,} docs and
-{QUERIES_PER_CORE} queries PER CORE, so local[{PAIR[0]}] processes
-{DOCS_PER_CORE * PAIR[0]:,} docs and local[{PAIR[1]}] processes
-{DOCS_PER_CORE * PAIR[1]:,} — efficiency = wall(N) / wall(4N), ideal 1.0.
+with the node count, pattern set fixed. Mirrored here: {DOCS_PER_CORE:,}
+docs PER CORE with a fixed {WEAK_QUERIES}-query set, so
+local[{PAIR[0]}] indexes/searches {DOCS_PER_CORE * PAIR[0]:,} docs and
+local[{PAIR[1]}] {DOCS_PER_CORE * PAIR[1]:,} — build work ∝ docs and
+per-query cost ∝ posting length ∝ docs, so ideal wall is FLAT;
+efficiency = wall(N) / wall(4N), ideal 1.0.
 
 | metric | local[{PAIR[0]}] wall (s) | local[{PAIR[1]}] wall (s) | weak efficiency |
 |---|---|---|---|
 | index build ({DOCS_PER_CORE:,} docs/core) | {wlo['build_wall_sec']} | {whi['build_wall_sec']} | **{weff_build:.3f}** |
-| BM25 top-k ({QUERIES_PER_CORE} queries/core) | {wlo['query_wall_sec']} | {whi['query_wall_sec']} | **{weff_query:.3f}** |
+| BM25 top-k (fixed {WEAK_QUERIES} queries, corpus ∝ cores) | {wlo['query_wall_sec']} | {whi['query_wall_sec']} | **{weff_query:.3f}** |
 
 Raw: ```{json.dumps(weak)}```
 """
