@@ -57,6 +57,14 @@ PHRASE_QUERIES = [
     (3, "data"),
     (4, "merge group row"),
 ]
+# Ordered-window proximity pairs (slop=3), incl. a self-pair and a miss.
+PROX_PAIRS = [
+    (0, "fast", "join"),
+    (1, "table", "scan"),
+    (2, "data", "data"),
+    (3, "query", "zzzmiss"),
+]
+PROX_SLOP = 3
 
 VALUES_QUERIES = ", ".join(f"({i}, '{t}')" for i, t in PROBE_QUERIES)
 VALUES_FUZZY = ", ".join(f"({i}, '{t}')" for i, t in FUZZY_TERMS)
@@ -298,22 +306,53 @@ def _q_bm25_topk_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_POS_IDX_CACHE: dict[str, str] = {}
+
+
+def _pos_index(spark: SparkSession, sf_dir: str) -> str:
+    """Positional index over the driver docs, built once per process and
+    shared by the phrase + proximity probes."""
+    if sf_dir not in _POS_IDX_CACHE:
+        import tempfile
+
+        from dts.index_build import build_index
+        from dts.io import driver_documents_as_source
+
+        idx_dir = tempfile.mkdtemp(prefix="dts_phrase_idx_")
+        build_index(
+            spark,
+            driver_documents_as_source(spark, sf_dir),
+            idx_dir,
+            bucket_size=256,
+            positions=True,
+        )
+        _POS_IDX_CACHE[sf_dir] = idx_dir
+    return _POS_IDX_CACHE[sf_dir]
+
+
 def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional index + phrase intersection (dts.phrase): per (phrase,
     doc), occurrences of the phrase as consecutive tokens — the indexed
     analogue of the reference's per-position match enumeration
     (src/apm1.c:252-268). Oracle replays it with a token-array scan."""
-    import tempfile
-
-    from dts.index_build import build_index
-    from dts.io import driver_documents_as_source
     from dts.phrase import phrase_match_counts
 
-    docs = driver_documents_as_source(spark, sf_dir)
-    idx_dir = tempfile.mkdtemp(prefix="dts_phrase_idx_")
-    build_index(spark, docs, idx_dir, bucket_size=256, positions=True)
     ph = spark.createDataFrame(PHRASE_QUERIES, "phrase_id long, text string")
-    return phrase_match_counts(spark, idx_dir, ph)
+    return phrase_match_counts(spark, _pos_index(spark, sf_dir), ph)
+
+
+def _q_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-window proximity over the positional index: positions p of
+    term_a followed by term_b within PROX_SLOP tokens (slop=1 == exact
+    bigram phrase). Oracle: nested list_filter over the token array."""
+    from dts.phrase import proximity_match_counts
+
+    pr = spark.createDataFrame(
+        PROX_PAIRS, "pair_id long, term_a string, term_b string"
+    )
+    return proximity_match_counts(
+        spark, _pos_index(spark, sf_dir), pr, slop=PROX_SLOP
+    )
 
 
 def _q_fuzzy_expand_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_engine": _q_bm25_topk_engine,
         "fuzzy_expand_engine": _q_fuzzy_expand_engine,
         "phrase_match": _q_phrase_match,
+        "proximity_match": _q_proximity_match,
         # training-data pipeline operators
         "exact_dup": _q_exact_dup,
         "minhash_bands": _q_minhash_bands,
@@ -812,6 +852,18 @@ WHERE levenshtein(qterm, term) <= 1
 GROUP BY 1, 2, 3
 """,
         "phrase_match": _phrase_match_sql(),
+        "proximity_match": f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+pr(pair_id, a, b) AS (VALUES {", ".join(f"({i}, '{a}', '{b}')" for i, a, b in PROX_PAIRS)}),
+m AS (
+  SELECT pair_id::BIGINT AS pair_id, doc_id,
+         len(list_filter(range(1, len(toks) + 1), j -> toks[j] = a AND
+             len(list_filter(range(j + 1, least(j + {PROX_SLOP}, len(toks)) + 1),
+                             q -> toks[q] = b)) > 0))::BIGINT AS n_matches
+  FROM t CROSS JOIN pr
+)
+SELECT pair_id, doc_id, n_matches FROM m WHERE n_matches > 0
+""",
         "byte_match_count": f"""
 WITH pat(pat_id, pattern, k) AS (VALUES {", ".join(f"({i}, '{p}', {k})" for i, p, k in BYTE_PATTERNS)})
 SELECT pat_id::BIGINT AS pat_id, doc_id,

@@ -126,6 +126,58 @@ def vocab_trigrams(vocab: DataFrame) -> DataFrame:
     return vocab.select("term", F.explode(trigram_col("term")).alias("tri"))
 
 
+def build_vocab_struct(vocab_terms: list[str]) -> dict:
+    """Driver-side expansion structures over a collected vocabulary:
+    trigram inverted index + lengths. Built once per vocab (cached by the
+    caller); ~50 ms per 50k terms."""
+    tri_index: dict[str, list[int]] = {}
+    for i, t in enumerate(vocab_terms):
+        for tri in trigrams_py(t):
+            tri_index.setdefault(tri, []).append(i)
+    return {
+        "terms": vocab_terms,
+        "tri_index": tri_index,
+        "lens": np.array([len(t) for t in vocab_terms], dtype=np.int64),
+    }
+
+
+def expand_fuzzy_local(
+    pairs: list[tuple[str, int]], vocab: dict
+) -> dict[tuple[str, int], list[str]]:
+    """Driver-side fuzzy expansion — EXACTLY the engine/oracle semantics
+    (distinct-trigram prefilter max(1, |tri(q)|-3k), |len Δ| ≤ k, banded
+    verify ≤ k), run in numpy over a collected vocabulary. Used when the
+    vocab is driver-sized: it replaces a whole Spark job (trigram join +
+    UDF verify) whose fixed scheduling cost otherwise dominates small-index
+    query batches. The distributed path remains for huge vocabularies."""
+    from collections import Counter
+
+    terms, tri_index, lens = vocab["terms"], vocab["tri_index"], vocab["lens"]
+    out: dict[tuple[str, int], list[str]] = {}
+    for q, k in pairs:
+        qt = trigrams_py(q)
+        thresh = max(1, len(qt) - 3 * k)
+        shared = Counter()
+        for tri in qt:
+            shared.update(tri_index.get(tri, ()))
+        cand = [
+            i
+            for i, c in shared.items()
+            if c >= thresh and abs(int(lens[i]) - len(q)) <= k
+        ]
+        if not cand:
+            out[(q, k)] = []
+            continue
+        cand_terms = [terms[i] for i in cand]
+        d = banded_lev_batch(
+            np.array([q] * len(cand), dtype=object),
+            np.array(cand_terms, dtype=object),
+            np.full(len(cand), k, dtype=np.int64),
+        )
+        out[(q, k)] = [t for t, dd in zip(cand_terms, d) if dd <= k]
+    return out
+
+
 def expand_fuzzy_terms(
     fuzzy_qterms: DataFrame,
     vocab: DataFrame,

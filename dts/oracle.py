@@ -160,3 +160,16 @@ def phrase_count(text: str, phrase_terms: list[str]) -> int:
     return sum(
         1 for j in range(len(toks) - m + 1) if toks[j : j + m] == phrase_terms
     )
+
+
+def proximity_count(text: str, term_a: str, term_b: str, slop: int) -> int:
+    """Positions p of term_a with a term_b at q, 0 < q - p <= slop (the
+    ordered-window proximity spec for dts.phrase.proximity_match_counts;
+    slop=1 == exact bigram phrase)."""
+    toks = tokenize_text(text)
+    pb = [j for j, t in enumerate(toks) if t == term_b]
+    return sum(
+        1
+        for p, t in enumerate(toks)
+        if t == term_a and any(p < q <= p + slop for q in pb)
+    )

@@ -47,6 +47,25 @@ def _decode_row(row, block_size: int):
     return docs, pos_flat, bounds
 
 
+def _concat_runs(rows: pd.DataFrame, block_size: int):
+    """Decode and concatenate a slot's posting rows (multiple rows appear
+    after incremental merges; runs cover disjoint ascending doc ranges, so
+    ordering by first doc yields globally ascending docs). Returns
+    (docs, flat_positions, bounds[n_docs+1])."""
+    decs = sorted(
+        (_decode_row(r, block_size) for _, r in rows.iterrows()),
+        key=lambda t: t[0][0] if len(t[0]) else -1,
+    )
+    docs = np.concatenate([d[0] for d in decs])
+    flat = np.concatenate([d[1] for d in decs])
+    bnds = [np.asarray(d[2], dtype=np.int64) for d in decs]
+    offs = np.concatenate(([0], np.cumsum([b[-1] for b in bnds])[:-1]))
+    bounds = np.concatenate(
+        ([0], np.concatenate([b[1:] + o for b, o in zip(bnds, offs)]))
+    )
+    return docs, flat, bounds
+
+
 def _matcher_fn(block_size: int):
     def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -66,22 +85,7 @@ def _matcher_fn(block_size: int):
         slot_docs: list[np.ndarray] = []
         slot_pos: list[tuple[np.ndarray, np.ndarray]] = []
         for i in range(m):
-            rows = pdf[pdf["i"] == i]
-            decs = sorted(
-                (_decode_row(r, block_size) for _, r in rows.iterrows()),
-                key=lambda t: t[0][0] if len(t[0]) else -1,
-            )
-            docs = np.concatenate([d[0] for d in decs])
-            flat = np.concatenate([d[1] for d in decs])
-            # rebase each run's bounds into the concatenated flat array
-            bnds = [np.asarray(d[2], dtype=np.int64) for d in decs]
-            offs = np.concatenate(
-                ([0], np.cumsum([b[-1] for b in bnds])[:-1])
-            )
-            bounds = np.concatenate(
-                [b[1:] + o for b, o in zip(bnds, offs)]
-            )
-            bounds = np.concatenate(([0], bounds))
+            docs, flat, bounds = _concat_runs(pdf[pdf["i"] == i], block_size)
             slot_docs.append(docs)
             slot_pos.append((flat, bounds))
         # Vectorized intersection over the WHOLE group (no per-doc Python):
@@ -121,6 +125,83 @@ def _matcher_fn(block_size: int):
         )
 
     return match_group
+
+
+def _prox_matcher_fn(block_size: int, slop: int):
+    def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "pair_id": np.zeros(0, dtype=np.int64),
+                "doc_id": np.zeros(0, dtype=np.int64),
+                "n_matches": np.zeros(0, dtype=np.int64),
+            }
+        )
+        pair_id = int(pdf["pair_id"].iloc[0])
+        if pdf["i"].nunique() != 2:
+            return empty
+        da, fa, ba = _concat_runs(pdf[pdf["i"] == 0], block_size)
+        db, fb, bb = _concat_runs(pdf[pdf["i"] == 1], block_size)
+        if not len(fa) or not len(fb):
+            return empty
+        # Packed keys: doc * P + pos; P leaves headroom for p + slop so a
+        # probe key never collides into the next doc's range.
+        P = int(max(fa.max(initial=0), fb.max(initial=0))) + slop + 2
+        ka = np.repeat(da, np.diff(ba)) * P + fa
+        kb = np.repeat(db, np.diff(bb)) * P + fb
+        # p matches iff some q of side b lies in (p, p + slop].
+        lo = np.searchsorted(kb, ka + 1, side="left")
+        hi = np.searchsorted(kb, ka + slop, side="right")
+        hit = hi > lo
+        if not hit.any():
+            return empty
+        docs_out, counts = np.unique(
+            (ka[hit] // P).astype(np.int64), return_counts=True
+        )
+        return pd.DataFrame(
+            {
+                "pair_id": np.full(len(docs_out), pair_id, dtype=np.int64),
+                "doc_id": docs_out,
+                "n_matches": counts.astype(np.int64),
+            }
+        )
+
+    return match_group
+
+
+def proximity_match_counts(
+    spark: SparkSession, index_dir: str, pairs: DataFrame, slop: int = 3
+) -> DataFrame:
+    """(pair_id, doc_id, n_matches): per doc, the number of positions p of
+    term_a followed by term_b within ``slop`` tokens (0 < q - p ≤ slop;
+    slop=1 degenerates to the exact bigram phrase). Same distribution shape
+    as phrase_match_counts: broadcast pair table, exact per-(pair, bucket)
+    groups, numpy searchsorted over packed (doc, pos) keys — no per-doc
+    Python. ``pairs`` needs (pair_id, term_a, term_b)."""
+    meta = load_meta(index_dir)
+    if not meta.get("positions"):
+        raise ValueError(
+            "proximity queries need a positional index: "
+            "build_index(..., positions=True)"
+        )
+    if slop < 1:
+        raise ValueError("slop must be >= 1")
+    qt_rows = []
+    for r in pairs.select("pair_id", "term_a", "term_b").collect():
+        qt_rows.append((int(r["pair_id"]), 0, r["term_a"]))
+        qt_rows.append((int(r["pair_id"]), 1, r["term_b"]))
+    if not qt_rows:
+        return spark.createDataFrame([], "pair_id long, doc_id long, n_matches long")
+    qt = spark.createDataFrame(qt_rows, "pair_id long, i int, term string")
+    terms = sorted({t for *_, t in qt_rows})
+    postings = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("term").isin(terms))
+        .join(F.broadcast(qt), "term")
+    )
+    return postings.groupBy("pair_id", "bucket").applyInPandas(
+        _prox_matcher_fn(meta["block_size"], slop),
+        "pair_id long, doc_id long, n_matches long",
+    )
 
 
 def phrase_match_counts(

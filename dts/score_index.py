@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dts.codec import PackedPostings, bm25_impact
-from dts.fuzzy import expand_fuzzy_terms
+from dts.fuzzy import build_vocab_struct, expand_fuzzy_local, expand_fuzzy_terms
 from dts.index_build import load_meta
 from dts.tokenizer import tokenize_text
 from dts.wand import bmw_topk
@@ -190,6 +190,63 @@ def _scorer_fn(n_docs: int, avgdl: float, k: int, strategy: str, block_size: int
     return score_group
 
 
+# Vocabularies up to this many terms are collected to the driver once per
+# process (50k terms ≈ 1 MB) so fuzzy expansion runs as local numpy instead
+# of a dedicated Spark job — that job's ~3-4 s fixed scheduling cost is the
+# dominant serial fraction of small-index query batches (measured: removing
+# it moves the 2→8 query scaling efficiency from ~0.77 to ~0.84). Larger
+# vocabularies keep the distributed expansion.
+DRIVER_EXPAND_VOCAB_CAP = 2_000_000
+_VOCAB_CACHE: dict[tuple, dict] = {}
+
+
+def _driver_vocab(spark: SparkSession, index_dir: str, meta: dict) -> dict:
+    import os
+
+    key = (
+        index_dir,
+        meta.get("vocab_size"),
+        os.path.getmtime(f"{index_dir}/meta.json"),
+    )
+    if key not in _VOCAB_CACHE:
+        _VOCAB_CACHE.clear()  # hold one vocab at a time
+        terms = [
+            r["term"]
+            for r in spark.read.parquet(f"{index_dir}/term_stats")
+            .select("term")
+            .collect()
+        ]
+        _VOCAB_CACHE[key] = build_vocab_struct(terms)
+    return _VOCAB_CACHE[key]
+
+
+def _local_query_term_rows(
+    queries: DataFrame, vocab_struct: dict
+) -> tuple[list[tuple[int, str]], int]:
+    """Fully driver-side (query_id, term) rows: tokenization + fuzzy
+    expansion (dts.fuzzy.expand_fuzzy_local — identical semantics to the
+    distributed path, tested). Returns (rows, n_queries)."""
+    if "fuzzy_k" not in queries.columns:
+        queries = queries.withColumn("fuzzy_k", F.lit(0))
+    rows = queries.select("query_id", "text", "fuzzy_k").collect()
+    exact: list[tuple[int, str]] = []
+    fuzzy_occ: list[tuple[int, str, int]] = []
+    pairs: set[tuple[str, int]] = set()
+    for r in rows:
+        k = int(r["fuzzy_k"] or 0)
+        for t in tokenize_text(r["text"]):
+            if k == 0:
+                exact.append((int(r["query_id"]), t))
+            else:
+                fuzzy_occ.append((int(r["query_id"]), t, k))
+                pairs.add((t, k))
+    exp = expand_fuzzy_local(sorted(pairs), vocab_struct) if pairs else {}
+    out = exact + [
+        (qid, et) for qid, t, k in fuzzy_occ for et in exp[(t, k)]
+    ]
+    return out, len(rows)
+
+
 def auto_distribute(n_queries: int, n_buckets: int) -> str:
     """Measured crossover for the scoring distribution (scripts/
     calibrate_distribute.py, 480k docs / 118 buckets, warm best-of-2):
@@ -244,15 +301,30 @@ def bm25_topk_indexed(
             "maxima are no longer sound upper bounds. Use strategy='taat' "
             "(exact) or re-encode/compact the index."
         )
-    qterms = expanded_query_terms(
-        queries, idx["term_stats"], idx.get("trigrams")
-    ).cache()
-    distinct_terms = qterms.select("term").distinct()
-    # Collect at most cap+1 terms: enough to know whether the IN-list is
-    # safe, never a driver-side blowup on huge fuzzy expansions.
-    terms = [
-        r["term"] for r in distinct_terms.limit(max_isin_terms + 1).collect()
-    ]
+    n_queries = None
+    if meta.get("vocab_size") and meta["vocab_size"] <= DRIVER_EXPAND_VOCAB_CAP:
+        # Driver-sized vocab: the whole query-term computation is local —
+        # zero Spark jobs before the scoring job itself.
+        qrows, n_queries = _local_query_term_rows(
+            queries, _driver_vocab(spark, index_dir, meta)
+        )
+        if not qrows:
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        qterms = spark.createDataFrame(qrows, "query_id long, term string")
+        all_terms = sorted({t for _, t in qrows})
+        terms = all_terms[: max_isin_terms + 1]
+        distinct_terms = None
+    else:
+        qterms = expanded_query_terms(
+            queries, idx["term_stats"], idx.get("trigrams")
+        ).cache()
+        distinct_terms = qterms.select("term").distinct()
+        # Collect at most cap+1 terms: enough to know whether the IN-list
+        # is safe, never a driver-side blowup on huge fuzzy expansions.
+        terms = [
+            r["term"]
+            for r in distinct_terms.limit(max_isin_terms + 1).collect()
+        ]
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
     scan = idx["postings"].select(*POSTING_SCORE_COLS)
@@ -264,6 +336,8 @@ def bm25_topk_indexed(
     else:
         # Fallback: broadcast semi-join keeps the plan bounded; loses
         # row-group pruning but a batch this wide reads most groups anyway.
+        if distinct_terms is None:
+            distinct_terms = qterms.select("term").distinct()
         postings = scan.join(
             F.broadcast(distinct_terms), "term", "left_semi"
         )
@@ -275,7 +349,9 @@ def bm25_topk_indexed(
     )
     n_buckets = -(-meta["n_docs"] // meta["bucket_size"])
     if distribute is None:
-        distribute = auto_distribute(queries.count(), n_buckets)
+        if n_queries is None:
+            n_queries = queries.count()
+        distribute = auto_distribute(n_queries, n_buckets)
     scorer = _scorer_fn(
         meta["n_docs"], meta["avgdl"], k, strategy, meta["block_size"]
     )
@@ -308,9 +384,16 @@ def match_counts_indexed(
     src/apm1.c:197-203 / O13), resolved through term_stats.cf — no posting
     decode needed."""
     idx = load_index(spark, index_dir)
-    qterms = expanded_query_terms(
-        queries, idx["term_stats"], idx.get("trigrams")
-    )
+    meta = idx["meta"]
+    if meta.get("vocab_size") and meta["vocab_size"] <= DRIVER_EXPAND_VOCAB_CAP:
+        qrows, _ = _local_query_term_rows(
+            queries, _driver_vocab(spark, index_dir, meta)
+        )
+        qterms = spark.createDataFrame(qrows, "query_id long, term string")
+    else:
+        qterms = expanded_query_terms(
+            queries, idx["term_stats"], idx.get("trigrams")
+        )
     joined = qterms.join(
         idx["term_stats"].select("term", "cf"), "term"
     )

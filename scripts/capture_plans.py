@@ -79,6 +79,66 @@ def main() -> None:
         )
     )
 
+    # ---- round-2 paths ------------------------------------------------
+    from dts.bytematch import byte_match_counts
+    from dts.dedup import simhash_fingerprints
+    from dts.phrase import phrase_match_counts
+    from dts.score_index import load_index
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sections.append(
+        (
+            "SimHash — pure JVM (round 2)",
+            "Zero Python in the plan: md5→LE-u64 via conv() on byte-swapped "
+            "hex halves, 64-way bit explode, map-side-combined (doc_id, bit) "
+            "vote sum, bit_or compose. The 100-TB corpus scan stays inside "
+            "whole-stage codegen.",
+            plan_of(simhash_fingerprints(d)),
+        )
+    )
+    pats = spark.createDataFrame(
+        [(0, "fastt", 1)], "pat_id long, pattern string, k int"
+    )
+    sections.append(
+        (
+            "Byte-window approximate counting (round 2)",
+            "Higher-order filter over sequence(1, n) with bounded "
+            "levenshtein(p, w, k) — all JVM; pattern table broadcast "
+            "(BroadcastNestedLoopJoin over a 1-row build side).",
+            plan_of(byte_match_counts(d.select("doc_id", "text"), pats)),
+        )
+    )
+    pos_idx = tempfile.mkdtemp(prefix="plans_pos_idx_")
+    build_index(spark, docs, pos_idx, bucket_size=256, positions=True)
+    ph = spark.createDataFrame([(0, "fast join")], "phrase_id long, text string")
+    sections.append(
+        (
+            "Phrase query over positional postings (round 2, final AQE plan)",
+            "Postings scan term-filtered (pushed), pos_blob column read ONLY "
+            "here (BM25 scoring projects it away), broadcast phrase-term "
+            "table, one FlatMapGroupsInPandas keyed (phrase_id, bucket) — "
+            "exact and disjoint by bucket construction, no merge stage.",
+            plan_of(phrase_match_counts(spark, pos_idx, ph), executed=True),
+        )
+    )
+    idx_h = load_index(spark, idx)
+    fallback = idx_h["postings"].join(
+        F.broadcast(
+            spark.createDataFrame([("fast",), ("join",)], "term string")
+        ),
+        "term",
+        "left_semi",
+    )
+    sections.append(
+        (
+            "Wide-batch term filter fallback — broadcast left-semi (round 2)",
+            "Above MAX_ISIN_TERMS (10k) distinct expanded terms the IN-list "
+            "is replaced by this bounded-size BroadcastHashJoin LeftSemi; "
+            "the plan no longer inlines one literal per term.",
+            plan_of(fallback),
+        )
+    )
+
     with open(f"{REPO}/PLANS.md", "w") as f:
         f.write("# PLANS — captured physical plans of the hot paths\n\n")
         f.write(

@@ -308,3 +308,28 @@ def test_auto_distribute_rule_and_rank_identity(spark, oracle, queries_pd, docs_
         (r.query_id, r.rank, r.doc_id, r.score) for r in got_query
     ]
     assert len(got_auto) > 0
+
+
+def test_local_and_distributed_expansion_paths_agree(
+    spark, index_dir, oracle, queries_pd, monkeypatch
+):
+    """The driver-side (small-vocab) query-term path and the distributed
+    path produce identical top-k results; both match the oracle."""
+    import dts.score_index as si
+
+    queries_sdf = spark.createDataFrame(
+        queries_pd[["query_id", "text", "fuzzy_k"]].head(12)
+    )
+    local = (
+        bm25_topk_indexed(spark, index_dir, queries_sdf, k=10)
+        .orderBy("query_id", "rank").collect()
+    )
+    monkeypatch.setattr(si, "DRIVER_EXPAND_VOCAB_CAP", -1)
+    dist = (
+        bm25_topk_indexed(spark, index_dir, queries_sdf, k=10)
+        .orderBy("query_id", "rank").collect()
+    )
+    assert [(r.query_id, r.rank, r.doc_id, r.score) for r in local] == [
+        (r.query_id, r.rank, r.doc_id, r.score) for r in dist
+    ]
+    assert len(local) > 0

@@ -130,3 +130,43 @@ def test_phrase_survives_merge_and_compact(spark, corpus_pd, tmp_path):
         for r in phrase_match_counts(spark, idx, ph_sdf).collect()
     }
     assert got_compacted == expected()
+
+
+def test_proximity_match_vs_oracle(spark, pos_index, corpus_pd):
+    """Ordered-window proximity equals the oracle; slop=1 equals the exact
+    bigram phrase counts."""
+    from dts.oracle import phrase_count, proximity_count
+    from dts.phrase import proximity_match_counts
+    from dts.tokenizer import tokenize_text
+
+    # real co-occurring pairs + a self-pair + a miss
+    pairs = []
+    for pid, text in enumerate(corpus_pd["content"].head(4)):
+        toks = tokenize_text(text)
+        if len(toks) >= 4:
+            pairs.append((pid, toks[0], toks[3]))
+    pairs.append((90, "def", "def"))
+    pairs.append((91, "zzz", "qqq"))
+    pr = spark.createDataFrame(pairs, "pair_id long, term_a string, term_b string")
+    for slop in (1, 3):
+        got = {
+            (r["pair_id"], r["doc_id"]): r["n_matches"]
+            for r in proximity_match_counts(spark, pos_index, pr, slop=slop).collect()
+        }
+        want = {}
+        for pid, a, b in pairs:
+            for row in corpus_pd.itertuples():
+                c = proximity_count(row.content, a, b, slop)
+                if c:
+                    want[(pid, row.doc_id)] = c
+        assert got == want, slop
+        assert any(want.values())
+    # slop=1 == phrase "a b"
+    got1 = {
+        (r["pair_id"], r["doc_id"]): r["n_matches"]
+        for r in proximity_match_counts(spark, pos_index, pr, slop=1).collect()
+    }
+    for pid, a, b in pairs:
+        for row in corpus_pd.itertuples():
+            c = phrase_count(row.content, [a, b])
+            assert got1.get((pid, row.doc_id), 0) == c or a == b
