@@ -1,8 +1,9 @@
 """Deduplication operators for large-scale training-data pipelines.
 
 All hot paths are built-in Spark SQL functions (JVM, codegen) — shingling,
-hashing, minhash and LSH banding are array/string expressions, NOT Python.
-The only UDF in this module is the simhash packer (vectorized numpy).
+hashing, minhash, LSH banding AND simhash are array/string/bit
+expressions, NOT Python. The only UDF left in this module is the numpy
+simhash reference used by the differential test.
 
 Cross-engine determinism: every hash is md5-hex (identical in Spark and
 DuckDB), min/aggregation over hex STRINGS (lexicographic — consistent
