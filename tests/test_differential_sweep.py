@@ -54,3 +54,90 @@ def test_random_instance_rank_identity(spark, tmp_path, seed):
             for t in tokenize_text(q.text)
         )
         assert counts[q.query_id] == expect, (seed, q.query_id)
+
+
+@pytest.mark.parametrize("seed", [11, 4242])
+def test_random_instance_positional_and_byte_ops(spark, tmp_path, seed):
+    """Round-2 operators under the same randomized differential protocol:
+    phrase counts, proximity counts, and byte-window counts on fresh random
+    corpora must equal the single-process oracle exactly."""
+    import numpy as np
+
+    from dts.bytematch import byte_match_counts
+    from dts.oracle import byte_match_count, phrase_count, proximity_count
+    from dts.phrase import phrase_match_counts, proximity_match_counts
+
+    rng = np.random.RandomState(seed)
+    corpus = make_corpus(n_docs=90, seed=seed)
+    corpus = corpus.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    corpus["doc_id"] = corpus.index.astype("int64")
+    docs_sdf = spark.createDataFrame(corpus)
+    idx = str(tmp_path / f"pos_idx_{seed}")
+    build_index(spark, docs_sdf, idx, bucket_size=32, block_size=8, positions=True)
+
+    # phrases: random n-grams sampled from random docs (+ guaranteed miss)
+    phrases = []
+    for i in range(8):
+        toks = tokenize_text(corpus["content"].iloc[rng.randint(len(corpus))])
+        m = int(rng.randint(1, 4))
+        if len(toks) >= m:
+            j = rng.randint(len(toks) - m + 1)
+            phrases.append((i, " ".join(toks[j : j + m])))
+    phrases.append((98, "zzz yyy"))
+    ph_sdf = spark.createDataFrame(phrases, "phrase_id long, text string")
+    got_ph = {
+        (r["phrase_id"], r["doc_id"]): r["n_matches"]
+        for r in phrase_match_counts(spark, idx, ph_sdf).collect()
+    }
+    want_ph = {}
+    for pid, p in phrases:
+        terms = tokenize_text(p)
+        for row in corpus.itertuples():
+            c = phrase_count(row.content, terms)
+            if c:
+                want_ph[(pid, row.doc_id)] = c
+    assert got_ph == want_ph, seed
+
+    # proximity: random co-occurring pairs, random slop
+    slop = int(rng.randint(1, 5))
+    pairs = []
+    for i in range(6):
+        toks = tokenize_text(corpus["content"].iloc[rng.randint(len(corpus))])
+        if len(toks) >= 5:
+            a = int(rng.randint(len(toks) - 1))
+            pairs.append((i, toks[a], toks[rng.randint(a + 1, len(toks))]))
+    pr_sdf = spark.createDataFrame(pairs, "pair_id long, term_a string, term_b string")
+    got_pr = {
+        (r["pair_id"], r["doc_id"]): r["n_matches"]
+        for r in proximity_match_counts(spark, idx, pr_sdf, slop=slop).collect()
+    }
+    want_pr = {}
+    for pid, a, b in pairs:
+        for row in corpus.itertuples():
+            c = proximity_count(row.content, a, b, slop)
+            if c:
+                want_pr[(pid, row.doc_id)] = c
+    assert got_pr == want_pr, (seed, slop)
+
+    # byte windows: random substrings of random docs (truncation exercised
+    # by patterns sampled near document ends), random k
+    pats = []
+    for i in range(5):
+        t = corpus["content"].iloc[rng.randint(len(corpus))]
+        if len(t) >= 6:
+            j = rng.randint(max(1, len(t) - 12), len(t) - 3)
+            pats.append((i, t[j : j + int(rng.randint(3, 9))], int(rng.randint(0, 3))))
+    sub = corpus.head(25)
+    pat_sdf = spark.createDataFrame(pats, "pat_id long, pattern string, k int")
+    got_bm = {
+        (r["pat_id"], r["doc_id"]): r["n_matches"]
+        for r in byte_match_counts(
+            spark.createDataFrame(sub[["doc_id", "content"]]), pat_sdf,
+            text_col="content",
+        ).collect()
+    }
+    for pid, p, k in pats:
+        for row in sub.itertuples():
+            assert got_bm[(pid, row.doc_id)] == byte_match_count(row.content, p, k), (
+                seed, pid, row.doc_id,
+            )
