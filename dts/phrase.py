@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dts.codec import PackedPostings, decode_positions, decode_postings
-from dts.index_build import load_meta
+from dts.score_index import load_index
 from dts.tokenizer import tokenize_text
 
 PHRASE_SCHEMA = "phrase_id long, doc_id long, n_matches long"
@@ -177,7 +177,8 @@ def proximity_match_counts(
     as phrase_match_counts: broadcast pair table, exact per-(pair, bucket)
     groups, numpy searchsorted over packed (doc, pos) keys — no per-doc
     Python. ``pairs`` needs (pair_id, term_a, term_b)."""
-    meta = load_meta(index_dir)
+    idx = load_index(spark, index_dir)
+    meta = idx["meta"]
     if not meta.get("positions"):
         raise ValueError(
             "proximity queries need a positional index: "
@@ -194,7 +195,7 @@ def proximity_match_counts(
     qt = spark.createDataFrame(qt_rows, "pair_id long, i int, term string")
     terms = sorted({t for *_, t in qt_rows})
     postings = (
-        spark.read.parquet(f"{index_dir}/postings")
+        idx["postings"]
         .filter(F.col("term").isin(terms))
         .join(F.broadcast(qt), "term")
     )
@@ -213,7 +214,8 @@ def phrase_match_counts(
     ``phrases`` needs (phrase_id, text); text is tokenized with the shared
     engine tokenizer. Requires a positional index (build_index
     positions=True)."""
-    meta = load_meta(index_dir)
+    idx = load_index(spark, index_dir)
+    meta = idx["meta"]
     if not meta.get("positions"):
         raise ValueError(
             "phrase queries need a positional index: "
@@ -234,7 +236,7 @@ def phrase_match_counts(
     )
     terms = sorted({t for *_, t in qt_rows})
     postings = (
-        spark.read.parquet(f"{index_dir}/postings")
+        idx["postings"]
         .filter(F.col("term").isin(terms))
         .join(F.broadcast(qt), "term")
     )

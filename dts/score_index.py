@@ -59,9 +59,23 @@ POSTING_SCORE_COLS = [
 ]
 
 
-def load_index(spark: SparkSession, index_dir: str):
+_INDEX_CACHE: dict[tuple, dict] = {}
+
+
+def load_index(spark: SparkSession, index_dir: str, use_cache: bool = True):
+    """Index handle (lazy DataFrames + meta). Cached per (session,
+    index_dir, meta.json mtime): repeated query batches skip the parquet
+    footer reads and plan rebuilding; any index mutation (merge, compact)
+    rewrites meta.json, so the mtime key self-invalidates."""
     import os
 
+    key = (
+        spark.sparkContext.applicationId,
+        index_dir,
+        os.path.getmtime(f"{index_dir}/meta.json"),
+    )
+    if use_cache and key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
     out = {
         "postings": spark.read.parquet(f"{index_dir}/postings"),
         "term_stats": spark.read.parquet(f"{index_dir}/term_stats"),
@@ -71,6 +85,10 @@ def load_index(spark: SparkSession, index_dir: str):
     }
     if os.path.isdir(f"{index_dir}/trigrams"):
         out["trigrams"] = spark.read.parquet(f"{index_dir}/trigrams")
+    if use_cache:
+        if len(_INDEX_CACHE) >= 8:
+            _INDEX_CACHE.clear()
+        _INDEX_CACHE[key] = out
     return out
 
 

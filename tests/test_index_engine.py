@@ -333,3 +333,25 @@ def test_local_and_distributed_expansion_paths_agree(
         (r.query_id, r.rank, r.doc_id, r.score) for r in dist
     ]
     assert len(local) > 0
+
+
+def test_index_handle_cache_and_invalidation(spark, docs_sdf, corpus_pd, tmp_path):
+    """load_index reuses the handle for an unchanged index and
+    self-invalidates when meta.json is rewritten (merge/compact)."""
+    import time as _time
+
+    from dts.index_build import merge_index
+    from dts.score_index import load_index
+
+    d = str(tmp_path / "cache_idx")
+    build_index(spark, docs_sdf, d, bucket_size=64)
+    h1 = load_index(spark, d)
+    h2 = load_index(spark, d)
+    assert h1 is h2
+    _time.sleep(0.01)
+    merge_index(
+        spark, d, spark.createDataFrame(corpus_pd.head(10).drop(columns=["doc_id"]))
+    )
+    h3 = load_index(spark, d)
+    assert h3 is not h1
+    assert h3["meta"]["n_docs"] == h1["meta"]["n_docs"] + 10
