@@ -240,12 +240,12 @@ def _q_fuzzy_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_byte_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's core semantic, byte-faithful (src/apm1.c:252-278):
-    per (pattern, doc), count start positions j whose window
-    text[j : j+m] — TRUNCATED at document end (size = n - j,
-    src/apm1.c:263-270) — is within levenshtein distance k. The trailing
-    truncated positions are included, replicating the reference's
-    prefix-truncation semantics."""
+    """The reference's core semantic (src/apm1.c:252-278): per
+    (pattern, doc), count start positions j where, with
+    size = min(m, n - j) (src/apm1.c:263-268), the PATTERN PREFIX
+    pattern[:size] is within levenshtein distance k of the window
+    text[j : j+size] — the kernel runs both DP loops to len = size
+    (src/apm1.c:82-105), so BOTH strings truncate at the document tail."""
     from dts.bytematch import byte_match_counts
 
     pat = spark.createDataFrame(
@@ -425,8 +425,10 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (bitwise majority vote is not reasonably
-    SQL-expressible in both engines)."""
+    """Full exact oracle: the bitwise majority vote IS SQL-expressible —
+    the DuckDB side rebuilds each bit from `md5_number_upper` token hashes
+    (LE-u64 of the first 8 md5 bytes, identical to the engine's md5→conv
+    derivation) and hash-matches the 64-bit fingerprints."""
     from dts.dedup import simhash_fingerprints
 
     return simhash_fingerprints(_docs(spark, sf_dir))
@@ -869,7 +871,7 @@ WITH pat(pat_id, pattern, k) AS (VALUES {", ".join(f"({i}, '{p}', {k})" for i, p
 SELECT pat_id::BIGINT AS pat_id, doc_id,
        (CASE WHEN length(coalesce(text, '')) = 0 THEN 0
         ELSE len(list_filter(range(1, length(coalesce(text, '')) + 1),
-             j -> levenshtein(pattern,
+             j -> levenshtein(left(pattern, (length(coalesce(text, '')) - j + 1)::INTEGER),
                               substring(coalesce(text, ''), j::INTEGER, length(pattern))) <= k))
         END)::BIGINT AS n_matches
 FROM documents CROSS JOIN pat

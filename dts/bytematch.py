@@ -1,17 +1,27 @@
 """Byte-faithful approximate pattern counting (the reference's core query).
 
 Replicates the reference's per-position sliding-window Levenshtein count
-(reference src/apm1.c:252-278) EXACTLY, at byte granularity, per document:
-for every start position j in [0, n) the window is content[j : j+m]
-TRUNCATED at the end of the document (size = n - j when j + m > n —
-src/apm1.c:263-270), the pattern matches at j iff
-levenshtein(pattern, window) <= k (the θ-filter, src/apm1.c:272-274),
-and n_matches counts matching positions (overlaps all count).
+(reference src/apm1.c:252-278) EXACTLY, per document: for every start
+position j in [0, n) the comparison length is size = min(m, n - j)
+(src/apm1.c:263-268) and BOTH strings are truncated to it — the DP kernel
+runs both loops to `len = size` (src/apm1.c:82-105), so the check is
+levenshtein(pattern[:size], content[j:j+size]) <= k (the θ-filter,
+src/apm1.c:272-274). n_matches counts matching positions (overlaps all
+count). Pinned regression: text "xmer", pattern "merge", k=0 matches at
+j=1 ("mer" vs "mer") — full-pattern-vs-window semantics would count 0.
 
-Semantic delta vs the reference (documented in SURVEY.md §7.6): the
-reference concatenates all files into ONE byte array, so matches may
-straddle file boundaries; our unit of matching is the document row —
-windows never cross documents.
+Semantic deltas vs the reference (documented in SURVEY.md §7.6):
+
+- The reference concatenates all files into ONE byte array, so matches may
+  straddle file boundaries; our unit of matching is the document row —
+  windows never cross documents.
+- Granularity is Unicode CODEPOINTS, not raw bytes: Spark/DuckDB
+  length/substring/levenshtein operate on characters, while the reference
+  sweeps raw bytes. On non-ASCII content window sizes and distances can
+  differ (a 2-byte UTF-8 char is two reference positions, one here). The
+  generated corpus and all test data are ASCII, where the two coincide
+  exactly; a byte-exact variant would cast content to binary and window
+  over bytes at ~the same plan shape.
 
 Execution: 100% JVM expressions — the position sweep is a higher-order
 ``filter`` over ``sequence(1, n)`` and each window check uses Spark's
@@ -30,12 +40,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Per (pattern, doc): number of byte positions whose truncated window is
-# within edit distance k. sequence(1,0) would be DESCENDING in Spark, so
+# within edit distance k. The PATTERN is truncated alongside the window at
+# the document tail — the reference kernel runs both DP loops to
+# len = size = min(m, n - j) (src/apm1.c:82-105 called at :270 with
+# size = n_bytes - j, :263-268), i.e. it compares pattern[:size] vs
+# buf[j:j+size]. left() mirrors that prefix; substring() naturally
+# truncates the window. sequence(1,0) would be DESCENDING in Spark, so
 # empty texts short-circuit to 0.
 _COUNT_EXPR = """
 IF(length(t) = 0, CAST(0 AS BIGINT),
    CAST(size(filter(sequence(1, length(t)),
-                    j -> levenshtein(pattern, substring(t, j, length(pattern)), k) >= 0))
+                    j -> levenshtein(left(pattern, length(t) - j + 1),
+                                     substring(t, j, length(pattern)), k) >= 0))
         AS BIGINT))
 """
 

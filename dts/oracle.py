@@ -137,15 +137,18 @@ class OracleIndex:
 
 def byte_match_count(text: str, pattern: str, k: int) -> int:
     """Reference-faithful per-document byte counting (src/apm1.c:252-278):
-    for every start position j, window = text[j:j+m] truncated at the end
-    of the document (size = n - j when j + m > n, src/apm1.c:263-270);
-    count positions with levenshtein(pattern, window) <= k (the θ-filter,
-    src/apm1.c:272-274). Overlapping matches all count."""
+    for every start position j the comparison length is
+    size = min(m, n - j) (src/apm1.c:263-268) and BOTH strings truncate to
+    it — the kernel runs both DP loops to len = size (src/apm1.c:82-105) —
+    so count positions with levenshtein(pattern[:size], text[j:j+size]) <= k
+    (the θ-filter, src/apm1.c:272-274). Overlapping matches all count."""
     n, m = len(text), len(pattern)
     return sum(
         1
         for j in range(n)
-        if banded_levenshtein(pattern, text[j : j + m], k) <= k
+        if banded_levenshtein(
+            pattern[: min(m, n - j)], text[j : j + m], k
+        ) <= k
     )
 
 

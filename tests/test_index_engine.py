@@ -217,12 +217,48 @@ def test_byte_match_counts_vs_oracle(spark, corpus_pd):
             byte_match_count(row.content, p, k) for row in sub.itertuples()
         )
     # truncation sanity: pattern longer than the doc tail still counts when
-    # the truncated window is within k
+    # the truncated PREFIX-vs-window pair is within k (src/apm1.c:263-270)
     tiny = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
     one = spark.createDataFrame([(0, "abcd", 1)], "pat_id long, pattern string, k int")
     n = byte_match_counts(tiny, one).collect()[0]["n_matches"]
-    # j=0: window 'abc' (truncated, dist 1 ≤ 1) ✓; j=1: 'bc' dist 2 ✗;
-    assert n == 1
+    # j=1: 'abc' vs 'abc' (both truncated to size 3, dist 0) ✓;
+    # j=2: 'ab' vs 'bc' dist 2 ✗; j=3: 'a' vs 'c' dist 1 ✓ → 2
+    assert n == 2
+
+
+def test_byte_match_prefix_truncation_regressions(spark):
+    """Pinned inputs where the reference's prefix-truncation semantics
+    (apm1.c runs BOTH DP loops to size = min(m, n-j); src/apm1.c:82-105,
+    :263-270) differs from full-pattern-vs-truncated-window semantics.
+    Engine and Python oracle must both implement the former."""
+    from dts.bytematch import byte_match_counts
+    from dts.oracle import byte_match_count
+
+    # (text, pattern, k, expected). Expectations verified against an
+    # unbanded full-DP re-implementation of the apm1.c kernel.
+    cases = [
+        ("xmer", "merge", 0, 1),        # j=1: 'mer' vs 'mer' — old semantics: 0
+        ("hello fast", "fastt", 1, 2),  # tail prefix match — old semantics: 1
+        ("a", "merge", 3, 1),           # 1-char doc: 'm' vs 'a' dist 1 — old: 0
+        ("a", "merge", 4, 1),           # SURVEY §2.1 item 5: k ≥ len(p)-1
+        ("", "x", 2, 0),                # empty doc: no positions
+        ("abc", "a", 0, 1),             # pattern shorter than doc: no truncation
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, (t, _, _, _) in enumerate(cases)],
+        "doc_id long, text string",
+    )
+    pats = spark.createDataFrame(
+        [(i, p, k) for i, (_, p, k, _) in enumerate(cases)],
+        "pat_id long, pattern string, k int",
+    )
+    got = {
+        (r["pat_id"], r["doc_id"]): r["n_matches"]
+        for r in byte_match_counts(docs, pats).collect()
+    }
+    for i, (t, p, k, want) in enumerate(cases):
+        assert byte_match_count(t, p, k) == want, ("oracle", t, p, k)
+        assert got[(i, i)] == want, ("engine", t, p, k)
 
 
 def test_isin_cap_semi_join_fallback(spark, index_dir, oracle, queries_pd):
