@@ -87,6 +87,7 @@ def build_index_resumable(
     bucket_size: int = DEFAULT_BUCKET_SIZE,
     block_size: int = BLOCK_SIZE,
     buckets_per_chunk: int = 8,
+    positions: bool = False,
     fail_after_chunks: int | None = None,
 ) -> dict:
     """Chunked, resumable build. `docs` needs (doc_id, content).
@@ -97,10 +98,13 @@ def build_index_resumable(
     chunk completions (simulates a killed job).
     """
     t_build0 = time.perf_counter()
+    # `positions` participates in the checkpoint identity: a chunk built
+    # without pos_blob must never be reused by a positional build.
     params = {
         "bucket_size": bucket_size,
         "block_size": block_size,
         "buckets_per_chunk": buckets_per_chunk,
+        "positions": positions,
     }
     # Same content-scanned-once policy as index_build.build_index: no
     # content cache/shuffle; widen only if the layout under-splits.
@@ -143,7 +147,7 @@ def build_index_resumable(
         t0 = time.perf_counter()
         lo, hi = cid * docs_per_chunk, (cid + 1) * docs_per_chunk
         chunk_docs = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        tf = build_tf(chunk_docs)
+        tf = build_tf(chunk_docs, positions=positions)
         _atomic_write(tf, f"{out_dir}/tf/chunk={cid}")
         back = spark.read.parquet(f"{out_dir}/tf/chunk={cid}")
         agg = back.agg(
@@ -250,6 +254,7 @@ def build_index_resumable(
         "avgdl": avgdl,
         "bucket_size": bucket_size,
         "block_size": block_size,
+        "positions": positions,
         "n_chunks": n_chunks,
         "lineage": lineage,
         "vocab_size": int(stats.count()),

@@ -55,7 +55,7 @@ def cmd_build(args) -> None:
 
         meta = build_index_resumable(
             spark, docs, args.out, lineage=args.lineage or args.docs,
-            bucket_size=args.bucket_size,
+            bucket_size=args.bucket_size, positions=args.positions,
         )
     else:
         from dts.index_build import build_index

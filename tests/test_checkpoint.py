@@ -71,6 +71,49 @@ def test_killed_build_resumes_without_recompute(spark, docs_sdf, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_resumable_positional_build_answers_phrase_queries(
+    spark, docs_sdf, corpus_pd, tmp_path
+):
+    """`build --resumable --positions` must yield a phrase-capable index
+    (regression: the CLI used to silently drop --positions on the
+    resumable path). Checkpoint identity includes the positions flag."""
+    from dts.cli import main as cli_main
+    from dts.oracle import phrase_count
+    from dts.phrase import phrase_match_counts
+    from dts.tokenizer import tokenize_text
+
+    docs_dir = str(tmp_path / "docs_pq")
+    docs_sdf.write.parquet(docs_dir)
+    out = str(tmp_path / "idx_pos_resumable")
+    cli_main([
+        "build", "--docs", docs_dir, "--out", out,
+        "--bucket-size", "32", "--resumable", "--positions",
+    ])
+    import json
+
+    with open(f"{out}/meta.json") as f:
+        assert json.load(f)["positions"] is True
+    ph = spark.createDataFrame([(0, "def ident1")], "phrase_id long, text string")
+    got = {
+        (r.phrase_id, r.doc_id): r.n_matches
+        for r in phrase_match_counts(spark, out, ph).collect()
+    }
+    want = {}
+    terms = tokenize_text("def ident1")
+    for row in corpus_pd.itertuples():
+        c = phrase_count(row.content, terms)
+        if c:
+            want[(0, row.doc_id)] = c
+    assert got == want
+    # A non-positional checkpoint must NOT satisfy a positional build:
+    # params mismatch forces fresh chunks.
+    out2 = str(tmp_path / "idx_flagflip")
+    kw = dict(bucket_size=32, block_size=16, buckets_per_chunk=2, lineage="v1")
+    build_index_resumable(spark, docs_sdf, out2, positions=False, **kw)
+    meta = build_index_resumable(spark, docs_sdf, out2, positions=True, **kw)
+    assert meta["chunks_fresh_this_run"] > 0 and meta["positions"] is True
+
+
 def test_lineage_mismatch_forces_rebuild(spark, docs_sdf, tmp_path):
     out = str(tmp_path / "idx_lineage")
     kw = dict(bucket_size=64, block_size=16, buckets_per_chunk=4)
