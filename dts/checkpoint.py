@@ -88,6 +88,7 @@ def build_index_resumable(
     block_size: int = BLOCK_SIZE,
     buckets_per_chunk: int = 8,
     positions: bool = False,
+    strip_literals: bool = False,
     fail_after_chunks: int | None = None,
 ) -> dict:
     """Chunked, resumable build. `docs` needs (doc_id, content).
@@ -105,6 +106,7 @@ def build_index_resumable(
         "block_size": block_size,
         "buckets_per_chunk": buckets_per_chunk,
         "positions": positions,
+        "strip_literals": strip_literals,
     }
     # Same content-scanned-once policy as index_build.build_index: no
     # content cache/shuffle; widen only if the layout under-splits.
@@ -147,7 +149,7 @@ def build_index_resumable(
         t0 = time.perf_counter()
         lo, hi = cid * docs_per_chunk, (cid + 1) * docs_per_chunk
         chunk_docs = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        tf = build_tf(chunk_docs, positions=positions)
+        tf = build_tf(chunk_docs, positions=positions, strip_literals=strip_literals)
         _atomic_write(tf, f"{out_dir}/tf/chunk={cid}")
         back = spark.read.parquet(f"{out_dir}/tf/chunk={cid}")
         agg = back.agg(
@@ -255,6 +257,7 @@ def build_index_resumable(
         "bucket_size": bucket_size,
         "block_size": block_size,
         "positions": positions,
+        "strip_literals": bool(strip_literals and "lang" in docs.columns),
         "n_chunks": n_chunks,
         "lineage": lineage,
         "vocab_size": int(stats.count()),

@@ -6,7 +6,7 @@ Subcommands:
   gen-corpus  --out DIR --n-docs N [--seed 42]
   ingest      --source DIR --out DIR  (sha256 invariant + stable doc_id)
   build       --docs DIR --out INDEX [--bucket-size N] [--resumable]
-              [--positions]
+              [--positions] [--strip-literals]
   query       --index INDEX (--text "..." [--fuzzy-k K] | --queries DIR)
               [--k 10] [--strategy taat|bmw] [--out DIR]
   count       --index INDEX --text "..." [--fuzzy-k K]
@@ -56,13 +56,14 @@ def cmd_build(args) -> None:
         meta = build_index_resumable(
             spark, docs, args.out, lineage=args.lineage or args.docs,
             bucket_size=args.bucket_size, positions=args.positions,
+            strip_literals=args.strip_literals,
         )
     else:
         from dts.index_build import build_index
 
         meta = build_index(
             spark, docs, args.out, bucket_size=args.bucket_size,
-            positions=args.positions,
+            positions=args.positions, strip_literals=args.strip_literals,
         )
     print(json.dumps(meta, sort_keys=True))
 
@@ -177,6 +178,7 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("--bucket-size", type=int, default=4096)
     g.add_argument("--resumable", action="store_true")
     g.add_argument("--positions", action="store_true")
+    g.add_argument("--strip-literals", action="store_true")
     g.add_argument("--lineage", default=None)
     g.set_defaults(fn=cmd_build)
 

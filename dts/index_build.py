@@ -64,19 +64,31 @@ POSTINGS_SCHEMA = (
 POSTINGS_SCHEMA_POS = POSTINGS_SCHEMA + ", pos_blob binary"
 
 
-def build_tf(docs: DataFrame, positions: bool = False) -> DataFrame:
+def build_tf(
+    docs: DataFrame, positions: bool = False, strip_literals: bool = False
+) -> DataFrame:
     """(doc_id, term, tf, dl[, positions]) with NO shuffle — per-doc agg
     inside the UDF.
 
     Zero-token docs contribute no rows (their dl is recovered in
     doc_stats / meta from the doc table itself). With ``positions=True``
     each row also carries the term's ascending token offsets within the
-    doc (array<int>) — the positional-postings payload.
+    doc (array<int>) — the positional-postings payload. With
+    ``strip_literals=True`` string literals and comments are stripped
+    per-lang before tokenizing (tokenizer.strip_code_literals; needs a
+    ``lang`` column) — dl and token offsets are then relative to the
+    stripped token stream.
     """
+    strip = strip_literals and "lang" in docs.columns
+    cols = ["doc_id", "content"] + (["lang"] if strip else [])
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            flat = tokenize_exploded(pdf["content"])
+            flat = tokenize_exploded(
+                pdf["content"],
+                langs=pdf["lang"] if strip else None,
+                strip_literals=strip,
+            )
             if len(flat) == 0:
                 continue
             # Integer-key aggregation (factorize + unique) — ~3x faster
@@ -112,7 +124,7 @@ def build_tf(docs: DataFrame, positions: bool = False) -> DataFrame:
             yield out
 
     schema = TF_SCHEMA_POS if positions else TF_SCHEMA
-    return docs.select("doc_id", "content").mapInPandas(gen, schema)
+    return docs.select(*cols).mapInPandas(gen, schema)
 
 
 def term_stats(tf: DataFrame) -> DataFrame:
@@ -215,6 +227,7 @@ def build_index(
     bucket_size: int = DEFAULT_BUCKET_SIZE,
     block_size: int = BLOCK_SIZE,
     positions: bool = False,
+    strip_literals: bool = False,
 ) -> dict:
     """Build + persist the full index. `docs` needs (doc_id, content).
 
@@ -243,13 +256,14 @@ def build_index(
     par = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par * 2)
-    tf = build_tf(docs, positions=positions).cache()
+    tf = build_tf(docs, positions=positions, strip_literals=strip_literals).cache()
     meta = timed("tokenize_tf", lambda: corpus_meta(docs, tf))
     meta.update(
         {
             "bucket_size": bucket_size,
             "block_size": block_size,
             "positions": positions,
+            "strip_literals": bool(strip_literals and "lang" in docs.columns),
         }
     )
 
@@ -452,7 +466,11 @@ def merge_index(spark: SparkSession, index_dir: str, new_docs: DataFrame) -> dic
     # (range shuffle + tiny driver prefix sum), NOT a global Window, so a
     # 10^9-doc append never funnels through one partition.
     nd = assign_doc_ids(new_docs, base=base)
-    tf = build_tf(nd, positions=meta.get("positions", False)).cache()
+    tf = build_tf(
+        nd,
+        positions=meta.get("positions", False),
+        strip_literals=meta.get("strip_literals", False),
+    ).cache()
     add_tokens = int(tf.agg(F.sum("tf")).collect()[0][0] or 0)
     n_new = nd.count()
     new_total = meta["total_tokens"] + add_tokens

@@ -209,12 +209,16 @@ def _scorer_fn(n_docs: int, avgdl: float, k: int, strategy: str, block_size: int
 
 
 # Vocabularies up to this many terms are collected to the driver once per
-# process (50k terms ≈ 1 MB) so fuzzy expansion runs as local numpy instead
-# of a dedicated Spark job — that job's ~3-4 s fixed scheduling cost is the
-# dominant serial fraction of small-index query batches (measured: removing
-# it moves the 2→8 query scaling efficiency from ~0.77 to ~0.84). Larger
-# vocabularies keep the distributed expansion.
-DRIVER_EXPAND_VOCAB_CAP = 2_000_000
+# process so fuzzy expansion runs as local numpy instead of a dedicated
+# Spark job — that job's ~3-4 s fixed scheduling cost is the dominant
+# serial fraction of small-index query batches (measured: removing it moves
+# the 2→8 query scaling efficiency from ~0.77 to ~0.84). Larger
+# vocabularies keep the distributed expansion. Cap sized from MEASURED
+# build_vocab_struct footprint (tracemalloc, random 3-14 char terms):
+# 107-253 B/term and ~2 s/100k terms one-time build → at 500k terms the
+# struct is ~55 MB and ~10 s once per process — comfortably driver-sized.
+# 2M terms (the old cap) would be ~0.5 GB + ~40 s: a silent cliff.
+DRIVER_EXPAND_VOCAB_CAP = 500_000
 _VOCAB_CACHE: dict[tuple, dict] = {}
 
 
@@ -293,6 +297,11 @@ def bm25_topk_indexed(
     max_isin_terms: int = MAX_ISIN_TERMS,
 ) -> DataFrame:
     """Top-k over the persisted index. Returns (query_id, doc_id, score, rank).
+
+    Contract: the `queries` batch is CLIENT-sized (≲10⁴ rows) — both query
+    paths collect/broadcast it (the driver-side tokenize+expand path
+    explicitly, the distributed path via broadcast joins). Corpus-sized
+    "query" tables belong in a join against the tf table, not here.
 
     ``distribute``:
     - ``"query"``: one scoring group per query — every posting row of the
