@@ -94,16 +94,86 @@ def ingest(docs: DataFrame, n_shards: int = 32) -> DataFrame:
     return out.withColumn("shard_id", (F.col("doc_id") % n_shards).cast("int"))
 
 
-def read_source(spark: SparkSession, path: str) -> DataFrame:
-    """Read the (repo, path, commit, lang, content) source table."""
-    return spark.read.parquet(path).select(*SOURCE_COLS)
+# --- storage seam (SURVEY §7.0): Iceberg catalog when the runtime has the
+# jar + a configured catalog, plain parquet otherwise. Callers address the
+# source table ONLY through read_source/write_table; nothing else in the
+# repo touches spark.read.parquet for source tables directly, so swapping
+# the storage layer is a config change, not a refactor.
+
+
+def iceberg_catalogs(spark: SparkSession) -> list[str]:
+    """Names of configured Iceberg catalogs (spark.sql.catalog.<name> set
+    to an Iceberg SparkCatalog class). Empty in jar-less runtimes."""
+    out = []
+    for k, v in spark.sparkContext.getConf().getAll():
+        parts = k.split(".")
+        if (
+            k.startswith("spark.sql.catalog.")
+            and len(parts) == 4
+            and "iceberg" in (v or "").lower()
+        ):
+            out.append(parts[3])
+    return out
+
+
+def _is_table_ref(ref: str) -> tuple[str | None, str]:
+    """('iceberg'|'parquet'|None, rest): explicit scheme prefix wins;
+    otherwise a dotted, slash-less ref is a catalog table, else a path."""
+    for scheme in ("iceberg", "parquet"):
+        if ref.startswith(scheme + ":"):
+            return scheme, ref[len(scheme) + 1 :]
+    if "/" not in ref and "." in ref and not ref.endswith(".parquet"):
+        return "iceberg", ref
+    return None, ref
+
+
+def read_table(spark: SparkSession, ref: str) -> DataFrame:
+    """Read a table by ref: 'iceberg:<catalog.db.table>' (or a bare dotted
+    identifier) via the catalog, 'parquet:<path>' or a plain path via
+    parquet. Raises a clear error when an Iceberg ref is used in a runtime
+    without a configured Iceberg catalog."""
+    scheme, rest = _is_table_ref(ref)
+    if scheme == "iceberg":
+        if not iceberg_catalogs(spark):
+            raise RuntimeError(
+                f"table ref {ref!r} needs an Iceberg catalog, but none is "
+                "configured (spark.sql.catalog.<name> = "
+                "org.apache.iceberg.spark.SparkCatalog + the runtime jar). "
+                "Use a parquet path, or configure the catalog."
+            )
+        return spark.read.table(rest)
+    return spark.read.parquet(rest)
+
+
+def write_table(df: DataFrame, ref: str, mode: str = "overwrite") -> None:
+    """Write a DataFrame through the same seam: Iceberg refs use the v2
+    writeTo API (createOrReplace / append), paths write parquet."""
+    scheme, rest = _is_table_ref(ref)
+    if scheme == "iceberg":
+        if not iceberg_catalogs(df.sparkSession):
+            raise RuntimeError(
+                f"table ref {ref!r} needs an Iceberg catalog, but none is "
+                "configured. Use a parquet path, or configure the catalog."
+            )
+        if mode == "append":
+            df.writeTo(rest).append()
+        else:
+            df.writeTo(rest).createOrReplace()
+        return
+    df.write.mode(mode).parquet(rest)
+
+
+def read_source(spark: SparkSession, ref: str) -> DataFrame:
+    """Read the (repo, path, commit, lang, content) source table through
+    the storage seam (Iceberg table ref or parquet path)."""
+    return read_table(spark, ref).select(*SOURCE_COLS)
 
 
 def driver_documents_as_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapt the driver's documents table (doc_id, text, lang, source,
     n_chars) to the engine's source shape; doc_id is kept as-is (already
     stable and dense)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_table(spark, f"{sf_dir}/documents.parquet")
     return d.select(
         F.col("source").alias("repo"),
         F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),

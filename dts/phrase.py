@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dts.codec import PackedPostings, decode_positions, decode_postings
-from dts.score_index import load_index
+from dts.score_index import MAX_ISIN_TERMS, load_index, term_filter
 from dts.tokenizer import tokenize_text
 
 PHRASE_SCHEMA = "phrase_id long, doc_id long, n_matches long"
@@ -169,7 +169,11 @@ def _prox_matcher_fn(block_size: int, slop: int):
 
 
 def proximity_match_counts(
-    spark: SparkSession, index_dir: str, pairs: DataFrame, slop: int = 3
+    spark: SparkSession,
+    index_dir: str,
+    pairs: DataFrame,
+    slop: int = 3,
+    max_isin_terms: int = MAX_ISIN_TERMS,
 ) -> DataFrame:
     """(pair_id, doc_id, n_matches): per doc, the number of positions p of
     term_a followed by term_b within ``slop`` tokens (0 < q - p ≤ slop;
@@ -194,10 +198,10 @@ def proximity_match_counts(
         return spark.createDataFrame([], "pair_id long, doc_id long, n_matches long")
     qt = spark.createDataFrame(qt_rows, "pair_id long, i int, term string")
     terms = sorted({t for *_, t in qt_rows})
-    postings = (
-        idx["postings"]
-        .filter(F.col("term").isin(terms))
-        .join(F.broadcast(qt), "term")
+    # Same IN-list cap + semi-join fallback as BM25 scoring: wide synonym
+    # batches must not regrow the inline-literal plan bomb here either.
+    postings = term_filter(idx["postings"], terms, max_isin_terms).join(
+        F.broadcast(qt), "term"
     )
     return postings.groupBy("pair_id", "bucket").applyInPandas(
         _prox_matcher_fn(meta["block_size"], slop),
@@ -206,7 +210,10 @@ def proximity_match_counts(
 
 
 def phrase_match_counts(
-    spark: SparkSession, index_dir: str, phrases: DataFrame
+    spark: SparkSession,
+    index_dir: str,
+    phrases: DataFrame,
+    max_isin_terms: int = MAX_ISIN_TERMS,
 ) -> DataFrame:
     """(phrase_id, doc_id, n_matches) for docs containing each phrase as
     consecutive tokens (≥1 occurrence; overlaps all count).
@@ -235,10 +242,8 @@ def phrase_match_counts(
         qt_rows, "phrase_id long, m int, i int, term string"
     )
     terms = sorted({t for *_, t in qt_rows})
-    postings = (
-        idx["postings"]
-        .filter(F.col("term").isin(terms))
-        .join(F.broadcast(qt), "term")
+    postings = term_filter(idx["postings"], terms, max_isin_terms).join(
+        F.broadcast(qt), "term"
     )
     return postings.groupBy("phrase_id", "bucket").applyInPandas(
         _matcher_fn(meta["block_size"]), PHRASE_SCHEMA

@@ -59,6 +59,24 @@ POSTING_SCORE_COLS = [
 ]
 
 
+def term_filter(
+    df: DataFrame, terms: list[str], max_isin_terms: int = MAX_ISIN_TERMS
+) -> DataFrame:
+    """Filter ``df`` to rows whose ``term`` is in ``terms`` — the shared
+    plan-size guard: an IN-list (parquet row-group pushdown) up to
+    ``max_isin_terms`` distinct terms, a broadcast left-semi join beyond
+    (bounded plan; a batch that wide reads most row-groups anyway). Used by
+    BM25 scoring AND phrase/proximity so a wide synonym expansion can't
+    regrow the inline-literal bomb anywhere."""
+    terms = sorted(set(terms))
+    if len(terms) <= max_isin_terms:
+        return df.filter(F.col("term").isin(terms))
+    tdf = df.sparkSession.createDataFrame(
+        [(t,) for t in terms], "term string"
+    )
+    return df.join(F.broadcast(tdf), "term", "left_semi")
+
+
 _INDEX_CACHE: dict[tuple, dict] = {}
 
 
@@ -329,6 +347,7 @@ def bm25_topk_indexed(
             "(exact) or re-encode/compact the index."
         )
     n_queries = None
+    scan = idx["postings"].select(*POSTING_SCORE_COLS)
     if meta.get("vocab_size") and meta["vocab_size"] <= DRIVER_EXPAND_VOCAB_CAP:
         # Driver-sized vocab: the whole query-term computation is local —
         # zero Spark jobs before the scoring job itself.
@@ -339,8 +358,12 @@ def bm25_topk_indexed(
             return spark.createDataFrame([], TOPK_SCHEMA)
         qterms = spark.createDataFrame(qrows, "query_id long, term string")
         all_terms = sorted({t for _, t in qrows})
-        terms = all_terms[: max_isin_terms + 1]
-        distinct_terms = None
+        # term_filter: IN-list pushdown (PLANS.md: PushedFilters In(term, …))
+        # up to the cap, broadcast left-semi join beyond.
+        postings = term_filter(scan, all_terms, max_isin_terms)
+        stats = term_filter(
+            idx["term_stats"], all_terms, max_isin_terms
+        ).select("term", "df")
     else:
         qterms = expanded_query_terms(
             queries, idx["term_stats"], idx.get("trigrams")
@@ -352,25 +375,23 @@ def bm25_topk_indexed(
             r["term"]
             for r in distinct_terms.limit(max_isin_terms + 1).collect()
         ]
-    if not terms:
-        return spark.createDataFrame([], TOPK_SCHEMA)
-    scan = idx["postings"].select(*POSTING_SCORE_COLS)
-    if len(terms) <= max_isin_terms:
-        # IN-list filter → parquet row-group pushdown (PLANS.md: PushedFilters
-        # In(term, …)) — the fast path for normal query batches.
-        postings = scan.filter(F.col("term").isin(terms))
-        stats = idx["term_stats"].filter(F.col("term").isin(terms)).select("term", "df")
-    else:
-        # Fallback: broadcast semi-join keeps the plan bounded; loses
-        # row-group pruning but a batch this wide reads most groups anyway.
-        if distinct_terms is None:
-            distinct_terms = qterms.select("term").distinct()
-        postings = scan.join(
-            F.broadcast(distinct_terms), "term", "left_semi"
-        )
-        stats = idx["term_stats"].join(
-            F.broadcast(distinct_terms), "term", "left_semi"
-        ).select("term", "df")
+        if not terms:
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        if len(terms) <= max_isin_terms:
+            postings = scan.filter(F.col("term").isin(terms))
+            stats = idx["term_stats"].filter(
+                F.col("term").isin(terms)
+            ).select("term", "df")
+        else:
+            # Fallback: broadcast semi-join keeps the plan bounded; loses
+            # row-group pruning but a batch this wide reads most groups
+            # anyway.
+            postings = scan.join(
+                F.broadcast(distinct_terms), "term", "left_semi"
+            )
+            stats = idx["term_stats"].join(
+                F.broadcast(distinct_terms), "term", "left_semi"
+            ).select("term", "df")
     joined = postings.join(F.broadcast(stats), "term").join(
         F.broadcast(qterms), "term"
     )

@@ -170,3 +170,42 @@ def test_proximity_match_vs_oracle(spark, pos_index, corpus_pd):
         for row in corpus_pd.itertuples():
             c = phrase_count(row.content, [a, b])
             assert got1.get((pid, row.doc_id), 0) == c or a == b
+
+
+def test_phrase_isin_cap_semi_join_fallback(spark, pos_index, corpus_pd):
+    """Above the IN-list cap the phrase term filter becomes a broadcast
+    left-semi join (shared term_filter helper) — results identical and the
+    plan carries no giant In(term, ...) literal list."""
+    from dts.phrase import proximity_match_counts
+
+    phrases = _phrases_from(corpus_pd, n=4, m=2, seed=11)
+    ph = spark.createDataFrame(
+        list(enumerate(phrases)), "phrase_id long, text string"
+    )
+    base = sorted(
+        (r.phrase_id, r.doc_id, r.n_matches)
+        for r in phrase_match_counts(spark, pos_index, ph).collect()
+    )
+    capped_df = phrase_match_counts(spark, pos_index, ph, max_isin_terms=1)
+    capped = sorted(
+        (r.phrase_id, r.doc_id, r.n_matches) for r in capped_df.collect()
+    )
+    assert capped == base and len(base) > 0
+    plan = capped_df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+    pairs = spark.createDataFrame(
+        [(0, "def", "ident1"), (1, "value", "return")],
+        "pair_id long, term_a string, term_b string",
+    )
+    base_p = sorted(
+        (r.pair_id, r.doc_id, r.n_matches)
+        for r in proximity_match_counts(spark, pos_index, pairs, slop=3).collect()
+    )
+    capped_p = sorted(
+        (r.pair_id, r.doc_id, r.n_matches)
+        for r in proximity_match_counts(
+            spark, pos_index, pairs, slop=3, max_isin_terms=1
+        ).collect()
+    )
+    assert capped_p == base_p and len(base_p) > 0
