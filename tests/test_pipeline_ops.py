@@ -265,3 +265,87 @@ def test_jaccard_pairs_shingle_df_cap(spark):
     rows = capped.collect()
     assert {(r["a"], r["b"]) for r in rows} == {(0, 1)}
     assert rows[0]["jac6"] == 1.0
+
+
+def test_fingerprints_vs_hand_computed(spark):
+    """Bottom-k md5 shingle fingerprint against a pure-Python fixture —
+    direct unit coverage so the fingerprint probe can't be orphaned by a
+    probe-harness change."""
+    import hashlib
+    import re
+
+    from dts.textstats import fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "one two",           # fewer than n tokens → single whole-text shingle
+        "",                  # empty → one empty-string shingle
+        "a a a a",           # repeated shingles deduplicate
+    ]
+    k, n = 3, 2
+
+    def fp_py(text):
+        toks = re.findall(r"[a-z0-9]+", (text or "").lower())
+        if len(toks) < n:
+            sh = [" ".join(toks)]
+        else:
+            sh = sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+        hashes = sorted(hashlib.md5(s.encode()).hexdigest() for s in sh)
+        return "|".join(hashes[:k])
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r.fp for r in fingerprints(docs, k=k, n=n).collect()}
+    assert got == {i: fp_py(t) for i, t in enumerate(texts)}
+
+
+def _write_tiny_tpch(spark, d):
+    """Hand-written 3-nation, 4-order, 6-item fixture with exact decimals."""
+    spark.createDataFrame(
+        [(0, "ALPHA"), (1, "BRAVO"), (2, "CHARLIE")],
+        "n_nationkey long, n_name string",
+    ).write.parquet(f"{d}/nation.parquet")
+    spark.createDataFrame(
+        [(10, 0), (11, 1), (12, 2)], "c_custkey long, c_nationkey long"
+    ).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [(100, 10), (101, 10), (102, 11), (103, 12)],
+        "o_orderkey long, o_custkey long",
+    ).write.parquet(f"{d}/orders.parquet")
+    li = [
+        (100, 10.00, 0.10),  # ALPHA: 10*0.9 = 9.00
+        (100, 20.00, 0.00),  # ALPHA: 20.00
+        (101, 5.50, 0.50),   # ALPHA: 2.75
+        (102, 100.00, 0.25), # BRAVO: 75.00
+        (102, 1.00, 0.00),   # BRAVO: 1.00
+        (103, 7.00, 0.01),   # CHARLIE: 6.93
+    ]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_extendedprice double, l_discount double"
+    ).write.parquet(f"{d}/lineitem.parquet")
+
+
+def test_revenue_probes_vs_hand_computed(spark, tmp_path):
+    """The relational probes (join/agg + ROLLUP) against hand-computed
+    revenue on a tiny fixture written in the driver's table layout."""
+    from __spark_entry__ import _q_revenue_by_nation, _q_revenue_rollup
+
+    d = str(tmp_path)
+    _write_tiny_tpch(spark, d)
+    got = {
+        r.n_name: (r.revenue2, r.n_items)
+        for r in _q_revenue_by_nation(spark, d).collect()
+    }
+    assert got == {
+        "ALPHA": (31.75, 3),
+        "BRAVO": (76.00, 2),
+        "CHARLIE": (6.93, 1),
+    }
+    roll = {r.n_name: r.revenue2 for r in _q_revenue_rollup(spark, d).collect()}
+    assert roll == {
+        "ALPHA": 31.75,
+        "BRAVO": 76.00,
+        "CHARLIE": 6.93,
+        "ALL": 114.68,
+    }
