@@ -158,7 +158,11 @@ def doc_stats(docs: DataFrame, tf: DataFrame) -> DataFrame:
 
 
 def _encode_bucket_fn(
-    avgdl: float, bucket_size: int, block_size: int, positions: bool = False
+    avgdl: float,
+    bucket_size: int,
+    block_size: int,
+    positions: bool = False,
+    codec: str = "varint",
 ):
     from dts.codec import encode_bucket_vectorized, encode_positions
 
@@ -177,6 +181,7 @@ def _encode_bucket_fn(
             bounds,
             avgdl,
             block_size,
+            codec,
         )
         out = pd.DataFrame(rows)
         out.insert(0, "term", uniq)
@@ -207,6 +212,7 @@ def build_postings(
     avgdl: float,
     bucket_size: int = DEFAULT_BUCKET_SIZE,
     block_size: int = BLOCK_SIZE,
+    codec: str = "varint",
 ) -> DataFrame:
     """The salted term-partitioned merge (see module docstring). Positional
     when the tf table carries a ``positions`` column."""
@@ -215,7 +221,7 @@ def build_postings(
         "bucket", (F.col("doc_id") / F.lit(bucket_size)).cast("long")
     )
     return bucketed.groupBy("bucket").applyInPandas(
-        _encode_bucket_fn(avgdl, bucket_size, block_size, positions),
+        _encode_bucket_fn(avgdl, bucket_size, block_size, positions, codec),
         POSTINGS_SCHEMA_POS if positions else POSTINGS_SCHEMA,
     )
 
@@ -228,6 +234,7 @@ def build_index(
     block_size: int = BLOCK_SIZE,
     positions: bool = False,
     strip_literals: bool = False,
+    codec: str = "varint",
 ) -> dict:
     """Build + persist the full index. `docs` needs (doc_id, content).
 
@@ -264,6 +271,7 @@ def build_index(
             "block_size": block_size,
             "positions": positions,
             "strip_literals": bool(strip_literals and "lang" in docs.columns),
+            "codec": codec,
         }
     )
 
@@ -288,7 +296,7 @@ def build_index(
     # that prune term lookups just as well (one file per bucket group).
     timed(
         "postings",
-        lambda: build_postings(tf, meta["avgdl"], bucket_size, block_size)
+        lambda: build_postings(tf, meta["avgdl"], bucket_size, block_size, codec)
         .sortWithinPartitions("term", "bucket")
         .write.mode("overwrite")
         .parquet(f"{out_dir}/postings"),
@@ -345,6 +353,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     meta = load_meta(index_dir)
     avgdl = meta["avgdl"]
     block_size = meta["block_size"]
+    codec = meta.get("codec", "varint")
 
     positional = meta.get("positions", False)
 
@@ -370,6 +379,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
                 tf_offs=np.asarray(pdf["tf_offs"].iat[i], dtype=np.int32),
                 dl_offs=np.asarray(pdf["dl_offs"].iat[i], dtype=np.int32),
                 block_size=block_size,
+                codec=codec,
             )
             run = decode_postings(p)
             if positional:
@@ -399,6 +409,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
             np.asarray(bounds, dtype=np.int64),
             avgdl,
             block_size,
+            codec,
         )
         out = pd.DataFrame(rows)
         out.insert(0, "term", np.array(terms))
@@ -480,7 +491,8 @@ def merge_index(spark: SparkSession, index_dir: str, new_docs: DataFrame) -> dic
     # Postings for the new docs, encoded with the NEW avgdl (their blocks'
     # maxima are exact for it); appended as extra parquet files.
     postings = build_postings(
-        tf, new_avgdl, meta["bucket_size"], meta["block_size"]
+        tf, new_avgdl, meta["bucket_size"], meta["block_size"],
+        meta.get("codec", "varint"),
     ).sortWithinPartitions("term", "bucket")
     # Checkpoint-built indexes partition postings by chunk=N directories;
     # mixing top-level files into that layout breaks partition discovery,

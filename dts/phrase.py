@@ -29,7 +29,7 @@ from dts.tokenizer import tokenize_text
 PHRASE_SCHEMA = "phrase_id long, doc_id long, n_matches long"
 
 
-def _decode_row(row, block_size: int):
+def _decode_row(row, block_size: int, codec: str = "varint"):
     p = PackedPostings(
         n=int(row["n"]),
         doc_blob=bytes(row["doc_blob"]),
@@ -41,19 +41,20 @@ def _decode_row(row, block_size: int):
         tf_offs=np.asarray(row["tf_offs"], dtype=np.int32),
         dl_offs=np.asarray(row["dl_offs"], dtype=np.int32),
         block_size=block_size,
+        codec=codec,
     )
     docs, tfs, _ = decode_postings(p)
     pos_flat, bounds = decode_positions(bytes(row["pos_blob"]), tfs)
     return docs, pos_flat, bounds
 
 
-def _concat_runs(rows: pd.DataFrame, block_size: int):
+def _concat_runs(rows: pd.DataFrame, block_size: int, codec: str = "varint"):
     """Decode and concatenate a slot's posting rows (multiple rows appear
     after incremental merges; runs cover disjoint ascending doc ranges, so
     ordering by first doc yields globally ascending docs). Returns
     (docs, flat_positions, bounds[n_docs+1])."""
     decs = sorted(
-        (_decode_row(r, block_size) for _, r in rows.iterrows()),
+        (_decode_row(r, block_size, codec) for _, r in rows.iterrows()),
         key=lambda t: t[0][0] if len(t[0]) else -1,
     )
     docs = np.concatenate([d[0] for d in decs])
@@ -66,7 +67,7 @@ def _concat_runs(rows: pd.DataFrame, block_size: int):
     return docs, flat, bounds
 
 
-def _matcher_fn(block_size: int):
+def _matcher_fn(block_size: int, codec: str = "varint"):
     def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
@@ -85,7 +86,7 @@ def _matcher_fn(block_size: int):
         slot_docs: list[np.ndarray] = []
         slot_pos: list[tuple[np.ndarray, np.ndarray]] = []
         for i in range(m):
-            docs, flat, bounds = _concat_runs(pdf[pdf["i"] == i], block_size)
+            docs, flat, bounds = _concat_runs(pdf[pdf["i"] == i], block_size, codec)
             slot_docs.append(docs)
             slot_pos.append((flat, bounds))
         # Vectorized intersection over the WHOLE group (no per-doc Python):
@@ -127,7 +128,7 @@ def _matcher_fn(block_size: int):
     return match_group
 
 
-def _prox_matcher_fn(block_size: int, slop: int):
+def _prox_matcher_fn(block_size: int, slop: int, codec: str = "varint"):
     def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
@@ -139,8 +140,8 @@ def _prox_matcher_fn(block_size: int, slop: int):
         pair_id = int(pdf["pair_id"].iloc[0])
         if pdf["i"].nunique() != 2:
             return empty
-        da, fa, ba = _concat_runs(pdf[pdf["i"] == 0], block_size)
-        db, fb, bb = _concat_runs(pdf[pdf["i"] == 1], block_size)
+        da, fa, ba = _concat_runs(pdf[pdf["i"] == 0], block_size, codec)
+        db, fb, bb = _concat_runs(pdf[pdf["i"] == 1], block_size, codec)
         if not len(fa) or not len(fb):
             return empty
         # Packed keys: doc * P + pos; P leaves headroom for p + slop so a
@@ -204,7 +205,7 @@ def proximity_match_counts(
         F.broadcast(qt), "term"
     )
     return postings.groupBy("pair_id", "bucket").applyInPandas(
-        _prox_matcher_fn(meta["block_size"], slop),
+        _prox_matcher_fn(meta["block_size"], slop, meta.get("codec", "varint")),
         "pair_id long, doc_id long, n_matches long",
     )
 
@@ -246,5 +247,6 @@ def phrase_match_counts(
         F.broadcast(qt), "term"
     )
     return postings.groupBy("phrase_id", "bucket").applyInPandas(
-        _matcher_fn(meta["block_size"]), PHRASE_SCHEMA
+        _matcher_fn(meta["block_size"], meta.get("codec", "varint")),
+        PHRASE_SCHEMA,
     )

@@ -156,7 +156,14 @@ def expanded_query_terms(
     return exact.unionByName(expanded)
 
 
-def _scorer_fn(n_docs: int, avgdl: float, k: int, strategy: str, block_size: int):
+def _scorer_fn(
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    strategy: str,
+    block_size: int,
+    codec: str = "varint",
+):
     from dts.codec import decode_postings
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -184,6 +191,7 @@ def _scorer_fn(n_docs: int, avgdl: float, k: int, strategy: str, block_size: int
                     tf_offs=np.asarray(pdf["tf_offs"].iat[i], dtype=np.int32),
                     dl_offs=np.asarray(pdf["dl_offs"].iat[i], dtype=np.int32),
                     block_size=block_size,
+                    codec=codec,
                 ),
             )
             for i in range(len(pdf))
@@ -401,7 +409,8 @@ def bm25_topk_indexed(
             n_queries = queries.count()
         distribute = auto_distribute(n_queries, n_buckets)
     scorer = _scorer_fn(
-        meta["n_docs"], meta["avgdl"], k, strategy, meta["block_size"]
+        meta["n_docs"], meta["avgdl"], k, strategy, meta["block_size"],
+        meta.get("codec", "varint"),
     )
     if distribute == "bucket":
         # Cap group count: per-group applyInPandas overhead is real, so

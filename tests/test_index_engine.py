@@ -391,3 +391,64 @@ def test_index_handle_cache_and_invalidation(spark, docs_sdf, corpus_pd, tmp_pat
     h3 = load_index(spark, d)
     assert h3 is not h1
     assert h3["meta"]["n_docs"] == h1["meta"]["n_docs"] + 10
+
+
+@pytest.mark.parametrize("strategy", ["taat", "bmw"])
+def test_packed_codec_index_rank_identity(
+    spark, docs_sdf, oracle, queries_pd, tmp_path, strategy
+):
+    """An index built with the bit-packed (FOR) codec answers BM25 queries
+    rank- and bit-identically to the oracle under both strategies — the
+    codec is a storage choice, never a semantics choice."""
+    d = str(tmp_path / "packed_idx")
+    meta = build_index(
+        spark, docs_sdf, d, bucket_size=64, block_size=16, codec="packed"
+    )
+    assert meta["codec"] == "packed"
+    queries_sdf = spark.createDataFrame(
+        queries_pd[["query_id", "text", "fuzzy_k"]]
+    )
+    got = (
+        bm25_topk_indexed(spark, d, queries_sdf, k=10, strategy=strategy)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    _assert_identical(got, oracle, queries_pd, f"packed-{strategy}")
+
+
+def test_packed_codec_positional_phrase_and_compact(
+    spark, docs_sdf, corpus_pd, tmp_path
+):
+    """Packed codec composes with positional postings (phrase queries) and
+    survives compaction (decode→re-encode roundtrip under the meta codec)."""
+    from dts.index_build import compact_index
+    from dts.oracle import phrase_count
+    from dts.phrase import phrase_match_counts
+    from dts.tokenizer import tokenize_text
+
+    d = str(tmp_path / "packed_pos_idx")
+    build_index(
+        spark, docs_sdf, d, bucket_size=32, block_size=8,
+        positions=True, codec="packed",
+    )
+    ph = spark.createDataFrame(
+        [(0, "def ident1"), (1, "value return")], "phrase_id long, text string"
+    )
+
+    def phrase_got():
+        return {
+            (r.phrase_id, r.doc_id): r.n_matches
+            for r in phrase_match_counts(spark, d, ph).collect()
+        }
+
+    want = {}
+    for pid, text in [(0, "def ident1"), (1, "value return")]:
+        terms = tokenize_text(text)
+        for row in corpus_pd.itertuples():
+            c = phrase_count(row.content, terms)
+            if c:
+                want[(pid, row.doc_id)] = c
+    assert phrase_got() == want and len(want) > 0
+    meta = compact_index(spark, d)
+    assert meta.get("codec", "varint") == "packed"
+    assert phrase_got() == want
