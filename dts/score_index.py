@@ -295,21 +295,30 @@ def _local_query_term_rows(
     return out, len(rows)
 
 
-def auto_distribute(n_queries: int, n_buckets: int) -> str:
-    """Measured crossover for the scoring distribution (scripts/
-    calibrate_distribute.py, 480k docs / 118 buckets, warm best-of-2):
+def auto_distribute(
+    n_queries: int, n_buckets: int, n_docs: int | None = None
+) -> str:
+    """Measured crossover for the scoring distribution, calibrated across
+    THREE index sizes (scripts/calibrate_distribute.py, local[8], warm
+    best-of-2; cells are bucket_speedup = wall(query)/wall(bucket), >1 ⇒
+    bucket wins):
 
-    local[8]:  n_q=1 q1.48/b1.60 | 4 q2.59/b1.83 | 16 q2.31/b1.94
-               | 60 q3.17/b3.59 | 240 q8.4/b10.9 | 960 q24.5/b42.5
-    local[32]: n_q=1 q1.59/b2.22 | 4 q2.63/b2.26 | 16 q2.60/b2.92
-               | 60 q3.43/b4.02 | 240 q5.1/b10.9 | 960 q16.1/b36.6
+    n_queries →            1     2     4     16    60    240
+    120k docs / 30 bkts   0.95  0.74  0.66  0.55  0.59  0.41
+    480k docs / 118 bkts  0.90  1.27  1.16  1.06  0.77  0.61
+    960k docs / 235 bkts  1.00  1.31  1.44  0.96  1.09  0.74
 
     Bucket sharding buys parallelism only when the batch is too small to
     occupy the cores by itself (one group per query) yet has real per-query
-    work; past ~16 queries the per-group applyInPandas overhead
-    (n_queries × n_shards groups) dominates, and a single query pays the
-    extra merge stage for nothing. Tiny indexes (few buckets) have nothing
-    to shard."""
+    work — and only when the index is big enough that per-query groups are
+    heavy (the 30-bucket index loses everywhere: shard groups are too small
+    to amortize applyInPandas overhead). Past ~16 queries the per-group
+    overhead (n_queries × n_shards groups) dominates; a single query pays
+    the extra merge stage for nothing. The rule below is within 10% of the
+    better manual mode at EVERY measured cell (worst misses: 960k/16q auto
+    picks bucket at 0.96, 960k/60q auto picks query where bucket was 1.09).
+    ``n_docs`` is accepted for future refinement but carries no extra
+    signal today — n_buckets = n_docs/bucket_size already encodes size."""
     return "bucket" if 2 <= n_queries <= 16 and n_buckets >= 32 else "query"
 
 
@@ -407,7 +416,7 @@ def bm25_topk_indexed(
     if distribute is None:
         if n_queries is None:
             n_queries = queries.count()
-        distribute = auto_distribute(n_queries, n_buckets)
+        distribute = auto_distribute(n_queries, n_buckets, meta["n_docs"])
     scorer = _scorer_fn(
         meta["n_docs"], meta["avgdl"], k, strategy, meta["block_size"],
         meta.get("codec", "varint"),
