@@ -65,6 +65,15 @@ PROX_PAIRS = [
     (3, "query", "zzzmiss"),
 ]
 PROX_SLOP = 3
+# Boolean MUST / MUST_NOT queries (Lucene-style conjunctive matching
+# resolved purely from the compressed postings): an empty must_not, a
+# 3-term conjunction, and a negation that actually prunes.
+BOOL_QUERIES = [
+    (0, "fast join", "slow"),
+    (1, "table scan", ""),
+    (2, "customer order", "merge"),
+    (3, "data query row", ""),
+]
 
 VALUES_QUERIES = ", ".join(f"({i}, '{t}')" for i, t in PROBE_QUERIES)
 VALUES_FUZZY = ", ".join(f"({i}, '{t}')" for i, t in FUZZY_TERMS)
@@ -355,6 +364,19 @@ def _q_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_boolean_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean MUST / MUST_NOT document matching resolved purely from the
+    compressed postings (dts.boolquery — numpy set algebra inside exact,
+    globally disjoint (query, bucket) groups; no corpus rescan). Oracle:
+    list_has_all / list_has_any over the token array."""
+    from dts.boolquery import boolean_match_docs
+
+    bq = spark.createDataFrame(
+        BOOL_QUERIES, "bq_id long, must string, must_not string"
+    )
+    return boolean_match_docs(spark, _pos_index(spark, sf_dir), bq)
+
+
 def _q_fuzzy_expand_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine fuzzy expansion (trigram candidates + banded-DP verify UDF)
     vs a DuckDB oracle implementing the same candidate rule + levenshtein."""
@@ -562,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_expand_engine": _q_fuzzy_expand_engine,
         "phrase_match": _q_phrase_match,
         "proximity_match": _q_proximity_match,
+        "boolean_match": _q_boolean_match,
         # training-data pipeline operators
         "exact_dup": _q_exact_dup,
         "minhash_bands": _q_minhash_bands,
@@ -865,6 +888,20 @@ m AS (
   FROM t CROSS JOIN pr
 )
 SELECT pair_id, doc_id, n_matches FROM m WHERE n_matches > 0
+""",
+        "boolean_match": f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+bq(bq_id, must, must_not) AS (VALUES {", ".join(
+    "({}, [{}], {})".format(
+        i,
+        ",".join(f"'{w}'" for w in m.split()),
+        "[" + ",".join(f"'{w}'" for w in n.split()) + "]" if n else "[]::VARCHAR[]",
+    )
+    for i, m, n in BOOL_QUERIES
+)})
+SELECT bq_id::BIGINT AS bq_id, doc_id
+FROM t CROSS JOIN bq
+WHERE list_has_all(toks, must) AND NOT list_has_any(toks, must_not)
 """,
         "byte_match_count": f"""
 WITH pat(pat_id, pattern, k) AS (VALUES {", ".join(f"({i}, '{p}', {k})" for i, p, k in BYTE_PATTERNS)})

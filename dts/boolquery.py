@@ -1,0 +1,156 @@
+"""Boolean (conjunctive / negated) document matching over the index.
+
+BM25 scoring is disjunctive (any query term contributes); the reference's
+counting surface likewise treats each pattern independently
+(src/apm1.c:197-203 accumulates per-pattern totals). A search engine user
+also needs the boolean algebra Lucene calls MUST / MUST_NOT: documents
+containing ALL of one term set and NONE of another. This module resolves
+such queries purely from the compressed postings — no corpus rescan.
+
+Distribution mirrors dts.phrase: the (tiny) query-term table is broadcast,
+postings arrive pre-partitioned by the doc-range bucket, and a
+(bq_id, bucket) group holds ALL postings rows of every query term for the
+docs of that bucket (buckets are term-independent doc ranges) — so each
+group's verdict is exact and globally disjoint; there is no merge stage.
+Inside a group the set algebra is numpy over decoded doc arrays:
+m-way ``intersect1d`` for MUST, one ``isin`` subtraction for MUST_NOT.
+
+Scale: a MUST term missing from a bucket short-circuits the whole group
+(no doc there can match); head MUST_NOT terms cost one decode per bucket —
+the same per-bucket bound every other query path has. The postings scan is
+term_filter-pruned (IN-list row-group pushdown / semi-join fallback).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dts.codec import PackedPostings, decode_postings
+from dts.score_index import MAX_ISIN_TERMS, load_index, term_filter
+from dts.tokenizer import tokenize_text
+
+BOOL_SCHEMA = "bq_id long, doc_id long"
+
+
+def _decode_docs(rows: pd.DataFrame, block_size: int, codec: str) -> np.ndarray:
+    """Ascending doc_id array for one (term, bucket) slot. Multiple rows
+    appear after incremental merges; their runs cover disjoint ascending
+    doc ranges, so sorting runs by first doc yields a globally ascending
+    (hence unique) concatenation."""
+    runs = []
+    for _, r in rows.iterrows():
+        p = PackedPostings(
+            n=int(r["n"]),
+            doc_blob=bytes(r["doc_blob"]),
+            tf_blob=bytes(r["tf_blob"]),
+            dl_blob=bytes(r["dl_blob"]),
+            block_last_doc=np.asarray(r["block_last_doc"], dtype=np.int64),
+            block_max_impact=np.asarray(r["block_max_impact"], dtype=np.float64),
+            doc_offs=np.asarray(r["doc_offs"], dtype=np.int32),
+            tf_offs=np.asarray(r["tf_offs"], dtype=np.int32),
+            dl_offs=np.asarray(r["dl_offs"], dtype=np.int32),
+            block_size=block_size,
+            codec=codec,
+        )
+        docs, _, _ = decode_postings(p)
+        runs.append(docs)
+    runs.sort(key=lambda d: d[0] if len(d) else -1)
+    return np.concatenate(runs) if runs else np.zeros(0, dtype=np.int64)
+
+
+def _bool_matcher_fn(block_size: int, codec: str):
+    def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "bq_id": np.zeros(0, dtype=np.int64),
+                "doc_id": np.zeros(0, dtype=np.int64),
+            }
+        )
+        bq_id = int(pdf["bq_id"].iloc[0])
+        m = int(pdf["m"].iloc[0])
+        must = pdf[~pdf["neg"]]
+        if must["i"].nunique() != m:
+            return empty  # a MUST term is absent from this bucket
+        docs = None
+        # Intersect smallest slot first: keeps the working set minimal.
+        slots = sorted(
+            (must[must["i"] == i] for i in sorted(must["i"].unique())),
+            key=lambda s: int(s["n"].sum()),
+        )
+        for s in slots:
+            d = _decode_docs(s, block_size, codec)
+            docs = d if docs is None else np.intersect1d(
+                docs, d, assume_unique=True
+            )
+            if len(docs) == 0:
+                return empty
+        neg = pdf[pdf["neg"]]
+        if len(neg):
+            nd = np.unique(
+                np.concatenate(
+                    [
+                        _decode_docs(neg[neg["i"] == i], block_size, codec)
+                        for i in neg["i"].unique()
+                    ]
+                )
+            )
+            docs = docs[~np.isin(docs, nd, assume_unique=True)]
+        return pd.DataFrame(
+            {
+                "bq_id": np.full(len(docs), bq_id, dtype=np.int64),
+                "doc_id": docs.astype(np.int64),
+            }
+        )
+
+    return match_group
+
+
+def boolean_match_docs(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    max_isin_terms: int = MAX_ISIN_TERMS,
+) -> DataFrame:
+    """(bq_id, doc_id) for documents containing ALL tokens of ``must`` and
+    NONE of ``must_not`` (set semantics — duplicate tokens are collapsed).
+
+    ``queries`` needs (bq_id, must, must_not); both texts go through the
+    shared engine tokenizer on the driver (query batches are client-sized;
+    the term table is broadcast below anyway). ``must`` must tokenize to at
+    least one term — a pure-negation query would be a match-all scan, which
+    this index-resolved operator deliberately refuses (same stance as
+    Lucene's MatchAllDocsQuery being a separate, explicit operator).
+    """
+    qt_rows: list[tuple[int, int, int, bool, str]] = []
+    for r in queries.select("bq_id", "must", "must_not").collect():
+        must = sorted(set(tokenize_text(r["must"] or "")))
+        # A term in BOTH sets yields no matches (Lucene +t -t semantics):
+        # the intersection-then-subtraction below gives that for free.
+        nots = sorted(set(tokenize_text(r["must_not"] or "")))
+        if not must:
+            raise ValueError(
+                f"boolean query {r['bq_id']}: `must` tokenizes to no terms; "
+                "pure-negation queries are not index-resolvable"
+            )
+        for i, t in enumerate(must):
+            qt_rows.append((int(r["bq_id"]), len(must), i, False, t))
+        for i, t in enumerate(nots):
+            qt_rows.append((int(r["bq_id"]), len(must), len(must) + i, True, t))
+    if not qt_rows:
+        return spark.createDataFrame([], BOOL_SCHEMA)
+    qt = spark.createDataFrame(
+        qt_rows, "bq_id long, m int, i int, neg boolean, term string"
+    )
+    idx = load_index(spark, index_dir)
+    meta = idx["meta"]
+    terms = sorted({t for *_, t in qt_rows})
+    postings = term_filter(idx["postings"], terms, max_isin_terms).join(
+        F.broadcast(qt), "term"
+    )
+    return postings.groupBy("bq_id", "bucket").applyInPandas(
+        _bool_matcher_fn(meta["block_size"], meta.get("codec", "varint")),
+        BOOL_SCHEMA,
+    )

@@ -1,0 +1,101 @@
+"""Boolean MUST/MUST_NOT matching vs a python set oracle, including the
+merged-index (multiple posting rows per slot) and same-term-both-sides
+edge cases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dts.boolquery import boolean_match_docs
+from dts.index_build import build_index, merge_index
+from dts.tokenizer import tokenize_text
+
+
+@pytest.fixture(scope="module")
+def bool_index(spark, docs_sdf, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("bool_index"))
+    build_index(spark, docs_sdf, d, bucket_size=64, block_size=16)
+    return d
+
+
+def _py_oracle(corpus_pd, must: str, must_not: str) -> set[int]:
+    m = set(tokenize_text(must))
+    n = set(tokenize_text(must_not))
+    out = set()
+    for _, r in corpus_pd.iterrows():
+        toks = set(tokenize_text(r["content"]))
+        if m <= toks and not (n & toks):
+            out.add(int(r["doc_id"]))
+    return out
+
+
+def _terms_from(corpus_pd, seed: int, n: int) -> list[str]:
+    rng = np.random.RandomState(seed)
+    toks = tokenize_text(" ".join(corpus_pd["content"].head(40)))
+    return [toks[rng.randint(len(toks))] for _ in range(n)]
+
+
+def test_boolean_vs_oracle(spark, bool_index, corpus_pd):
+    ts = _terms_from(corpus_pd, seed=11, n=12)
+    cases = [
+        (0, f"{ts[0]}", ""),
+        (1, f"{ts[1]} {ts[2]}", ""),
+        (2, f"{ts[3]} {ts[4]}", f"{ts[5]}"),
+        (3, f"{ts[6]}", f"{ts[7]} {ts[8]}"),
+        (4, f"{ts[9]} {ts[10]} {ts[11]}", ""),
+        (5, f"{ts[0]}", f"{ts[0]}"),  # +t -t: must yield nothing
+        (6, "zzzabsent", ""),  # term not in vocabulary
+    ]
+    q = spark.createDataFrame(cases, "bq_id long, must string, must_not string")
+    got = boolean_match_docs(spark, bool_index, q).toPandas()
+    by_q = {
+        int(b): set(g["doc_id"].astype(int)) for b, g in got.groupby("bq_id")
+    }
+    nonempty = 0
+    for bq_id, must, must_not in cases:
+        want = _py_oracle(corpus_pd, must, must_not)
+        if bq_id == 5:
+            want = set()
+        assert by_q.get(bq_id, set()) == want, f"case {bq_id}"
+        nonempty += bool(want)
+    assert nonempty >= 3  # the sampled cases actually exercise matching
+
+
+def test_boolean_survives_merge(spark, bool_index, corpus_pd, tmp_path):
+    """After an incremental merge a slot has multiple posting rows per
+    bucket; set algebra must treat them as one concatenated run."""
+    import shutil
+
+    d = str(tmp_path / "merged")
+    shutil.copytree(bool_index, d)
+    extra = corpus_pd.head(30).drop(columns=["doc_id"])
+    merge_index(spark, d, spark.createDataFrame(extra))
+    ts = _terms_from(corpus_pd, seed=23, n=4)
+    q = spark.createDataFrame(
+        [(0, f"{ts[0]} {ts[1]}", f"{ts[2]}")],
+        "bq_id long, must string, must_not string",
+    )
+    got = set(
+        boolean_match_docs(spark, d, q).toPandas()["doc_id"].astype(int)
+    )
+    # oracle over the merged corpus: appended docs get ids base + row order
+    base = len(corpus_pd)
+    merged = pd.concat(
+        [
+            corpus_pd,
+            extra.assign(doc_id=np.arange(base, base + len(extra))),
+        ],
+        ignore_index=True,
+    )
+    want = _py_oracle(merged, f"{ts[0]} {ts[1]}", f"{ts[2]}")
+    assert got == want
+
+
+def test_pure_negation_rejected(spark, bool_index):
+    q = spark.createDataFrame(
+        [(0, "", "anything")], "bq_id long, must string, must_not string"
+    )
+    with pytest.raises(ValueError, match="must"):
+        boolean_match_docs(spark, bool_index, q)
