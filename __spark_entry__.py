@@ -65,6 +65,16 @@ PROX_PAIRS = [
     (3, "query", "zzzmiss"),
 ]
 PROX_SLOP = 3
+# Wildcard patterns (* = any run of chars): pure prefix, leading star,
+# inner star, literal, multi-star, and a guaranteed miss (count 0).
+WILDCARD_PATTERNS = [
+    (0, "fa*"),
+    (1, "*an"),
+    (2, "jo*n"),
+    (3, "table"),
+    (4, "qu*er*"),
+    (5, "zzqq*"),
+]
 # Boolean MUST / MUST_NOT queries (Lucene-style conjunctive matching
 # resolved purely from the compressed postings): an empty must_not, a
 # 3-term conjunction, and a negation that actually prunes.
@@ -364,6 +374,37 @@ def _q_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wildcard_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard term counting resolved from term_stats.cf alone
+    (dts.wildcard): the literal prefix pushes down as a range predicate on
+    the term-sorted vocabulary; postings are never read. Oracle: token
+    LIKE with * → %."""
+    from dts.wildcard import wildcard_match_counts
+
+    wq = spark.createDataFrame(WILDCARD_PATTERNS, "wq_id long, pattern string")
+    return wildcard_match_counts(spark, _pos_index(spark, sf_dir), wq)
+
+
+def _q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard BM25 top-k: dictionary-range expansion then Lucene-style
+    BooleanQuery rewrite (each matched term scores once with its own idf),
+    re-ranked on round-6 scores against the SQL oracle."""
+    from pyspark.sql import Window as W
+
+    from dts.wildcard import bm25_topk_wildcard
+
+    wq = spark.createDataFrame(WILDCARD_PATTERNS, "wq_id long, pattern string")
+    full = bm25_topk_wildcard(spark, _pos_index(spark, sf_dir), wq, k=10**6)
+    w = W.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), F.col("doc_id").asc()
+    )
+    return (
+        full.withColumn("r6", F.row_number().over(w))
+        .filter(F.col("r6") <= 10)
+        .select("query_id", "doc_id", F.col("r6").alias("rank"))
+    )
+
+
 def _q_boolean_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean MUST / MUST_NOT document matching resolved purely from the
     compressed postings (dts.boolquery — numpy set algebra inside exact,
@@ -585,6 +626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "proximity_match": _q_proximity_match,
         "boolean_match": _q_boolean_match,
+        "wildcard_count": _q_wildcard_count,
+        "wildcard_topk": _q_wildcard_topk,
         # training-data pipeline operators
         "exact_dup": _q_exact_dup,
         "minhash_bands": _q_minhash_bands,
@@ -888,6 +931,53 @@ m AS (
   FROM t CROSS JOIN pr
 )
 SELECT pair_id, doc_id, n_matches FROM m WHERE n_matches > 0
+""",
+        "wildcard_count": f"""
+WITH tok AS (SELECT unnest({_D_TOKS}) AS term FROM documents),
+wq(wq_id, pat) AS (VALUES {", ".join(f"({i}, '{p.replace('*', '%')}')" for i, p in WILDCARD_PATTERNS)}),
+c AS (
+  SELECT wq_id, count(*)::BIGINT AS n FROM wq JOIN tok ON tok.term LIKE wq.pat GROUP BY 1
+)
+SELECT wq.wq_id::BIGINT AS wq_id, coalesce(c.n, 0)::BIGINT AS n_matches
+FROM wq LEFT JOIN c USING (wq_id)
+""",
+        "wildcard_topk": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '{TOK}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(coalesce(text, '')), '{TOK}'))::BIGINT AS dl
+  FROM documents
+),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+wq(query_id, pat) AS (VALUES {", ".join(f"({i}, '{p.replace('*', '%')}')" for i, p in WILDCARD_PATTERNS)}),
+qterms AS (
+  SELECT DISTINCT query_id::BIGINT AS query_id, v.term
+  FROM wq JOIN (SELECT DISTINCT term FROM tok) v ON v.term LIKE wq.pat
+),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         round(sum(
+           ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ), 6) AS score6
+  FROM qterms
+  JOIN tf USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
 """,
         "boolean_match": f"""
 WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),

@@ -111,6 +111,36 @@ class OracleIndex:
                 counts[doc_id] = counts.get(doc_id, 0) + tf
         return counts
 
+    def wildcard_expand(self, pattern: str) -> list[str]:
+        """Vocabulary terms matching a ``*``-wildcard pattern (the
+        dictionary-range expansion of dts.wildcard, spec form)."""
+        import re as _re
+
+        rx = _re.compile(
+            "^" + ".*".join(_re.escape(p) for p in pattern.split("*")) + "$"
+        )
+        return [t for t in self.vocab if rx.match(t)]
+
+    def score_terms(self, terms: list[str], topk: int = 10):
+        """BM25 top-k for an explicit term multiset (the multi-term rewrite
+        spec: each list element contributes its idf·impact once; callers
+        pass a distinct set for wildcard semantics). Same summation order
+        and ranking contract as score_query."""
+        scores: dict[int, float] = {}
+        for t in sorted(terms):
+            if t not in self.tf:
+                continue
+            w = idf(self.n_docs, len(self.tf[t]))
+            for doc_id in sorted(self.tf[t]):
+                tf = self.tf[t][doc_id]
+                dl = self.doc_len[doc_id]
+                impact = (
+                    tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+                )
+                scores[doc_id] = scores.get(doc_id, 0.0) + w * impact
+        ranked = sorted(scores.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))[:topk]
+        return [(r + 1, doc_id, s) for r, (doc_id, s) in enumerate(ranked)]
+
     def score_query(self, text: str, fuzzy_k: int = 0, topk: int = 10):
         """BM25 top-k: returns list of (rank, doc_id, score)."""
         qterms = tokenize_text(text)

@@ -322,6 +322,110 @@ def auto_distribute(
     return "bucket" if 2 <= n_queries <= 16 and n_buckets >= 32 else "query"
 
 
+def _filter_by_qterms(
+    idx: dict, scan: DataFrame, qterms: DataFrame, max_isin_terms: int
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """(postings, stats, terms≤cap+1) for a DISTRIBUTED (query_id, term)
+    table: collect at most cap+1 distinct terms — enough to decide whether
+    the IN-list pushdown is safe, never a driver blowup on huge
+    expansions; beyond the cap, broadcast left-semi joins keep the plan
+    bounded."""
+    distinct_terms = qterms.select("term").distinct()
+    terms = [
+        r["term"] for r in distinct_terms.limit(max_isin_terms + 1).collect()
+    ]
+    if not terms:
+        return None, None, []
+    if len(terms) <= max_isin_terms:
+        postings = scan.filter(F.col("term").isin(terms))
+        stats = idx["term_stats"].filter(F.col("term").isin(terms)).select(
+            "term", "df"
+        )
+    else:
+        postings = scan.join(F.broadcast(distinct_terms), "term", "left_semi")
+        stats = idx["term_stats"].join(
+            F.broadcast(distinct_terms), "term", "left_semi"
+        ).select("term", "df")
+    return postings, stats, terms
+
+
+def _score_filtered(
+    spark: SparkSession,
+    meta: dict,
+    postings: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    n_queries: int,
+    k: int,
+    strategy: str,
+    distribute: str | None,
+) -> DataFrame:
+    """Shared scoring tail: join filtered postings with broadcast stats +
+    query terms, pick the distribution mode, run the per-group scorer."""
+    joined = postings.join(F.broadcast(stats), "term").join(
+        F.broadcast(qterms), "term"
+    )
+    n_buckets = -(-meta["n_docs"] // meta["bucket_size"])
+    if distribute is None:
+        distribute = auto_distribute(n_queries, n_buckets, meta["n_docs"])
+    scorer = _scorer_fn(
+        meta["n_docs"], meta["avgdl"], k, strategy, meta["block_size"],
+        meta.get("codec", "varint"),
+    )
+    if distribute == "bucket":
+        # Cap group count: per-group applyInPandas overhead is real, so
+        # hash buckets into ~4×cores shards. Exactness is preserved under
+        # ANY partition of buckets (a doc's postings all live in its one
+        # bucket → one shard); contiguity is not required.
+        n_shards = max(
+            1, min(n_buckets, 4 * spark.sparkContext.defaultParallelism)
+        )
+        local = (
+            joined.withColumn(
+                "shard", F.pmod(F.col("bucket"), F.lit(n_shards))
+            )
+            .groupBy("query_id", "shard")
+            .applyInPandas(scorer, TOPK_SCHEMA)
+        )
+        return topk_merge_global(local.drop("rank"), k).select(
+            "query_id", "doc_id", "score", "rank"
+        )
+    return joined.groupBy("query_id").applyInPandas(scorer, TOPK_SCHEMA)
+
+
+def score_expanded_terms(
+    spark: SparkSession,
+    index_dir: str,
+    qterms: DataFrame,
+    n_queries: int,
+    k: int = 10,
+    strategy: str = "taat",
+    distribute: str | None = None,
+    max_isin_terms: int = MAX_ISIN_TERMS,
+) -> DataFrame:
+    """BM25 top-k for explicit (query_id, term) rows — the multi-term
+    rewrite entry point (wildcard/prefix expansion, external synonym sets).
+    Each ROW contributes its own idf·impact once, so the caller chooses
+    multiplicity: text queries keep duplicate tokens, wildcard rewrites
+    pass a distinct term set (Lucene's BooleanQuery rewrite semantics).
+    ``qterms`` may be distributed (an expansion output) — the IN-list cap
+    logic collects at most cap+1 terms to pick the pushdown strategy."""
+    idx = load_index(spark, index_dir)
+    if strategy == "bmw" and not idx["meta"].get("bmw_safe", True):
+        raise ValueError(
+            "bmw strategy unavailable on a merged index whose block maxima "
+            "are stale; use strategy='taat' or compact first."
+        )
+    scan = idx["postings"].select(*POSTING_SCORE_COLS)
+    postings, stats, _ = _filter_by_qterms(idx, scan, qterms, max_isin_terms)
+    if postings is None:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    return _score_filtered(
+        spark, idx["meta"], postings, stats, qterms, n_queries, k,
+        strategy, distribute,
+    )
+
+
 def bm25_topk_indexed(
     spark: SparkSession,
     index_dir: str,
@@ -363,7 +467,6 @@ def bm25_topk_indexed(
             "maxima are no longer sound upper bounds. Use strategy='taat' "
             "(exact) or re-encode/compact the index."
         )
-    n_queries = None
     scan = idx["postings"].select(*POSTING_SCORE_COLS)
     if meta.get("vocab_size") and meta["vocab_size"] <= DRIVER_EXPAND_VOCAB_CAP:
         # Driver-sized vocab: the whole query-term computation is local —
@@ -385,61 +488,16 @@ def bm25_topk_indexed(
         qterms = expanded_query_terms(
             queries, idx["term_stats"], idx.get("trigrams")
         ).cache()
-        distinct_terms = qterms.select("term").distinct()
-        # Collect at most cap+1 terms: enough to know whether the IN-list
-        # is safe, never a driver-side blowup on huge fuzzy expansions.
-        terms = [
-            r["term"]
-            for r in distinct_terms.limit(max_isin_terms + 1).collect()
-        ]
-        if not terms:
+        postings, stats, _ = _filter_by_qterms(
+            idx, scan, qterms, max_isin_terms
+        )
+        if postings is None:
             return spark.createDataFrame([], TOPK_SCHEMA)
-        if len(terms) <= max_isin_terms:
-            postings = scan.filter(F.col("term").isin(terms))
-            stats = idx["term_stats"].filter(
-                F.col("term").isin(terms)
-            ).select("term", "df")
-        else:
-            # Fallback: broadcast semi-join keeps the plan bounded; loses
-            # row-group pruning but a batch this wide reads most groups
-            # anyway.
-            postings = scan.join(
-                F.broadcast(distinct_terms), "term", "left_semi"
-            )
-            stats = idx["term_stats"].join(
-                F.broadcast(distinct_terms), "term", "left_semi"
-            ).select("term", "df")
-    joined = postings.join(F.broadcast(stats), "term").join(
-        F.broadcast(qterms), "term"
+        n_queries = queries.count() if distribute is None else 0
+    return _score_filtered(
+        spark, meta, postings, stats, qterms, n_queries, k, strategy,
+        distribute,
     )
-    n_buckets = -(-meta["n_docs"] // meta["bucket_size"])
-    if distribute is None:
-        if n_queries is None:
-            n_queries = queries.count()
-        distribute = auto_distribute(n_queries, n_buckets, meta["n_docs"])
-    scorer = _scorer_fn(
-        meta["n_docs"], meta["avgdl"], k, strategy, meta["block_size"],
-        meta.get("codec", "varint"),
-    )
-    if distribute == "bucket":
-        # Cap group count: per-group applyInPandas overhead is real, so
-        # hash buckets into ~4×cores shards. Exactness is preserved under
-        # ANY partition of buckets (a doc's postings all live in its one
-        # bucket → one shard); contiguity is not required.
-        n_shards = max(
-            1, min(n_buckets, 4 * spark.sparkContext.defaultParallelism)
-        )
-        local = (
-            joined.withColumn(
-                "shard", F.pmod(F.col("bucket"), F.lit(n_shards))
-            )
-            .groupBy("query_id", "shard")
-            .applyInPandas(scorer, TOPK_SCHEMA)
-        )
-        return topk_merge_global(local.drop("rank"), k).select(
-            "query_id", "doc_id", "score", "rank"
-        )
-    return joined.groupBy("query_id").applyInPandas(scorer, TOPK_SCHEMA)
 
 
 def match_counts_indexed(

@@ -1,0 +1,99 @@
+"""Wildcard/prefix queries: expansion vs the spec oracle, counting,
+rewrite scoring rank identity, and the range-pushdown plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dts.index_build import build_index
+from dts.oracle import OracleIndex
+from dts.wildcard import (
+    _pattern_filter,
+    _prefix_upper,
+    bm25_topk_wildcard,
+    expand_wildcard_terms,
+    wildcard_match_counts,
+)
+
+PATTERNS = ["de*", "*t", "i*t", "def", "zzqq*", "*", "s*a*m"]
+
+
+@pytest.fixture(scope="module")
+def wc_index(spark, docs_sdf, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("wc_index"))
+    build_index(spark, docs_sdf, d, bucket_size=64, block_size=16)
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_pd) -> OracleIndex:
+    return OracleIndex(
+        list(zip(corpus_pd["doc_id"].astype(int), corpus_pd["content"]))
+    )
+
+
+def test_prefix_upper():
+    assert _prefix_upper("fa") == "fb"
+    assert _prefix_upper("a" + chr(0x10FFFF)) == "b"
+    assert _prefix_upper(chr(0x10FFFF)) is None
+    assert _prefix_upper("") is None
+
+
+def test_expand_vs_oracle(spark, wc_index, oracle):
+    pats = spark.createDataFrame(
+        list(enumerate(PATTERNS)), "wq_id long, pattern string"
+    )
+    got = expand_wildcard_terms(spark, wc_index, pats).toPandas()
+    by_q = {int(i): set(g["term"]) for i, g in got.groupby("wq_id")}
+    for i, p in enumerate(PATTERNS):
+        assert by_q.get(i, set()) == set(oracle.wildcard_expand(p)), p
+
+
+def test_counts_vs_oracle(spark, wc_index, oracle):
+    pats = spark.createDataFrame(
+        list(enumerate(PATTERNS)), "wq_id long, pattern string"
+    )
+    got = {
+        int(r["wq_id"]): int(r["n_matches"])
+        for r in wildcard_match_counts(spark, wc_index, pats).collect()
+    }
+    for i, p in enumerate(PATTERNS):
+        want = sum(
+            sum(self_tf.values())
+            for t, self_tf in (
+                (t, oracle.tf[t]) for t in oracle.wildcard_expand(p)
+            )
+        )
+        assert got[i] == want, p
+    assert got[4] == 0  # the miss pattern reports an explicit zero
+
+
+@pytest.mark.parametrize("distribute", ["query", "bucket"])
+def test_topk_vs_oracle(spark, wc_index, oracle, distribute):
+    pats = spark.createDataFrame(
+        list(enumerate(PATTERNS)), "wq_id long, pattern string"
+    )
+    got = bm25_topk_wildcard(
+        spark, wc_index, pats, k=10, distribute=distribute
+    ).toPandas()
+    for i, p in enumerate(PATTERNS):
+        want = oracle.score_terms(oracle.wildcard_expand(p), topk=10)
+        g = got[got["query_id"] == i].sort_values("rank")
+        assert list(g["doc_id"].astype(int)) == [d for _, d, _ in want], p
+        assert np.allclose(
+            g["score"].to_numpy(), [s for *_, s in want], rtol=0, atol=0
+        ), p  # bit-identical: shared ascending-term summation order
+
+
+def test_prefix_range_is_pushed_down(spark, wc_index):
+    """The pure-prefix leg must reach the parquet scan as a range predicate
+    (the term dictionary 'seek')."""
+    vocab = spark.read.parquet(f"{wc_index}/term_stats").select("term")
+    leg = vocab.filter(_pattern_filter("de*"))
+    plan = leg._sc._jvm.PythonSQLUtils.explainString(
+        leg._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(term,de)" in plan and "LessThan(term,df)" in plan, plan
