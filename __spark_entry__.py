@@ -374,6 +374,77 @@ def _q_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DELETE_PRED_MOD = 7  # tombstone doc_id % 7 == 3 in the deletion probes
+DELETE_PRED_REM = 3
+
+
+def _rerank6_top10(full: DataFrame) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), F.col("doc_id").asc()
+    )
+    return (
+        full.withColumn("r6", F.row_number().over(w))
+        .filter(F.col("r6") <= 10)
+        .select("query_id", "doc_id", F.col("r6").alias("rank"))
+    )
+
+
+def _deleted_index(spark: SparkSession, sf_dir: str, compact: bool) -> str:
+    """Fresh index over the driver docs with doc_id % 7 == 3 tombstoned;
+    optionally compacted (physical delete + exact stat recompute). Fresh
+    per call: probes must not share mutable index state."""
+    import tempfile
+
+    from dts.delete import delete_docs
+    from dts.index_build import build_index, compact_index
+    from dts.io import driver_documents_as_source
+
+    docs = driver_documents_as_source(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dts_del_idx_")
+    build_index(spark, docs, d, bucket_size=256)
+    delete_docs(
+        spark, d,
+        docs.filter(
+            F.col("doc_id") % DELETE_PRED_MOD == DELETE_PRED_REM
+        ).select("doc_id"),
+    )
+    if compact:
+        compact_index(spark, d)
+    return d
+
+
+def _q_bm25_topk_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-phase deletion semantics (Lucene live-docs): deleted docs
+    are masked BEFORE top-k truncation, but corpus stats (n_docs, avgdl,
+    df) still count them until compaction. Oracle: full-stats BM25 scored
+    set, deleted docs filtered before ranking."""
+    from dts.score_index import bm25_topk_indexed
+
+    d = _deleted_index(spark, sf_dir, compact=False)
+    q = spark.createDataFrame(
+        [(i, t, 0) for i, t in PROBE_QUERIES],
+        "query_id long, text string, fuzzy_k int",
+    )
+    return _rerank6_top10(bm25_topk_indexed(spark, d, q, k=10**6))
+
+
+def _q_bm25_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-compaction deletion semantics: physical removal + exact stat
+    recompute — results must equal a FRESH build over the live corpus.
+    Oracle: the same BM25 SQL computed over the filtered documents table
+    (stats and all)."""
+    from dts.score_index import bm25_topk_indexed
+
+    d = _deleted_index(spark, sf_dir, compact=True)
+    q = spark.createDataFrame(
+        [(i, t, 0) for i, t in PROBE_QUERIES],
+        "query_id long, text string, fuzzy_k int",
+    )
+    return _rerank6_top10(bm25_topk_indexed(spark, d, q, k=10**6))
+
+
 def _q_wildcard_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wildcard term counting resolved from term_stats.cf alone
     (dts.wildcard): the literal prefix pushes down as a range predicate on
@@ -628,6 +699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_match": _q_boolean_match,
         "wildcard_count": _q_wildcard_count,
         "wildcard_topk": _q_wildcard_topk,
+        "bm25_topk_tombstone": _q_bm25_topk_tombstone,
+        "bm25_topk_deleted": _q_bm25_topk_deleted,
         # training-data pipeline operators
         "exact_dup": _q_exact_dup,
         "minhash_bands": _q_minhash_bands,
@@ -1040,4 +1113,20 @@ SELECT q_id, vec_id, cos6, rank::INTEGER AS rank FROM (
 ) WHERE rank <= 10
 """
     extra["bm25_topk_engine"] = base["bm25_topk"]
+    # Tombstone phase: FULL-corpus stats (the scored CTE is unchanged),
+    # deleted docs filtered out just before ranking — Lucene's live-docs
+    # semantics, which the engine implements between delete and compact.
+    extra["bm25_topk_tombstone"] = _BM25_SQL_CTE + f"""
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
+  FROM scored WHERE doc_id % {DELETE_PRED_MOD} <> {DELETE_PRED_REM}
+) WHERE rank <= 10
+"""
+    # Post-compaction: stats recomputed over live docs only — identical to
+    # scoring a fresh build of the filtered corpus.
+    extra["bm25_topk_deleted"] = base["bm25_topk"].replace(
+        "FROM documents",
+        f"FROM documents WHERE doc_id % {DELETE_PRED_MOD} <> {DELETE_PRED_REM}",
+    )
     return {**base, **{k: v for k, v in extra.items() if v is not None}}

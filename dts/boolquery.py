@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dts.codec import PackedPostings, decode_postings
+from dts.delete import mask_deleted_rows
 from dts.score_index import MAX_ISIN_TERMS, load_index, term_filter
 from dts.tokenizer import tokenize_text
 
@@ -150,7 +151,8 @@ def boolean_match_docs(
     postings = term_filter(idx["postings"], terms, max_isin_terms).join(
         F.broadcast(qt), "term"
     )
-    return postings.groupBy("bq_id", "bucket").applyInPandas(
+    out = postings.groupBy("bq_id", "bucket").applyInPandas(
         _bool_matcher_fn(meta["block_size"], meta.get("codec", "varint")),
         BOOL_SCHEMA,
     )
+    return mask_deleted_rows(out, spark, index_dir, meta)

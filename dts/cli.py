@@ -144,6 +144,21 @@ def cmd_compact(args) -> None:
     print(_json.dumps(compact_index(spark, args.index), sort_keys=True))
 
 
+def cmd_delete(args) -> None:
+    """Tombstone doc_ids (comma list or a parquet path with a doc_id
+    column); physical removal happens at the next `dts compact`."""
+    import json as _json
+
+    from dts.delete import delete_docs
+
+    spark = get_spark("dts-delete")
+    if args.doc_ids:
+        ids = [int(x) for x in args.doc_ids.split(",") if x.strip()]
+    else:
+        ids = spark.read.parquet(args.ids_parquet).select("doc_id")
+    print(_json.dumps(delete_docs(spark, args.index, ids), sort_keys=True))
+
+
 def cmd_count(args) -> None:
     """Reference-faithful output format: the per-pattern match count
     (mirrors `Number of matches for pattern <%s>: %d`,
@@ -210,6 +225,12 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("--index", required=True)
     g.set_defaults(fn=cmd_compact)
 
+    g = sub.add_parser("delete")
+    g.add_argument("--index", required=True)
+    g.add_argument("--doc-ids", default=None, help="comma-separated ids")
+    g.add_argument("--ids-parquet", default=None)
+    g.set_defaults(fn=cmd_delete)
+
     g = sub.add_parser("count")
     g.add_argument("--index", required=True)
     g.add_argument("--text", required=True)
@@ -219,6 +240,8 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
     if args.cmd == "query" and not (args.text or args.queries):
         p.error("query needs --text or --queries")
+    if args.cmd == "delete" and not (args.doc_ids or args.ids_parquet):
+        p.error("delete needs --doc-ids or --ids-parquet")
     args.fn(args)
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dts.codec import PackedPostings, decode_positions, decode_postings
+from dts.delete import mask_deleted_rows
 from dts.score_index import MAX_ISIN_TERMS, load_index, term_filter
 from dts.tokenizer import tokenize_text
 
@@ -204,10 +205,11 @@ def proximity_match_counts(
     postings = term_filter(idx["postings"], terms, max_isin_terms).join(
         F.broadcast(qt), "term"
     )
-    return postings.groupBy("pair_id", "bucket").applyInPandas(
+    out = postings.groupBy("pair_id", "bucket").applyInPandas(
         _prox_matcher_fn(meta["block_size"], slop, meta.get("codec", "varint")),
         "pair_id long, doc_id long, n_matches long",
     )
+    return mask_deleted_rows(out, spark, index_dir, meta)
 
 
 def phrase_match_counts(
@@ -246,7 +248,8 @@ def phrase_match_counts(
     postings = term_filter(idx["postings"], terms, max_isin_terms).join(
         F.broadcast(qt), "term"
     )
-    return postings.groupBy("phrase_id", "bucket").applyInPandas(
+    out = postings.groupBy("phrase_id", "bucket").applyInPandas(
         _matcher_fn(meta["block_size"], meta.get("codec", "varint")),
         PHRASE_SCHEMA,
     )
+    return mask_deleted_rows(out, spark, index_dir, meta)

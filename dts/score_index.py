@@ -163,8 +163,16 @@ def _scorer_fn(
     strategy: str,
     block_size: int,
     codec: str = "varint",
+    deleted: np.ndarray | None = None,
 ):
+    """``deleted``: sorted tombstoned doc_ids (dts.delete) — masked BEFORE
+    top-k truncation so a tombstone can never occupy a rank slot. Stats
+    (idf / avgdl / n_docs) intentionally still count deleted docs until
+    compaction (Lucene semantics)."""
     from dts.codec import decode_postings
+
+    if deleted is not None and not len(deleted):
+        deleted = None
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = int(pdf["query_id"].iloc[0])
@@ -204,7 +212,7 @@ def _scorer_fn(
             # one term over disjoint doc ranges never overlap, so their
             # cursors co-exist safely; duplicates contribute twice as in
             # the oracle's multiset.
-            ranked = bmw_topk(packs, k, avgdl)
+            ranked = bmw_topk(packs, k, avgdl, deleted=deleted)
         else:
             docs_parts, contrib_parts = [], []
             for _, w, p in packs:
@@ -219,6 +227,9 @@ def _scorer_fn(
             acc = np.zeros(len(uniq), dtype=np.float64)
             for d, c in zip(docs_parts, contrib_parts):
                 acc[np.searchsorted(uniq, d)] += c
+            if deleted is not None:
+                live = ~np.isin(uniq, deleted, assume_unique=True)
+                uniq, acc = uniq[live], acc[live]
             key = np.round(acc, ROUND_RANK)
             order = np.lexsort((uniq, -key))[:k]
             ranked = [(int(uniq[i]), float(acc[i])) for i in order]
@@ -322,6 +333,18 @@ def auto_distribute(
     return "bucket" if 2 <= n_queries <= 16 and n_buckets >= 32 else "query"
 
 
+def _deleted_mask(
+    spark: SparkSession, index_dir: str, meta: dict
+) -> np.ndarray | None:
+    """Sorted tombstone array when the index has live deletions, else None
+    (no job issued). See dts.delete for the scale contract."""
+    if not meta.get("n_deleted"):
+        return None
+    from dts.delete import deleted_ids_array
+
+    return deleted_ids_array(spark, index_dir, meta)
+
+
 def _filter_by_qterms(
     idx: dict, scan: DataFrame, qterms: DataFrame, max_isin_terms: int
 ) -> tuple[DataFrame, DataFrame, list[str]]:
@@ -359,6 +382,7 @@ def _score_filtered(
     k: int,
     strategy: str,
     distribute: str | None,
+    deleted: np.ndarray | None = None,
 ) -> DataFrame:
     """Shared scoring tail: join filtered postings with broadcast stats +
     query terms, pick the distribution mode, run the per-group scorer."""
@@ -370,7 +394,7 @@ def _score_filtered(
         distribute = auto_distribute(n_queries, n_buckets, meta["n_docs"])
     scorer = _scorer_fn(
         meta["n_docs"], meta["avgdl"], k, strategy, meta["block_size"],
-        meta.get("codec", "varint"),
+        meta.get("codec", "varint"), deleted,
     )
     if distribute == "bucket":
         # Cap group count: per-group applyInPandas overhead is real, so
@@ -422,7 +446,7 @@ def score_expanded_terms(
         return spark.createDataFrame([], TOPK_SCHEMA)
     return _score_filtered(
         spark, idx["meta"], postings, stats, qterms, n_queries, k,
-        strategy, distribute,
+        strategy, distribute, _deleted_mask(spark, index_dir, idx["meta"]),
     )
 
 
@@ -496,7 +520,7 @@ def bm25_topk_indexed(
         n_queries = queries.count() if distribute is None else 0
     return _score_filtered(
         spark, meta, postings, stats, qterms, n_queries, k, strategy,
-        distribute,
+        distribute, _deleted_mask(spark, index_dir, meta),
     )
 
 

@@ -92,13 +92,21 @@ def bmw_topk(
     avgdl: float,
     k1: float = 1.2,
     b: float = 0.75,
+    deleted: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND over full (single-list-per-term) postings.
 
     ``term_postings``: (term, idf, packed) — the expanded term multiset
     (duplicates allowed), each with its COMPLETE posting list.
     Returns [(doc_id, score)] already ranked (round-9 desc, doc_id asc).
+
+    ``deleted``: sorted tombstoned doc_ids — a tombstoned pivot is skipped
+    before scoring (never enters the heap). Pruning stays sound: removing
+    candidates can only lower true scores below the block-max upper
+    bounds, never above.
     """
+    if deleted is not None and not len(deleted):
+        deleted = None
     cursors = [
         _Cursor(t, w, p) for t, w, p in term_postings if p.n > 0
     ]
@@ -133,8 +141,12 @@ def bmw_topk(
             # cursors currently AT pivot_doc (a prefix of `live`); bound it
             # by their current-block maxima.
             contributors = [c for c in live if c.doc() == pivot_doc]
+            is_deleted = deleted is not None and bool(
+                np.searchsorted(deleted, pivot_doc) < len(deleted)
+                and deleted[np.searchsorted(deleted, pivot_doc)] == pivot_doc
+            )
             block_ub = sum(c.block_ub() for c in contributors)
-            if block_ub >= th - eps:
+            if not is_deleted and block_ub >= th - eps:
                 # Score fully — ascending term order for bit-identity.
                 contributors.sort(key=lambda c: c.term)
                 s = 0.0

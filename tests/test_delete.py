@@ -1,0 +1,160 @@
+"""Deletion lifecycle: tombstone masking on every query path (stale
+stats, Lucene semantics), physical apply + exact stat recompute at
+compaction, validation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dts.boolquery import boolean_match_docs
+from dts.delete import delete_docs, deleted_ids_array
+from dts.index_build import build_index, compact_index, load_meta
+from dts.oracle import OracleIndex
+from dts.phrase import phrase_match_counts
+from dts.score_index import bm25_topk_indexed, load_index
+from dts.tokenizer import tokenize_text
+
+DELETED = set(range(3, 200, 5))  # doc_id % 5 == 3
+
+
+@pytest.fixture()
+def del_index(spark, docs_sdf, tmp_path):
+    """Fresh positional index with DELETED tombstoned (function-scoped:
+    compaction mutates)."""
+    d = str(tmp_path / "didx")
+    build_index(spark, docs_sdf, d, bucket_size=64, block_size=16, positions=True)
+    delete_docs(spark, d, sorted(DELETED))
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle_live(corpus_pd) -> OracleIndex:
+    """Oracle over LIVE docs only, keeping original doc_ids — the
+    post-compaction spec (exact stats over live corpus)."""
+    live = corpus_pd[~corpus_pd["doc_id"].isin(DELETED)]
+    return OracleIndex(list(zip(live["doc_id"].astype(int), live["content"])))
+
+
+@pytest.fixture(scope="module")
+def oracle_full(corpus_pd) -> OracleIndex:
+    return OracleIndex(
+        list(zip(corpus_pd["doc_id"].astype(int), corpus_pd["content"]))
+    )
+
+
+def _queries(spark, corpus_pd, n=6):
+    texts = [
+        " ".join(tokenize_text(r["content"])[:3])
+        for _, r in corpus_pd.head(n).iterrows()
+    ]
+    return texts, spark.createDataFrame(
+        [(i, t, 0) for i, t in enumerate(texts)],
+        "query_id long, text string, fuzzy_k int",
+    )
+
+
+@pytest.mark.parametrize("strategy,distribute", [
+    ("taat", "query"), ("taat", "bucket"), ("bmw", "query"),
+])
+def test_tombstone_masks_topk(
+    spark, del_index, corpus_pd, oracle_full, strategy, distribute
+):
+    """Tombstone phase: deleted docs never appear, ranks re-close over
+    live docs, scores keep FULL-corpus stats (bit-identical to the oracle
+    scored on all docs then filtered before truncation)."""
+    texts, q = _queries(spark, corpus_pd)
+    got = bm25_topk_indexed(
+        spark, del_index, q, k=10, strategy=strategy, distribute=distribute
+    ).toPandas()
+    assert not set(got["doc_id"].astype(int)) & DELETED
+    for i, text in enumerate(texts):
+        want = [
+            (d, s)
+            for _, d, s in oracle_full.score_query(text, topk=10**6)
+            if d not in DELETED
+        ][:10]
+        g = got[got["query_id"] == i].sort_values("rank")
+        assert list(g["doc_id"].astype(int)) == [d for d, _ in want], text
+        assert np.array_equal(
+            g["score"].to_numpy(), np.array([s for _, s in want])
+        ), text
+
+
+def test_tombstone_masks_phrase_and_boolean(spark, del_index, corpus_pd):
+    phr = spark.createDataFrame(
+        [(0, " ".join(tokenize_text(corpus_pd["content"].iloc[3])[:2]))],
+        "phrase_id long, text string",
+    )
+    pm = phrase_match_counts(spark, del_index, phr).toPandas()
+    assert not set(pm["doc_id"].astype(int)) & DELETED
+
+    toks = tokenize_text(corpus_pd["content"].iloc[0])[:2]
+    bq = spark.createDataFrame(
+        [(0, " ".join(toks), "")], "bq_id long, must string, must_not string"
+    )
+    bm = boolean_match_docs(spark, del_index, bq).toPandas()
+    assert not set(bm["doc_id"].astype(int)) & DELETED
+
+
+def test_compact_applies_deletes(spark, del_index, corpus_pd, oracle_live):
+    meta = compact_index(spark, del_index)
+    assert meta["n_docs"] == len(corpus_pd) - len(DELETED)
+    assert "n_deleted" not in meta
+    assert abs(meta["avgdl"] - oracle_live.avgdl) < 1e-9
+    assert meta["vocab_size"] == len(oracle_live.vocab)
+    assert meta["bmw_safe"]
+    # postings contain no tombstoned doc — and stats are exact: scores
+    # equal a fresh build over the live corpus, bit-identically.
+    assert len(deleted_ids_array(spark, del_index, meta)) == 0
+    texts, q = _queries(spark, corpus_pd)
+    got = bm25_topk_indexed(spark, del_index, q, k=10, strategy="bmw").toPandas()
+    for i, text in enumerate(texts):
+        want = oracle_live.score_query(text, topk=10)
+        g = got[got["query_id"] == i].sort_values("rank")
+        assert list(g["doc_id"].astype(int)) == [d for _, d, _ in want], text
+        assert np.array_equal(
+            g["score"].to_numpy(), np.array([s for *_, s in want])
+        ), text
+    # term_stats df/cf match the live oracle exactly
+    idx = load_index(spark, del_index, use_cache=False)
+    stats = {
+        r["term"]: (int(r["df"]), int(r["cf"]))
+        for r in idx["term_stats"].collect()
+    }
+    want_stats = {
+        t: (
+            len(oracle_live.tf[t]),
+            sum(oracle_live.tf[t].values()),
+        )
+        for t in oracle_live.vocab
+    }
+    assert stats == want_stats
+
+
+def test_phrase_survives_compaction(spark, del_index, corpus_pd):
+    from dts.oracle import phrase_count
+
+    compact_index(spark, del_index)
+    phrase = " ".join(tokenize_text(corpus_pd["content"].iloc[10])[:2])
+    phr = spark.createDataFrame([(0, phrase)], "phrase_id long, text string")
+    got = {
+        int(r["doc_id"]): int(r["n_matches"])
+        for r in phrase_match_counts(spark, del_index, phr).collect()
+    }
+    want = {}
+    for _, r in corpus_pd.iterrows():
+        if int(r["doc_id"]) in DELETED:
+            continue
+        c = phrase_count(r["content"], phrase.split(" "))
+        if c:
+            want[int(r["doc_id"])] = c
+    assert got == want
+
+
+def test_delete_validation(spark, del_index):
+    with pytest.raises(ValueError, match="refusing"):
+        delete_docs(spark, del_index, [10**9])
+    meta0 = load_meta(del_index)
+    meta1 = delete_docs(spark, del_index, sorted(DELETED))  # idempotent
+    assert meta1["n_deleted"] == meta0["n_deleted"] == len(DELETED)
