@@ -1,13 +1,15 @@
-"""Structured Streaming operators over the events table.
+"""Structured Streaming operators: event aggregations + index ingestion.
 
 The reference is strictly batch (one main() per query set — SURVEY.md §1),
-so streaming is an ADDITION for pipeline completeness: the same windowed
-aggregations a training-data ingest pipeline runs over event/telemetry
-streams. Semantics are defined by the batch equivalents (tested equal via
-Trigger.AvailableNow against a file source).
+so streaming is an ADDITION for pipeline completeness. Semantics are
+defined by the batch equivalents (tested equal via Trigger.AvailableNow
+against a file source).
 
 - tumbling-window counts with a watermark for late data
 - session windows (built-in F.session_window) per user
+- ``stream_ingest_index``: continuous document ingestion into the
+  persisted inverted index (foreachBatch → build/merge, idempotent per
+  batch id), streamed results bit-identical to a batch build (tested)
 """
 
 from __future__ import annotations
@@ -64,6 +66,79 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str =
             "n_events",
         )
     )
+
+
+def stream_ingest_index(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    doc_schema,
+    checkpoint_dir: str,
+    positions: bool = False,
+    strip_literals: bool = False,
+    bucket_size: int | None = None,
+    available_now: bool = True,
+):
+    """Continuous index ingestion: readStream over a landing directory of
+    parquet document files → foreachBatch → first batch ``build_index``,
+    every later batch ``merge_index`` (incremental append; doc_ids
+    continue from the current n_docs, postings land as extra runs per
+    (term, bucket) — both scorers treat runs as ordered concatenations).
+
+    Exactly-once across restarts is the standard idempotent-foreachBatch
+    recipe: the streaming checkpoint makes the SOURCE exactly-once (each
+    file is read into exactly one batch), and meta.json records
+    ``last_stream_batch`` so a replayed batch (sink retry after a crash
+    between merge and checkpoint commit) is skipped instead of
+    double-merged. Periodic ``compact_index`` remains the maintenance
+    story (restores bmw-safety after avgdl drift, same as batch merges).
+
+    Returns the StreamingQuery; with ``available_now`` the caller can
+    ``awaitTermination()`` to drain the backlog (test mode) — without it
+    the query keeps watching ``source_dir`` (production mode).
+    """
+    from dts.index_build import build_index, load_meta, merge_index
+
+    import json
+    import os
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.rdd.isEmpty():
+            return
+        has_index = os.path.exists(f"{index_dir}/meta.json")
+        if has_index:
+            meta = load_meta(index_dir)
+            last = meta.get("last_stream_batch")
+            if last is not None and batch_id <= last:
+                return  # replayed batch: already merged
+            merge_index(spark, index_dir, batch_df)
+            meta = load_meta(index_dir)
+        else:
+            from dts.io import assign_doc_ids
+
+            kw = {}
+            if bucket_size is not None:
+                kw["bucket_size"] = bucket_size
+            meta = build_index(
+                spark,
+                assign_doc_ids(batch_df),
+                index_dir,
+                positions=positions,
+                strip_literals=strip_literals,
+                **kw,
+            )
+        meta["last_stream_batch"] = int(batch_id)
+        with open(f"{index_dir}/meta.json", "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
+
+    stream = spark.readStream.schema(doc_schema).parquet(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def run_stream_to_memory(

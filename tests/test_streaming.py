@@ -44,3 +44,65 @@ def test_session_windows_stream_equals_batch(spark, events_dir):
         run_stream_to_memory(session_windows(stream), "sw_test", spark)
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_ingest_index(spark, corpus_pd, tmp_path):
+    """Streamed build: wave-1 creates the index, wave-2 merges in a second
+    availableNow drain of the SAME checkpoint; results equal the batch
+    oracle over the full corpus (streamed doc_ids coincide with the
+    conftest assignment because each wave arrives in natural-key order).
+    A third drain with no new files must be a no-op."""
+    import numpy as np
+
+    from dts.index_build import load_meta
+    from dts.oracle import OracleIndex
+    from dts.score_index import bm25_topk_indexed
+    from dts.streaming import stream_ingest_index
+    from dts.tokenizer import tokenize_text
+
+    land, idx, ck = str(tmp_path / "land"), str(tmp_path / "idx"), str(tmp_path / "ck")
+    wave1 = corpus_pd.head(120).drop(columns=["doc_id"])
+    wave2 = corpus_pd.iloc[120:].drop(columns=["doc_id"])
+    schema = spark.createDataFrame(wave1).schema
+
+    spark.createDataFrame(wave1).coalesce(1).write.mode("append").parquet(land)
+    stream_ingest_index(
+        spark, land, idx, schema, ck, bucket_size=64
+    ).awaitTermination()
+    assert load_meta(idx)["n_docs"] == 120
+
+    spark.createDataFrame(wave2).coalesce(1).write.mode("append").parquet(land)
+    stream_ingest_index(
+        spark, land, idx, schema, ck, bucket_size=64
+    ).awaitTermination()
+    meta = load_meta(idx)
+    assert meta["n_docs"] == len(corpus_pd)
+    batch_after_waves = meta["last_stream_batch"]
+
+    # no new files → no-op drain
+    stream_ingest_index(
+        spark, land, idx, schema, ck, bucket_size=64
+    ).awaitTermination()
+    meta = load_meta(idx)
+    assert meta["n_docs"] == len(corpus_pd)
+    assert meta["last_stream_batch"] == batch_after_waves
+
+    oracle = OracleIndex(
+        list(zip(corpus_pd["doc_id"].astype(int), corpus_pd["content"]))
+    )
+    texts = [
+        " ".join(tokenize_text(r["content"])[:3])
+        for _, r in corpus_pd.head(5).iterrows()
+    ]
+    q = spark.createDataFrame(
+        [(i, t, 0) for i, t in enumerate(texts)],
+        "query_id long, text string, fuzzy_k int",
+    )
+    got = bm25_topk_indexed(spark, idx, q, k=10, strategy="taat").toPandas()
+    for i, text in enumerate(texts):
+        want = oracle.score_query(text, topk=10)
+        g = got[got["query_id"] == i].sort_values("rank")
+        assert list(g["doc_id"].astype(int)) == [d for _, d, _ in want], text
+        assert np.array_equal(
+            g["score"].to_numpy(), np.array([s for *_, s in want])
+        ), text
