@@ -376,6 +376,10 @@ def _q_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DELETE_PRED_MOD = 7  # tombstone doc_id % 7 == 3 in the deletion probes
 DELETE_PRED_REM = 3
+# Substring patterns for the snippet probe (incl. a cross-token pattern
+# and a guaranteed miss) and the shared context width.
+SNIPPET_PATTERNS = [(0, "fast join"), (1, "merge"), (2, "customer order"), (3, "zzqq")]
+SNIPPET_W = 12
 
 
 def _rerank6_top10(full: DataFrame) -> DataFrame:
@@ -443,6 +447,51 @@ def _q_bm25_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id long, text string, fuzzy_k int",
     )
     return _rerank6_top10(bm25_topk_indexed(spark, d, q, k=10**6))
+
+
+def _q_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First case-insensitive occurrence of each pattern + a ±12-char
+    context window (dts.snippet — pure JVM instr/substring, broadcast
+    pattern side). Oracle: strpos/substring, char-for-char."""
+    from dts.snippet import snippet_matches
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    pat = spark.createDataFrame(SNIPPET_PATTERNS, "pat_id long, pattern string")
+    return snippet_matches(docs, pat, width=SNIPPET_W)
+
+
+def _q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed results page: round-6 re-ranked BM25 top-10 joined
+    back to the source table (broadcast point-lookup join) with a snippet
+    of the query's first term."""
+    from dts.score_index import bm25_topk_indexed
+    from dts.snippet import _snippet_cols
+
+    q = spark.createDataFrame(
+        [(i, t, 0) for i, t in PROBE_QUERIES],
+        "query_id long, text string, fuzzy_k int",
+    )
+    top = _rerank6_top10(
+        bm25_topk_indexed(spark, _pos_index(spark, sf_dir), q, k=10**6)
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    fterms = spark.createDataFrame(
+        [(i, t.split()[0]) for i, t in PROBE_QUERIES],
+        "query_id long, fterm string",
+    )
+    pos, snip = _snippet_cols("content", "fterm", SNIPPET_W)
+    return (
+        docs.join(F.broadcast(top), "doc_id")
+        .join(F.broadcast(fterms), "query_id")
+        .select(
+            "query_id", "doc_id", "rank",
+            pos.alias("pos"), snip.alias("snippet"),
+        )
+    )
 
 
 def _q_wildcard_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -701,6 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_topk": _q_wildcard_topk,
         "bm25_topk_tombstone": _q_bm25_topk_tombstone,
         "bm25_topk_deleted": _q_bm25_topk_deleted,
+        "snippet": _q_snippet,
+        "search_snippets": _q_search_snippets,
         # training-data pipeline operators
         "exact_dup": _q_exact_dup,
         "minhash_bands": _q_minhash_bands,
@@ -1004,6 +1055,34 @@ m AS (
   FROM t CROSS JOIN pr
 )
 SELECT pair_id, doc_id, n_matches FROM m WHERE n_matches > 0
+""",
+        "snippet": f"""
+WITH pat(pat_id, pattern) AS (VALUES {", ".join(f"({i}, '{p}')" for i, p in SNIPPET_PATTERNS)})
+SELECT pat_id::BIGINT AS pat_id, doc_id,
+       strpos(lower(coalesce(text, '')), lower(pattern))::INTEGER AS pos,
+       substring(coalesce(text, ''),
+                 greatest(1, strpos(lower(coalesce(text, '')), lower(pattern)) - {SNIPPET_W})::INTEGER,
+                 (length(pattern) + {2 * SNIPPET_W})::INTEGER) AS snippet
+FROM documents CROSS JOIN pat
+WHERE strpos(lower(coalesce(text, '')), lower(pattern)) > 0
+""",
+        "search_snippets": _BM25_SQL_CTE + f""",
+ranked AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+),
+fq(query_id, fterm) AS (VALUES {", ".join(f"({i}, '{t.split()[0]}')" for i, t in PROBE_QUERIES)})
+SELECT r.query_id, r.doc_id, r.rank::INTEGER AS rank,
+       strpos(lower(coalesce(d.text, '')), lower(fq.fterm))::INTEGER AS pos,
+       substring(coalesce(d.text, ''),
+                 greatest(1, strpos(lower(coalesce(d.text, '')), lower(fq.fterm)) - {SNIPPET_W})::INTEGER,
+                 (length(fq.fterm) + {2 * SNIPPET_W})::INTEGER) AS snippet
+FROM ranked r
+JOIN documents d USING (doc_id)
+JOIN fq ON fq.query_id = r.query_id
 """,
         "wildcard_count": f"""
 WITH tok AS (SELECT unnest({_D_TOKS}) AS term FROM documents),
