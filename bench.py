@@ -12,6 +12,10 @@ Prints ONE JSON line: {"metric", "value" (total sec), "unit": "sec",
   index_build_pos  positional index build (positions=True) — round 2
   phrase_batch40   40 exact-phrase queries over the positional index
   byte_match8      byte-window approx counting, 8 patterns (prefix trunc)
+  boolean_batch20  20 MUST/MUST_NOT conjunctive queries — round 3
+  wildcard_batch20 20 prefix-pattern BM25 rewrites (range expansion)
+  snippet_batch8   8-pattern first-occurrence snippet scan
+  delete_compact   tombstone 1% of docs + compaction re-encode
 
 The N-vs-4N scaling evidence lives in scripts/scaling_bench.py → BENCH/.
 """
@@ -144,6 +148,55 @@ def main() -> None:
         "pat_id long, pattern string, k int",
     )
     stage("byte_match8", lambda: byte_match_totals(d, pats).count())
+
+    # Round-3 stages: boolean algebra, wildcard rewrite, snippets, and the
+    # deletion lifecycle (tombstone 1% of docs + compaction re-encode).
+    from dts.boolquery import boolean_match_docs
+    from dts.delete import delete_docs
+    from dts.index_build import compact_index
+    from dts.snippet import snippet_matches
+    from dts.wildcard import bm25_topk_wildcard
+
+    bq = spark.createDataFrame(
+        [
+            (
+                i,
+                f"{vocab[(i * 11) % len(vocab)]} {vocab[(i * 17 + 1) % len(vocab)]}",
+                vocab[(i * 29 + 2) % len(vocab)] if i % 2 else "",
+            )
+            for i in range(20)
+        ],
+        "bq_id long, must string, must_not string",
+    )
+    stage(
+        "boolean_batch20",
+        lambda: boolean_match_docs(spark, idx_dir, bq).count(),
+    )
+    wq = spark.createDataFrame(
+        [(i, vocab[(i * 13) % len(vocab)][:3] + "*") for i in range(20)],
+        "wq_id long, pattern string",
+    )
+    stage(
+        "wildcard_batch20",
+        lambda: bm25_topk_wildcard(spark, idx_dir, wq, k=10).count(),
+    )
+    spat = spark.createDataFrame(
+        [(i, vocab[(i * 31) % len(vocab)]) for i in range(8)],
+        "pat_id long, pattern string",
+    )
+    stage(
+        "snippet_batch8",
+        lambda: snippet_matches(docs, spat).count(),
+    )
+
+    def _delete_compact() -> None:
+        delete_docs(
+            spark, idx_dir,
+            docs.filter(F.col("doc_id") % 100 == 7).select("doc_id"),
+        )
+        compact_index(spark, idx_dir)
+
+    stage("delete_compact", _delete_compact)
 
     total = round(sum(timings.values()), 4)
     print(

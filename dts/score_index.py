@@ -426,6 +426,7 @@ def score_expanded_terms(
     strategy: str = "taat",
     distribute: str | None = None,
     max_isin_terms: int = MAX_ISIN_TERMS,
+    all_terms: list[str] | None = None,
 ) -> DataFrame:
     """BM25 top-k for explicit (query_id, term) rows — the multi-term
     rewrite entry point (wildcard/prefix expansion, external synonym sets).
@@ -433,7 +434,9 @@ def score_expanded_terms(
     multiplicity: text queries keep duplicate tokens, wildcard rewrites
     pass a distinct term set (Lucene's BooleanQuery rewrite semantics).
     ``qterms`` may be distributed (an expansion output) — the IN-list cap
-    logic collects at most cap+1 terms to pick the pushdown strategy."""
+    logic collects at most cap+1 terms to pick the pushdown strategy;
+    callers that already know the distinct term set pass ``all_terms`` to
+    skip that collect job entirely."""
     idx = load_index(spark, index_dir)
     if strategy == "bmw" and not idx["meta"].get("bmw_safe", True):
         raise ValueError(
@@ -441,7 +444,17 @@ def score_expanded_terms(
             "are stale; use strategy='taat' or compact first."
         )
     scan = idx["postings"].select(*POSTING_SCORE_COLS)
-    postings, stats, _ = _filter_by_qterms(idx, scan, qterms, max_isin_terms)
+    if all_terms is not None:
+        if not all_terms:
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        postings = term_filter(scan, all_terms, max_isin_terms)
+        stats = term_filter(
+            idx["term_stats"], all_terms, max_isin_terms
+        ).select("term", "df")
+    else:
+        postings, stats, _ = _filter_by_qterms(
+            idx, scan, qterms, max_isin_terms
+        )
     if postings is None:
         return spark.createDataFrame([], TOPK_SCHEMA)
     return _score_filtered(

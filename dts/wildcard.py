@@ -24,11 +24,13 @@ set per query).
 
 from __future__ import annotations
 
+import bisect
 import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dts import score_index as _si
 from dts.score_index import (
     MAX_ISIN_TERMS,
     TOPK_SCHEMA,
@@ -67,29 +69,101 @@ def _pattern_filter(pattern: str):
     return cond & F.col("term").rlike(rx)
 
 
-def expand_wildcard_terms(
-    spark: SparkSession, index_dir: str, patterns: DataFrame
-) -> DataFrame:
-    """(wq_id, term): distinct vocabulary terms matching each pattern.
-    ``patterns`` needs (wq_id, pattern). One pruned term_stats scan leg
-    per pattern, unioned — patterns are query-sized by the same contract
-    as every query batch, so the union plan stays small while each leg
-    keeps its own range pushdown."""
-    vocab = load_index(spark, index_dir)["term_stats"].select("term")
+def _expand_local(
+    pattern_rows: list[tuple[int, str]], vocab_struct: dict
+) -> list[tuple[int, str]]:
+    """Driver-side expansion over the cached vocabulary: bisect the sorted
+    term list to the prefix range (the in-memory form of the parquet
+    range pushdown), regex-filter the residual. Identical output to the
+    distributed legs (tested)."""
+    terms = vocab_struct.get("sorted_terms")
+    if terms is None:
+        terms = sorted(vocab_struct["terms"])
+        vocab_struct["sorted_terms"] = terms  # cached with the struct
+    out: list[tuple[int, str]] = []
+    for wq_id, pattern in pattern_rows:
+        star = pattern.find("*")
+        if star < 0:
+            i = bisect.bisect_left(terms, pattern)
+            if i < len(terms) and terms[i] == pattern:
+                out.append((wq_id, pattern))
+            continue
+        prefix = pattern[:star]
+        lo = bisect.bisect_left(terms, prefix) if prefix else 0
+        up = _prefix_upper(prefix) if prefix else None
+        hi = bisect.bisect_left(terms, up) if up is not None else len(terms)
+        cand = terms[lo:hi]
+        if pattern != prefix + "*":
+            rx = re.compile(
+                "^" + ".*".join(re.escape(p) for p in pattern.split("*")) + "$"
+            )
+            cand = [t for t in cand if rx.match(t)]
+        out.extend((wq_id, t) for t in cand)
+    return out
+
+
+def _expand(
+    spark: SparkSession,
+    index_dir: str,
+    patterns: DataFrame,
+    local: bool | None = None,
+) -> tuple[DataFrame, list[str] | None]:
+    """(qterms df, distinct term list when known driver-side). ``local``:
+    None = auto (driver path when the vocab fits the fuzzy-expansion cap —
+    zero Spark jobs before scoring), True/False forces a path (tests,
+    calibration)."""
+    idx = load_index(spark, index_dir)
+    meta = idx["meta"]
+    rows = [
+        (int(r["wq_id"]), r["pattern"])
+        for r in patterns.select("wq_id", "pattern").collect()
+    ]
+    if local is None:
+        local = bool(
+            meta.get("vocab_size")
+            and meta["vocab_size"] <= _si.DRIVER_EXPAND_VOCAB_CAP
+        )
+    if local:
+        out = _expand_local(
+            rows, _si._driver_vocab(spark, index_dir, meta)
+        )
+        qterms = (
+            spark.createDataFrame(out, "wq_id long, term string")
+            if out
+            else spark.createDataFrame([], "wq_id long, term string")
+        )
+        return qterms, sorted({t for _, t in out})
+    vocab = idx["term_stats"].select("term")
     legs = []
-    for r in patterns.select("wq_id", "pattern").collect():
-        cond = _pattern_filter(r["pattern"])
+    for wq_id, pattern in rows:
         legs.append(
-            vocab.filter(cond).select(
-                F.lit(int(r["wq_id"])).cast("long").alias("wq_id"), "term"
+            vocab.filter(_pattern_filter(pattern)).select(
+                F.lit(wq_id).cast("long").alias("wq_id"), "term"
             )
         )
     if not legs:
-        return spark.createDataFrame([], "wq_id long, term string")
-    out = legs[0]
+        return spark.createDataFrame([], "wq_id long, term string"), []
+    out_df = legs[0]
     for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+        out_df = out_df.unionByName(leg)
+    return out_df, None
+
+
+def expand_wildcard_terms(
+    spark: SparkSession,
+    index_dir: str,
+    patterns: DataFrame,
+    local: bool | None = None,
+) -> DataFrame:
+    """(wq_id, term): distinct vocabulary terms matching each pattern.
+    ``patterns`` needs (wq_id, pattern). Driver-sized vocabularies expand
+    locally over the cached sorted term list (no Spark job at all — the
+    same design as the fuzzy query path); larger vocabularies run one
+    pruned term_stats scan leg per pattern, unioned — patterns are
+    query-sized by the same contract as every query batch, so the union
+    plan stays small while each leg keeps its own range pushdown."""
+    qterms, _ = _expand(spark, index_dir, patterns, local)
+    return qterms
 
 
 def wildcard_match_counts(
@@ -100,9 +174,14 @@ def wildcard_match_counts(
     (src/apm1.c:197-203) resolved entirely from term_stats.cf; postings
     are never touched. Patterns with no matching term report 0."""
     idx = load_index(spark, index_dir)
-    expanded = expand_wildcard_terms(spark, index_dir, patterns)
+    expanded, terms = _expand(spark, index_dir, patterns)
+    stats = idx["term_stats"].select("term", "cf")
+    if terms is not None:
+        from dts.score_index import term_filter
+
+        stats = term_filter(stats, terms)
     counts = (
-        expanded.join(idx["term_stats"].select("term", "cf"), "term")
+        expanded.join(stats, "term")
         .groupBy("wq_id")
         .agg(F.sum("cf").alias("n_matches"))
     )
@@ -128,14 +207,16 @@ def bm25_topk_wildcard(
     matched terms (each term's own idf, once — Lucene BooleanQuery
     rewrite). Returns (query_id, doc_id, score, rank) with query_id =
     wq_id. A pattern matching more terms than ``max_isin_terms`` falls
-    back to the broadcast-semi-join plan automatically."""
-    expanded = expand_wildcard_terms(spark, index_dir, patterns).select(
-        F.col("wq_id").alias("query_id"), "term"
-    )
+    back to the broadcast-semi-join plan automatically. On driver-sized
+    vocabularies the whole expansion is local, so the scoring job is the
+    FIRST Spark job issued — same latency shape as the fuzzy path."""
+    expanded, terms = _expand(spark, index_dir, patterns)
+    expanded = expanded.select(F.col("wq_id").alias("query_id"), "term")
     n_queries = patterns.count()
     if n_queries == 0:
         return spark.createDataFrame([], TOPK_SCHEMA)
     return score_expanded_terms(
         spark, index_dir, expanded, n_queries, k=k, strategy=strategy,
         distribute=distribute, max_isin_terms=max_isin_terms,
+        all_terms=terms,
     )

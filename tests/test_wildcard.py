@@ -41,11 +41,14 @@ def test_prefix_upper():
     assert _prefix_upper("") is None
 
 
-def test_expand_vs_oracle(spark, wc_index, oracle):
+@pytest.mark.parametrize("local", [True, False])
+def test_expand_vs_oracle(spark, wc_index, oracle, local):
+    """Both expansion paths — driver-side bisect and distributed pruned
+    scan legs — must match the spec oracle (hence each other)."""
     pats = spark.createDataFrame(
         list(enumerate(PATTERNS)), "wq_id long, pattern string"
     )
-    got = expand_wildcard_terms(spark, wc_index, pats).toPandas()
+    got = expand_wildcard_terms(spark, wc_index, pats, local=local).toPandas()
     by_q = {int(i): set(g["term"]) for i, g in got.groupby("wq_id")}
     for i, p in enumerate(PATTERNS):
         assert by_q.get(i, set()) == set(oracle.wildcard_expand(p)), p
