@@ -139,6 +139,67 @@ def main() -> None:
         )
     )
 
+    # ---- round-3 paths ------------------------------------------------
+    from dts.boolquery import boolean_match_docs
+    from dts.snippet import snippet_matches
+    from dts.wildcard import _pattern_filter
+
+    vocab_scan = spark.read.parquet(f"{idx}/term_stats").select("term").filter(
+        _pattern_filter("fa*")
+    )
+    sections.append(
+        (
+            "Wildcard prefix expansion — dictionary range pushdown (round 3)",
+            "The pure-prefix pattern fa* becomes term >= 'fa' AND term < 'fb' "
+            "on the term-sorted vocabulary parquet: PushedFilters shows the "
+            "range predicate (GreaterThanOrEqual/LessThan), i.e. the Lucene "
+            "term-dictionary seek as row-group pruning. (Driver-sized vocabs "
+            "skip even this scan — bisect over the cached term list.)",
+            plan_of(vocab_scan),
+        )
+    )
+    bq = spark.createDataFrame(
+        [(0, "fast join", "slow")], "bq_id long, must string, must_not string"
+    )
+    sections.append(
+        (
+            "Boolean MUST/MUST_NOT matching (round 3, final AQE plan)",
+            "Postings term-filtered (pushed), broadcast slot table, one "
+            "FlatMapGroupsInPandas keyed (bq_id, bucket) — groups exact and "
+            "disjoint by bucket construction; numpy set algebra inside.",
+            plan_of(boolean_match_docs(spark, idx, bq), executed=True),
+        )
+    )
+    spat = spark.createDataFrame([(0, "fast")], "pat_id long, pattern string")
+    sections.append(
+        (
+            "Snippet extraction (round 3)",
+            "instr + substring inside whole-stage codegen over a single "
+            "corpus scan; pattern side broadcast. Zero Python.",
+            plan_of(
+                snippet_matches(
+                    d.select("doc_id", F.col("text").alias("content")), spat
+                )
+            ),
+        )
+    )
+    from dts.delete import delete_docs
+
+    delete_docs(spark, pos_idx, [0, 5])
+    # phrase_match_counts applies the anti-join itself once tombstones exist
+    masked = phrase_match_counts(spark, pos_idx, ph)
+    sections.append(
+        (
+            "Tombstone masking on row outputs (round 3)",
+            "Phrase/proximity/boolean outputs anti-join the broadcast "
+            "tombstone set (BroadcastHashJoin LeftAnti); scoring paths mask "
+            "inside the kernels instead (before top-k truncation), so no "
+            "join appears there — the deleted array rides the scorer "
+            "closure, Lucene live-docs style.",
+            plan_of(masked, executed=True),
+        )
+    )
+
     with open(f"{REPO}/PLANS.md", "w") as f:
         f.write("# PLANS — captured physical plans of the hot paths\n\n")
         f.write(
