@@ -141,3 +141,67 @@ def test_random_instance_positional_and_byte_ops(spark, tmp_path, seed):
             assert got_bm[(pid, row.doc_id)] == byte_match_count(row.content, p, k), (
                 seed, pid, row.doc_id,
             )
+
+
+@pytest.mark.parametrize("seed", [21, 777])
+def test_random_instance_boolean_and_wildcard(spark, tmp_path, seed):
+    """Random corpora through the boolean and wildcard surfaces vs the
+    oracle: conjunction/negation sets and pattern expansions sampled from
+    the corpus' own vocabulary (plus misses)."""
+    import numpy as np
+
+    from dts.boolquery import boolean_match_docs
+    from dts.wildcard import bm25_topk_wildcard, wildcard_match_counts
+
+    rng = np.random.RandomState(seed)
+    corpus = make_corpus(n_docs=100, seed=seed)
+    corpus = corpus.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    corpus["doc_id"] = corpus.index.astype("int64")
+    docs_sdf = spark.createDataFrame(corpus)
+    idx = str(tmp_path / f"bw_{seed}")
+    build_index(spark, docs_sdf, idx, bucket_size=48, block_size=8)
+    oracle = OracleIndex(list(zip(corpus["doc_id"], corpus["content"])))
+    vocab = oracle.vocab
+
+    def pick():
+        return vocab[rng.randint(len(vocab))]
+
+    bool_cases = [
+        (i, f"{pick()} {pick()}", pick() if i % 2 else "") for i in range(8)
+    ] + [(8, pick(), "zzmiss"), (9, f"{pick()} zzmiss", "")]
+    got = boolean_match_docs(
+        spark, idx,
+        spark.createDataFrame(
+            bool_cases, "bq_id long, must string, must_not string"
+        ),
+    ).toPandas()
+    by_q = {int(b): set(g["doc_id"].astype(int)) for b, g in got.groupby("bq_id")}
+    for bq_id, must, must_not in bool_cases:
+        m = set(tokenize_text(must))
+        n = set(tokenize_text(must_not))
+        want = {
+            int(r["doc_id"])
+            for _, r in corpus.iterrows()
+            if m <= set(tokenize_text(r["content"]))
+            and not (n & set(tokenize_text(r["content"])))
+        }
+        assert by_q.get(bq_id, set()) == want, (seed, bq_id)
+
+    pats = [(i, pick()[: rng.randint(1, 4)] + "*") for i in range(6)]
+    pats += [(6, "*" + pick()[-2:]), (7, "zzmiss*")]
+    pats_sdf = spark.createDataFrame(pats, "wq_id long, pattern string")
+    counts = {
+        int(r["wq_id"]): int(r["n_matches"])
+        for r in wildcard_match_counts(spark, idx, pats_sdf).collect()
+    }
+    for wq_id, p in pats:
+        want = sum(
+            sum(oracle.tf[t].values()) for t in oracle.wildcard_expand(p)
+        )
+        assert counts[wq_id] == want, (seed, p)
+    topk = bm25_topk_wildcard(spark, idx, pats_sdf, k=10).toPandas()
+    for wq_id, p in pats:
+        want = oracle.score_terms(oracle.wildcard_expand(p), topk=10)
+        g = topk[topk["query_id"] == wq_id].sort_values("rank")
+        assert list(g["doc_id"].astype(int)) == [d for _, d, _ in want], (seed, p)
+        assert list(g["score"]) == [s for *_, s in want], (seed, "bit identity", p)
