@@ -449,6 +449,38 @@ def _q_bm25_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank6_top10(bm25_topk_indexed(spark, d, q, k=10**6))
 
 
+def _q_bm25_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (Lucene default-AND) ranking: only docs containing ALL
+    query clauses are ranked; scores stay the disjunctive BM25 sums.
+    Oracle: the scored CTE filtered by per-doc distinct-term presence ==
+    the query's distinct term count."""
+    from dts.score_index import bm25_topk_indexed
+
+    q = spark.createDataFrame(
+        [(i, t, 0) for i, t in PROBE_QUERIES],
+        "query_id long, text string, fuzzy_k int",
+    )
+    return _rerank6_top10(
+        bm25_topk_indexed(spark, _pos_index(spark, sf_dir), q, k=10**6, mode="and")
+    )
+
+
+def _q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet counts over the lang field for the boolean matches
+    (dts.facet composed on dts.boolquery): broadcast hit list ⋈ pruned
+    (doc_id, lang) projection → hash agg."""
+    from dts.boolquery import boolean_match_docs
+    from dts.facet import facet_counts
+
+    bq = spark.createDataFrame(
+        BOOL_QUERIES, "bq_id long, must string, must_not string"
+    )
+    matches = boolean_match_docs(spark, _pos_index(spark, sf_dir), bq)
+    return facet_counts(
+        matches, _docs(spark, sf_dir), "lang", key="bq_id"
+    )
+
+
 def _q_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First case-insensitive occurrence of each pattern + a ±12-char
     context window (dts.snippet — pure JVM instr/substring, broadcast
@@ -752,6 +784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_deleted": _q_bm25_topk_deleted,
         "snippet": _q_snippet,
         "search_snippets": _q_search_snippets,
+        "bm25_topk_and": _q_bm25_topk_and,
+        "facet_lang": _q_facet_lang,
         # training-data pipeline operators
         "exact_dup": _q_exact_dup,
         "minhash_bands": _q_minhash_bands,
@@ -1192,6 +1226,43 @@ SELECT q_id, vec_id, cos6, rank::INTEGER AS rank FROM (
 ) WHERE rank <= 10
 """
     extra["bm25_topk_engine"] = base["bm25_topk"]
+    # Conjunctive mode: eligibility = doc carries every distinct query
+    # term; scores unchanged. (Probe queries have no duplicate tokens, so
+    # distinct-term presence == clause presence.)
+    extra["bm25_topk_and"] = _BM25_SQL_CTE + """
+, qm AS (SELECT query_id, count(DISTINCT term)::BIGINT AS m FROM qterms GROUP BY 1),
+present AS (
+  SELECT qterms.query_id, tf.doc_id, count(DISTINCT tf.term)::BIGINT AS p
+  FROM qterms JOIN tf USING (term) GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT s.query_id, s.doc_id,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score6 DESC, s.doc_id ASC) AS rank
+  FROM scored s
+  JOIN present pr ON s.query_id = pr.query_id AND s.doc_id = pr.doc_id
+  JOIN qm ON qm.query_id = s.query_id
+  WHERE pr.p = qm.m
+) WHERE rank <= 10
+"""
+    extra["facet_lang"] = f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+bq(bq_id, must, must_not) AS (VALUES {", ".join(
+    "({}, [{}], {})".format(
+        i,
+        ",".join(f"'{w}'" for w in m.split()),
+        "[" + ",".join(f"'{w}'" for w in n.split()) + "]" if n else "[]::VARCHAR[]",
+    )
+    for i, m, n in BOOL_QUERIES
+)}),
+m AS (
+  SELECT bq_id::BIGINT AS bq_id, doc_id
+  FROM t CROSS JOIN bq
+  WHERE list_has_all(toks, must) AND NOT list_has_any(toks, must_not)
+)
+SELECT m.bq_id, d.lang, count(*)::BIGINT AS n
+FROM m JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
     # Tombstone phase: FULL-corpus stats (the scored CTE is unchanged),
     # deleted docs filtered out just before ranking — Lucene's live-docs
     # semantics, which the engine implements between delete and compact.

@@ -116,7 +116,10 @@ def cmd_query(args) -> None:
         )
     else:
         queries = spark.read.parquet(args.queries)
-    out = bm25_topk_indexed(spark, args.index, queries, k=args.k, strategy=args.strategy)
+    out = bm25_topk_indexed(
+        spark, args.index, queries, k=args.k, strategy=args.strategy,
+        mode=args.mode,
+    )
     if args.out:
         out.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"out": args.out}))
@@ -218,6 +221,7 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("--fuzzy-k", type=int, default=0)
     g.add_argument("--k", type=int, default=10)
     g.add_argument("--strategy", choices=["taat", "bmw"], default="taat")
+    g.add_argument("--mode", choices=["or", "and"], default="or")
     g.add_argument("--out", default=None)
     g.set_defaults(fn=cmd_query)
 

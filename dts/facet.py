@@ -1,0 +1,42 @@
+"""Facet counts — per-query aggregation of matches over a metadata field.
+
+The search-engine staple next to the results list ("lang: py (812),
+rust (77), …"). Composes with ANY doc-granular query output of this
+engine — boolean matches, phrase/proximity hits, BM25 top-k — since they
+all carry doc_id. The join is matches ⋈ docs on doc_id with the doc side
+pruned to (doc_id, field): at cluster scale the matches side is hit-sized
+and broadcastable for top-k/boolean outputs, and the aggregation is a
+standard partial+final hash agg (map-side combined, no skew beyond the
+facet-value distribution itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def facet_counts(
+    matches: DataFrame,
+    docs: DataFrame,
+    field: str,
+    key: str,
+    broadcast_matches: bool = True,
+) -> DataFrame:
+    """(key, field, n): how many matched docs of each ``key`` (query id
+    column of ``matches``) carry each value of ``docs.field``.
+
+    ``broadcast_matches``: hit lists from top-k / boolean / phrase
+    outputs are query-sized — broadcasting them turns the join into a
+    map-side lookup over the (doc_id, field) projection. Set False for
+    corpus-scale match sets (falls back to a shuffle join).
+    """
+    m = matches.select(key, "doc_id").distinct()
+    if broadcast_matches:
+        m = F.broadcast(m)
+    return (
+        docs.select("doc_id", field)
+        .join(m, "doc_id")
+        .groupBy(key, field)
+        .agg(F.count("*").alias("n"))
+    )

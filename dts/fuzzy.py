@@ -212,9 +212,12 @@ def expand_fuzzy_terms(
             else [r["tri"] for r in qtri.select("tri").distinct().collect()]
         )
         if not tris:  # no fuzzy occurrences at all — skip the join plan
-            return fuzzy_qterms.sparkSession.createDataFrame(
-                [], "query_id long, term string"
+            empty_schema = (
+                "query_id long, clause int, term string"
+                if "clause" in fuzzy_qterms.columns
+                else "query_id long, term string"
             )
+            return fuzzy_qterms.sparkSession.createDataFrame([], empty_schema)
         if len(tris) <= MAX_TRI_ISIN:
             # Small batch: IN-list pushdown prunes the tri-sorted parquet.
             vtri = vocab_tri.filter(F.col("tri").isin(tris))
@@ -237,6 +240,9 @@ def expand_fuzzy_terms(
     verified = cand.filter(
         banded_lev_le_k_udf(F.col("qterm"), F.col("term"), F.col("fuzzy_k"))
     ).select("qterm", "fuzzy_k", "term")
-    return fuzzy_qterms.join(verified, ["qterm", "fuzzy_k"]).select(
-        "query_id", "term"
-    )
+    # Preserve the clause column (query token position) when the caller
+    # tracks it — conjunctive (AND) scoring needs per-clause presence.
+    keep = ["query_id"] + (
+        ["clause"] if "clause" in fuzzy_qterms.columns else []
+    ) + ["term"]
+    return fuzzy_qterms.join(verified, ["qterm", "fuzzy_k"]).select(*keep)

@@ -111,6 +111,25 @@ class OracleIndex:
                 counts[doc_id] = counts.get(doc_id, 0) + tf
         return counts
 
+    def score_query_and(self, text: str, fuzzy_k: int = 0, topk: int = 10):
+        """Conjunctive (Lucene default-AND) spec: a doc is eligible iff
+        every query CLAUSE (token position) is satisfied by ≥1 of its
+        expansions; scores are the unchanged disjunctive sums."""
+        clause_docs = []
+        for qt in tokenize_text(text):
+            docs_c: set[int] = set()
+            for t in self.expand_term(qt, fuzzy_k):
+                docs_c |= set(self.tf[t])
+            clause_docs.append(docs_c)
+        eligible = (
+            set.intersection(*clause_docs) if clause_docs else set()
+        )
+        full = self.score_query(text, fuzzy_k, topk=10**9)
+        kept = [
+            (doc_id, s) for _, doc_id, s in full if doc_id in eligible
+        ][:topk]
+        return [(r + 1, d, s) for r, (d, s) in enumerate(kept)]
+
     def wildcard_expand(self, pattern: str) -> list[str]:
         """Vocabulary terms matching a ``*``-wildcard pattern (the
         dictionary-range expansion of dts.wildcard, spec form)."""

@@ -115,7 +115,9 @@ def expanded_query_terms(
     term_stats: DataFrame,
     vocab_tri: DataFrame | None = None,
 ) -> DataFrame:
-    """(query_id, term) multiset after fuzzy expansion.
+    """(query_id, clause, term) multiset after fuzzy expansion; ``clause``
+    is the query token position (conjunctive scoring needs per-clause
+    presence — a fuzzy clause is satisfied by ANY of its expansions).
 
     `queries` needs (query_id, text, fuzzy_k). Exact queries (fuzzy_k=0)
     pass through; fuzzy ones expand against the vocabulary — through the
@@ -131,24 +133,26 @@ def expanded_query_terms(
     from dts.fuzzy import trigrams_py
 
     spark = queries.sparkSession
-    exact_rows: list[tuple[int, str]] = []
-    fuzzy_rows: list[tuple[int, str, int]] = []
+    exact_rows: list[tuple[int, int, str]] = []
+    fuzzy_rows: list[tuple[int, int, str, int]] = []
     qtris: set[str] = set()
     for r in queries.select("query_id", "text", "fuzzy_k").collect():
         k = int(r["fuzzy_k"] or 0)
-        for t in tokenize_text(r["text"]):
+        for clause, t in enumerate(tokenize_text(r["text"])):
             if k == 0:
-                exact_rows.append((int(r["query_id"]), t))
+                exact_rows.append((int(r["query_id"]), clause, t))
             else:
-                fuzzy_rows.append((int(r["query_id"]), t, k))
+                fuzzy_rows.append((int(r["query_id"]), clause, t, k))
                 qtris.update(trigrams_py(t))
     exact = spark.createDataFrame(
-        exact_rows, "query_id long, term string"
-    ) if exact_rows else spark.createDataFrame([], "query_id long, term string")
+        exact_rows, "query_id long, clause int, term string"
+    ) if exact_rows else spark.createDataFrame(
+        [], "query_id long, clause int, term string"
+    )
     if not fuzzy_rows:
         return exact
     fuzzy = spark.createDataFrame(
-        fuzzy_rows, "query_id long, qterm string, fuzzy_k int"
+        fuzzy_rows, "query_id long, clause int, qterm string, fuzzy_k int"
     )
     expanded = expand_fuzzy_terms(
         fuzzy, term_stats.select("term"), vocab_tri, qtris=sorted(qtris)
@@ -164,11 +168,20 @@ def _scorer_fn(
     block_size: int,
     codec: str = "varint",
     deleted: np.ndarray | None = None,
+    mode: str = "or",
+    m_map: dict[int, int] | None = None,
 ):
     """``deleted``: sorted tombstoned doc_ids (dts.delete) — masked BEFORE
     top-k truncation so a tombstone can never occupy a rank slot. Stats
     (idf / avgdl / n_docs) intentionally still count deleted docs until
-    compaction (Lucene semantics)."""
+    compaction (Lucene semantics).
+
+    ``mode='and'`` (Lucene MUST / default-AND search): only docs matching
+    EVERY query clause are ranked — a clause is a query token position,
+    satisfied by any of its (fuzzy-)expanded terms; ``m_map`` gives each
+    query's clause count (including clauses with zero index matches, which
+    correctly make the whole query match nothing). Scores are the same
+    disjunctive BM25 sums, AND only filters eligibility."""
     from dts.codec import decode_postings
 
     if deleted is not None and not len(deleted):
@@ -227,6 +240,21 @@ def _scorer_fn(
             acc = np.zeros(len(uniq), dtype=np.float64)
             for d, c in zip(docs_parts, contrib_parts):
                 acc[np.searchsorted(uniq, d)] += c
+            if mode == "and":
+                # Per-clause presence: docs_parts[i] aligns with sorted
+                # pdf row i; a doc must appear under every clause id.
+                m = m_map[query_id]
+                clause_vals = pdf["clause"].to_numpy()
+                pres = np.zeros(len(uniq), dtype=np.int32)
+                for cl in np.unique(clause_vals):
+                    rows_c = [
+                        docs_parts[i]
+                        for i in np.flatnonzero(clause_vals == cl)
+                    ]
+                    dc = np.unique(np.concatenate(rows_c))
+                    pres[np.searchsorted(uniq, dc)] += 1
+                keep = pres == m
+                uniq, acc = uniq[keep], acc[keep]
             if deleted is not None:
                 live = ~np.isin(uniq, deleted, assume_unique=True)
                 uniq, acc = uniq[live], acc[live]
@@ -281,27 +309,30 @@ def _driver_vocab(spark: SparkSession, index_dir: str, meta: dict) -> dict:
 
 def _local_query_term_rows(
     queries: DataFrame, vocab_struct: dict
-) -> tuple[list[tuple[int, str]], int]:
-    """Fully driver-side (query_id, term) rows: tokenization + fuzzy
-    expansion (dts.fuzzy.expand_fuzzy_local — identical semantics to the
-    distributed path, tested). Returns (rows, n_queries)."""
+) -> tuple[list[tuple[int, int, str]], int]:
+    """Fully driver-side (query_id, clause, term) rows: tokenization +
+    fuzzy expansion (dts.fuzzy.expand_fuzzy_local — identical semantics to
+    the distributed path, tested). ``clause`` = query token position.
+    Returns (rows, n_queries)."""
     if "fuzzy_k" not in queries.columns:
         queries = queries.withColumn("fuzzy_k", F.lit(0))
     rows = queries.select("query_id", "text", "fuzzy_k").collect()
-    exact: list[tuple[int, str]] = []
-    fuzzy_occ: list[tuple[int, str, int]] = []
+    exact: list[tuple[int, int, str]] = []
+    fuzzy_occ: list[tuple[int, int, str, int]] = []
     pairs: set[tuple[str, int]] = set()
     for r in rows:
         k = int(r["fuzzy_k"] or 0)
-        for t in tokenize_text(r["text"]):
+        for clause, t in enumerate(tokenize_text(r["text"])):
             if k == 0:
-                exact.append((int(r["query_id"]), t))
+                exact.append((int(r["query_id"]), clause, t))
             else:
-                fuzzy_occ.append((int(r["query_id"]), t, k))
+                fuzzy_occ.append((int(r["query_id"]), clause, t, k))
                 pairs.add((t, k))
     exp = expand_fuzzy_local(sorted(pairs), vocab_struct) if pairs else {}
     out = exact + [
-        (qid, et) for qid, t, k in fuzzy_occ for et in exp[(t, k)]
+        (qid, clause, et)
+        for qid, clause, t, k in fuzzy_occ
+        for et in exp[(t, k)]
     ]
     return out, len(rows)
 
@@ -383,6 +414,8 @@ def _score_filtered(
     strategy: str,
     distribute: str | None,
     deleted: np.ndarray | None = None,
+    mode: str = "or",
+    m_map: dict[int, int] | None = None,
 ) -> DataFrame:
     """Shared scoring tail: join filtered postings with broadcast stats +
     query terms, pick the distribution mode, run the per-group scorer."""
@@ -394,7 +427,7 @@ def _score_filtered(
         distribute = auto_distribute(n_queries, n_buckets, meta["n_docs"])
     scorer = _scorer_fn(
         meta["n_docs"], meta["avgdl"], k, strategy, meta["block_size"],
-        meta.get("codec", "varint"), deleted,
+        meta.get("codec", "varint"), deleted, mode, m_map,
     )
     if distribute == "bucket":
         # Cap group count: per-group applyInPandas overhead is real, so
@@ -471,8 +504,17 @@ def bm25_topk_indexed(
     strategy: str = "taat",
     distribute: str | None = None,
     max_isin_terms: int = MAX_ISIN_TERMS,
+    mode: str = "or",
 ) -> DataFrame:
     """Top-k over the persisted index. Returns (query_id, doc_id, score, rank).
+
+    ``mode``: ``"or"`` (default) ranks any doc matching ≥1 query term —
+    the engine's native disjunctive BM25. ``"and"`` ranks only docs
+    matching EVERY query clause (Lucene default-AND; a fuzzy clause is
+    satisfied by any of its expansions); scores are unchanged disjunctive
+    sums, AND filters eligibility before top-k truncation. ``"and"``
+    requires strategy='taat' (the WAND pivot walk is a disjunctive
+    algorithm; Lucene likewise swaps algorithms for conjunctions).
 
     Contract: the `queries` batch is CLIENT-sized (≲10⁴ rows) — both query
     paths collect/broadcast it (the driver-side tokenize+expand path
@@ -504,6 +546,16 @@ def bm25_topk_indexed(
             "maxima are no longer sound upper bounds. Use strategy='taat' "
             "(exact) or re-encode/compact the index."
         )
+    m_map = None
+    if mode == "and":
+        if strategy != "taat":
+            raise ValueError("mode='and' requires strategy='taat'")
+        m_map = {
+            int(r["query_id"]): len(tokenize_text(r["text"]))
+            for r in queries.select("query_id", "text").collect()
+        }
+    elif mode != "or":
+        raise ValueError(f"unknown mode {mode!r}")
     scan = idx["postings"].select(*POSTING_SCORE_COLS)
     if meta.get("vocab_size") and meta["vocab_size"] <= DRIVER_EXPAND_VOCAB_CAP:
         # Driver-sized vocab: the whole query-term computation is local —
@@ -513,8 +565,10 @@ def bm25_topk_indexed(
         )
         if not qrows:
             return spark.createDataFrame([], TOPK_SCHEMA)
-        qterms = spark.createDataFrame(qrows, "query_id long, term string")
-        all_terms = sorted({t for _, t in qrows})
+        qterms = spark.createDataFrame(
+            qrows, "query_id long, clause int, term string"
+        )
+        all_terms = sorted({t for *_, t in qrows})
         # term_filter: IN-list pushdown (PLANS.md: PushedFilters In(term, …))
         # up to the cap, broadcast left-semi join beyond.
         postings = term_filter(scan, all_terms, max_isin_terms)
@@ -533,7 +587,7 @@ def bm25_topk_indexed(
         n_queries = queries.count() if distribute is None else 0
     return _score_filtered(
         spark, meta, postings, stats, qterms, n_queries, k, strategy,
-        distribute, _deleted_mask(spark, index_dir, meta),
+        distribute, _deleted_mask(spark, index_dir, meta), mode, m_map,
     )
 
 
@@ -550,7 +604,9 @@ def match_counts_indexed(
         qrows, _ = _local_query_term_rows(
             queries, _driver_vocab(spark, index_dir, meta)
         )
-        qterms = spark.createDataFrame(qrows, "query_id long, term string")
+        qterms = spark.createDataFrame(
+            qrows, "query_id long, clause int, term string"
+        )
     else:
         qterms = expanded_query_terms(
             queries, idx["term_stats"], idx.get("trigrams")

@@ -1,0 +1,87 @@
+"""Conjunctive (AND-mode) BM25 vs the oracle spec — incl. fuzzy clauses
+(any expansion satisfies its clause) and absent-term queries — plus facet
+counts vs a pandas replay."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dts.facet import facet_counts
+from dts.index_build import build_index
+from dts.oracle import OracleIndex
+from dts.score_index import bm25_topk_indexed
+from dts.tokenizer import tokenize_text
+
+
+@pytest.fixture(scope="module")
+def and_index(spark, docs_sdf, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("and_index"))
+    build_index(spark, docs_sdf, d, bucket_size=64, block_size=16)
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_pd) -> OracleIndex:
+    return OracleIndex(
+        list(zip(corpus_pd["doc_id"].astype(int), corpus_pd["content"]))
+    )
+
+
+def _cases(corpus_pd):
+    toks0 = tokenize_text(corpus_pd["content"].iloc[0])
+    toks5 = tokenize_text(corpus_pd["content"].iloc[5])
+    return [
+        (0, " ".join(toks0[:2]), 0),
+        (1, " ".join(toks5[:3]), 0),
+        (2, f"{toks0[0]} zzzabsent", 0),      # absent clause ⇒ no results
+        (3, toks0[0], 0),                      # single clause == OR mode
+        (4, toks0[0][:-1] + "x " + toks5[0], 1),  # fuzzy clause
+    ]
+
+
+@pytest.mark.parametrize("distribute", ["query", "bucket"])
+def test_and_mode_vs_oracle(spark, and_index, corpus_pd, oracle, distribute):
+    cases = _cases(corpus_pd)
+    q = spark.createDataFrame(
+        cases, "query_id long, text string, fuzzy_k int"
+    )
+    got = bm25_topk_indexed(
+        spark, and_index, q, k=10, mode="and", distribute=distribute
+    ).toPandas()
+    assert 2 not in set(got["query_id"])  # absent clause matched nothing
+    for qid, text, fk in cases:
+        want = oracle.score_query_and(text, fk, topk=10)
+        g = got[got["query_id"] == qid].sort_values("rank")
+        assert list(g["doc_id"].astype(int)) == [d for _, d, _ in want], text
+        assert np.array_equal(
+            g["score"].to_numpy(), np.array([s for *_, s in want])
+        ), (text, "bit identity")
+
+
+def test_and_mode_rejects_bmw(spark, and_index, corpus_pd):
+    q = spark.createDataFrame(
+        [(0, "def", 0)], "query_id long, text string, fuzzy_k int"
+    )
+    with pytest.raises(ValueError, match="taat"):
+        bm25_topk_indexed(spark, and_index, q, mode="and", strategy="bmw")
+
+
+def test_facet_counts_vs_pandas(spark, and_index, docs_sdf, corpus_pd):
+    toks = tokenize_text(corpus_pd["content"].iloc[0])
+    q = spark.createDataFrame(
+        [(0, " ".join(toks[:1]), 0), (1, " ".join(toks[:2]), 0)],
+        "query_id long, text string, fuzzy_k int",
+    )
+    top = bm25_topk_indexed(spark, and_index, q, k=25)
+    got = {
+        (int(r["query_id"]), r["lang"]): int(r["n"])
+        for r in facet_counts(top, docs_sdf, "lang", key="query_id").collect()
+    }
+    top_pd = top.toPandas()
+    lang = dict(zip(corpus_pd["doc_id"].astype(int), corpus_pd["lang"]))
+    want: dict = {}
+    for _, r in top_pd.iterrows():
+        k2 = (int(r["query_id"]), lang[int(r["doc_id"])])
+        want[k2] = want.get(k2, 0) + 1
+    assert got == want and len(got) > 0
