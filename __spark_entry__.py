@@ -615,6 +615,15 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_docs(spark, sf_dir), n=1, threshold=0.3)
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: jaccard pairs (unigram shingles, ≥0.5)
+    composed with iterative min-label connected components (dts.cluster).
+    Oracle: recursive CTE computing each node's minimum reachable id."""
+    from dts.cluster import dup_clusters
+
+    return dup_clusters(_docs(spark, sf_dir), n=1, threshold=0.5)
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dts.textstats import token_counts
 
@@ -786,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_snippets": _q_search_snippets,
         "bm25_topk_and": _q_bm25_topk_and,
         "facet_lang": _q_facet_lang,
+        "dup_clusters": _q_dup_clusters,
         # training-data pipeline operators
         "exact_dup": _q_exact_dup,
         "minhash_bands": _q_minhash_bands,
@@ -1243,6 +1253,31 @@ SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
   JOIN qm ON qm.query_id = s.query_id
   WHERE pr.p = qm.m
 ) WHERE rank <= 10
+"""
+    extra["dup_clusters"] = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len({_D_TOKS}) < 1 THEN [array_to_string({_D_TOKS}, ' ')]
+         ELSE list_distinct({_D_TOKS}) END) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS shared
+  FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+),
+jp AS (
+  SELECT a, b
+  FROM p JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id
+  WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 6) >= 0.5
+),
+edges AS (SELECT a AS s, b AS d FROM jp UNION SELECT b AS s, a AS d FROM jp),
+reach(node, r) AS (
+  SELECT s AS node, s AS r FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node
+)
+SELECT node AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY 1
 """
     extra["facet_lang"] = f"""
 WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
