@@ -557,6 +557,16 @@ def _q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wildcard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-score wildcard matching (Lucene's rewrite for wide
+    patterns): docs containing ≥1 matching term, no scoring — one decode +
+    union per (pattern, bucket) group."""
+    from dts.wildcard import wildcard_match_docs
+
+    wq = spark.createDataFrame(WILDCARD_PATTERNS, "wq_id long, pattern string")
+    return wildcard_match_docs(spark, _pos_index(spark, sf_dir), wq)
+
+
 def _q_boolean_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean MUST / MUST_NOT document matching resolved purely from the
     compressed postings (dts.boolquery — numpy set algebra inside exact,
@@ -789,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_match": _q_boolean_match,
         "wildcard_count": _q_wildcard_count,
         "wildcard_topk": _q_wildcard_topk,
+        "wildcard_docs": _q_wildcard_docs,
         "bm25_topk_tombstone": _q_bm25_topk_tombstone,
         "bm25_topk_deleted": _q_bm25_topk_deleted,
         "snippet": _q_snippet,
@@ -1174,6 +1185,13 @@ SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 10
+""",
+        "wildcard_docs": f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+wq(wq_id, pat) AS (VALUES {", ".join(f"({i}, '{p.replace('*', '%')}')" for i, p in WILDCARD_PATTERNS)})
+SELECT DISTINCT wq_id::BIGINT AS wq_id, doc_id
+FROM (SELECT doc_id, unnest(toks) AS tok FROM t) s CROSS JOIN wq
+WHERE s.tok LIKE wq.pat
 """,
         "boolean_match": f"""
 WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),

@@ -68,6 +68,53 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str =
     )
 
 
+def stream_distinct_docs(
+    stream: DataFrame, hash_col: str = "content_md5", n_shards: int = 64
+) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST arrival of each content
+    hash across the WHOLE stream (within and across micro-batches and
+    restarts) — the custom stateful operator slot (SURVEY §2: the logic
+    session_window can't express), via ``applyInPandasWithState``.
+
+    State is sharded by hash prefix (``pmod(xxhash64(hash), n_shards)``)
+    so no single group holds the full seen-set; each group's state is the
+    list of hashes seen in that shard, checkpointed by the streaming
+    engine (restart-safe — tested). State grows with distinct corpus
+    size by design (exact semantics); production variants bound it with a
+    TTL timeout or a bloom-filter state at the cost of exactness — the
+    same trade Lucene-style pipelines make.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = stream.schema
+
+    def dedup_fn(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            keep = [
+                h not in seen and (seen.add(h) or True)
+                for h in pdf[hash_col]
+            ]
+            out = pdf.loc[keep, [f.name for f in out_schema.fields]]
+            if len(out):
+                yield out
+        state.update((sorted(seen),))
+
+    return (
+        stream.withColumn(
+            "_shard", F.pmod(F.xxhash64(F.col(hash_col)), F.lit(n_shards))
+        )
+        .groupBy("_shard")
+        .applyInPandasWithState(
+            dedup_fn,
+            out_schema,
+            "seen array<string>",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_ingest_index(
     spark: SparkSession,
     source_dir: str,

@@ -194,6 +194,64 @@ def wildcard_match_counts(
     )
 
 
+def wildcard_match_docs(
+    spark: SparkSession,
+    index_dir: str,
+    patterns: DataFrame,
+    max_isin_terms: int = MAX_ISIN_TERMS,
+) -> DataFrame:
+    """(wq_id, doc_id): documents containing ≥1 term matching the pattern
+    — Lucene's CONSTANT-SCORE wildcard rewrite, the scale path for wide
+    patterns where per-term idf scoring (bm25_topk_wildcard) pays ~10³
+    idf·impact accumulations per query for a ranking the user often
+    doesn't need. One decode + union per (pattern, bucket) group, exact
+    and disjoint by bucket construction; tombstones anti-joined."""
+    import numpy as np
+    import pandas as pd
+
+    from dts.boolquery import _decode_docs
+    from dts.delete import mask_deleted_rows
+
+    idx = load_index(spark, index_dir)
+    meta = idx["meta"]
+    expanded, terms = _expand(spark, index_dir, patterns)
+    if terms is not None and not terms:
+        return spark.createDataFrame([], "wq_id long, doc_id long")
+    postings = idx["postings"]
+    if terms is not None:
+        from dts.score_index import term_filter
+
+        postings = term_filter(postings, terms, max_isin_terms)
+    else:
+        postings = postings.join(
+            F.broadcast(expanded.select("term").distinct()), "term", "left_semi"
+        )
+    joined = postings.join(F.broadcast(expanded), "term")
+    block_size, codec = meta["block_size"], meta.get("codec", "varint")
+
+    def union_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        wq_id = int(pdf["wq_id"].iloc[0])
+        docs = np.unique(
+            np.concatenate(
+                [
+                    _decode_docs(pdf[pdf["term"] == t], block_size, codec)
+                    for t in pdf["term"].unique()
+                ]
+            )
+        )
+        return pd.DataFrame(
+            {
+                "wq_id": np.full(len(docs), wq_id, dtype=np.int64),
+                "doc_id": docs.astype(np.int64),
+            }
+        )
+
+    out = joined.groupBy("wq_id", "bucket").applyInPandas(
+        union_group, "wq_id long, doc_id long"
+    )
+    return mask_deleted_rows(out, spark, index_dir, meta)
+
+
 def bm25_topk_wildcard(
     spark: SparkSession,
     index_dir: str,

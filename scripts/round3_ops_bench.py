@@ -84,6 +84,9 @@ def main() -> None:
         "wq_id long, pattern string",
     )
     stage("wildcard_topk20", lambda: bm25_topk_wildcard(spark, idx, wq, k=10).count())
+    from dts.wildcard import wildcard_match_docs
+
+    stage("wildcard_docs20", lambda: wildcard_match_docs(spark, idx, wq).count())
 
     q40 = spark.createDataFrame(
         [

@@ -106,3 +106,49 @@ def test_stream_ingest_index(spark, corpus_pd, tmp_path):
         assert np.array_equal(
             g["score"].to_numpy(), np.array([s for *_, s in want])
         ), text
+
+
+def test_stream_distinct_docs(spark, corpus_pd, tmp_path):
+    """Exact streaming dedup: first arrival of each hash wins within a
+    batch, across batches, AND across query restarts (state recovery from
+    the checkpoint)."""
+    import hashlib
+
+    import pandas as pd
+
+    from dts.streaming import stream_distinct_docs
+
+    land, ck, out = str(tmp_path / "l"), str(tmp_path / "c"), str(tmp_path / "o")
+    base = corpus_pd.head(60)[["content"]].copy()
+    base["content_md5"] = base["content"].map(
+        lambda c: hashlib.md5(c.encode()).hexdigest()
+    )
+    wave1 = pd.concat([base.head(40), base.head(10)])  # internal dups
+    spark.createDataFrame(wave1).coalesce(1).write.mode("append").parquet(land)
+    schema = spark.createDataFrame(base).schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = (
+            stream_distinct_docs(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    got1 = drain().toPandas()
+    # in-batch dups collapsed (incl. the corpus' own duplicate contents)
+    assert len(got1) == base.head(40)["content_md5"].nunique()
+    assert set(got1["content_md5"]) == set(base.head(40)["content_md5"])
+
+    # wave 2: 20 repeats of wave-1 hashes (must be suppressed by RESTORED
+    # state in a NEW query) + 20 fresh docs
+    wave2 = pd.concat([base.head(20), base.tail(20)])
+    spark.createDataFrame(wave2).coalesce(1).write.mode("append").parquet(land)
+    got2 = drain().toPandas()
+    assert len(got2) == base["content_md5"].nunique()
+    assert set(got2["content_md5"]) == set(base["content_md5"])

@@ -100,3 +100,18 @@ def test_prefix_range_is_pushed_down(spark, wc_index):
     )
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(term,de)" in plan and "LessThan(term,df)" in plan, plan
+
+
+def test_match_docs_vs_oracle(spark, wc_index, oracle):
+    from dts.wildcard import wildcard_match_docs
+
+    pats = spark.createDataFrame(
+        list(enumerate(PATTERNS)), "wq_id long, pattern string"
+    )
+    got = wildcard_match_docs(spark, wc_index, pats).toPandas()
+    by_q = {int(i): set(g["doc_id"].astype(int)) for i, g in got.groupby("wq_id")}
+    for i, p in enumerate(PATTERNS):
+        want = set()
+        for t in oracle.wildcard_expand(p):
+            want |= set(oracle.tf[t])
+        assert by_q.get(i, set()) == want, p
