@@ -50,3 +50,35 @@ def test_cli_byte_count(cli_dirs, corpus_pd, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     want = sum(byte_match_count(c, "def", 1) for c in corpus_pd["content"])
     assert out == f"Number of matches for pattern <def>: {want}"
+
+
+def test_cli_delete_query_compact(cli_dirs, corpus_pd, capsys):
+    """delete → query (tombstoned ids absent, --mode and works) → compact
+    (tombstones cleared, n_docs shrunk)."""
+    import os
+
+    from dts.tokenizer import tokenize_text
+
+    docs_dir, idx_dir = cli_dirs
+    if not os.path.exists(f"{idx_dir}/meta.json"):  # standalone run
+        main(["build", "--docs", docs_dir, "--out", idx_dir,
+              "--bucket-size", "64", "--positions"])
+        capsys.readouterr()
+    main(["delete", "--index", idx_dir, "--doc-ids", "0,1,2"])
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["n_deleted"] == 3
+
+    toks = tokenize_text(corpus_pd["content"].iloc[20])
+    main(["query", "--index", idx_dir, "--text", " ".join(toks[:2]),
+          "--k", "50", "--mode", "and"])
+    rows = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ]
+    assert rows and not {r["doc_id"] for r in rows} & {0, 1, 2}
+
+    main(["compact", "--index", idx_dir])
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "n_deleted" not in meta
+    assert meta["n_docs"] == len(corpus_pd) - 3
