@@ -85,3 +85,24 @@ def test_facet_counts_vs_pandas(spark, and_index, docs_sdf, corpus_pd):
         k2 = (int(r["query_id"]), lang[int(r["doc_id"])])
         want[k2] = want.get(k2, 0) + 1
     assert got == want and len(got) > 0
+
+
+def test_and_mode_distributed_path(
+    spark, and_index, corpus_pd, oracle, monkeypatch
+):
+    """AND-mode through the DISTRIBUTED expansion path (vocab cap forced
+    to -1): the clause column must survive expand_fuzzy_terms and the
+    results must equal the driver path / oracle."""
+    from dts import score_index as si
+
+    monkeypatch.setattr(si, "DRIVER_EXPAND_VOCAB_CAP", -1)
+    cases = _cases(corpus_pd)
+    q = spark.createDataFrame(cases, "query_id long, text string, fuzzy_k int")
+    got = bm25_topk_indexed(spark, and_index, q, k=10, mode="and").toPandas()
+    for qid, text, fk in cases:
+        want = oracle.score_query_and(text, fk, topk=10)
+        g = got[got["query_id"] == qid].sort_values("rank")
+        assert list(g["doc_id"].astype(int)) == [d for _, d, _ in want], text
+        assert np.array_equal(
+            g["score"].to_numpy(), np.array([s for *_, s in want])
+        ), (text, "bit identity")
