@@ -209,7 +209,6 @@ def wildcard_match_docs(
     import numpy as np
     import pandas as pd
 
-    from dts.boolquery import _decode_docs
     from dts.delete import mask_deleted_rows
 
     idx = load_index(spark, index_dir)
@@ -230,15 +229,29 @@ def wildcard_match_docs(
     block_size, codec = meta["block_size"], meta.get("codec", "varint")
 
     def union_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Union needs no per-term grouping: decode every row, unique the
+        # concatenation (row runs may overlap across terms — np.unique is
+        # the union). Row-positional decode, no pandas filtering.
+        from dts.codec import PackedPostings, decode_postings
+
         wq_id = int(pdf["wq_id"].iloc[0])
-        docs = np.unique(
-            np.concatenate(
-                [
-                    _decode_docs(pdf[pdf["term"] == t], block_size, codec)
-                    for t in pdf["term"].unique()
-                ]
+        parts = []
+        for i in range(len(pdf)):
+            p = PackedPostings(
+                n=int(pdf["n"].iat[i]),
+                doc_blob=bytes(pdf["doc_blob"].iat[i]),
+                tf_blob=bytes(pdf["tf_blob"].iat[i]),
+                dl_blob=bytes(pdf["dl_blob"].iat[i]),
+                block_last_doc=np.asarray(pdf["block_last_doc"].iat[i], dtype=np.int64),
+                block_max_impact=np.asarray(pdf["block_max_impact"].iat[i], dtype=np.float64),
+                doc_offs=np.asarray(pdf["doc_offs"].iat[i], dtype=np.int32),
+                tf_offs=np.asarray(pdf["tf_offs"].iat[i], dtype=np.int32),
+                dl_offs=np.asarray(pdf["dl_offs"].iat[i], dtype=np.int32),
+                block_size=block_size,
+                codec=codec,
             )
-        )
+            parts.append(decode_postings(p)[0])
+        docs = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
         return pd.DataFrame(
             {
                 "wq_id": np.full(len(docs), wq_id, dtype=np.int64),
@@ -246,8 +259,17 @@ def wildcard_match_docs(
             }
         )
 
-    out = joined.groupBy("wq_id", "bucket").applyInPandas(
-        union_group, "wq_id long, doc_id long"
+    # Shard buckets (same trick as bucket-distributed scoring): union is
+    # exact under ANY partition of buckets, and ~4×cores groups amortize
+    # the per-group applyInPandas overhead that per-bucket groups pay.
+    n_buckets = -(-meta["n_docs"] // meta["bucket_size"])
+    n_shards = max(
+        1, min(n_buckets, 4 * spark.sparkContext.defaultParallelism)
+    )
+    out = (
+        joined.withColumn("shard", F.pmod(F.col("bucket"), F.lit(n_shards)))
+        .groupBy("wq_id", "shard")
+        .applyInPandas(union_group, "wq_id long, doc_id long")
     )
     return mask_deleted_rows(out, spark, index_dir, meta)
 
