@@ -591,6 +591,62 @@ def bm25_topk_indexed(
     )
 
 
+_RESULT_CACHE: dict[tuple, list] = {}
+_RESULT_CACHE_CAP = 64
+
+
+def bm25_topk_cached(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    strategy: str = "taat",
+    distribute: str | None = None,
+    mode: str = "or",
+) -> DataFrame:
+    """Process-level result cache over ``bm25_topk_indexed`` — the hot
+    dashboard/repeated-query path. Key = (application, index_dir, meta
+    mtime, the frozen query rows, k, strategy, distribute, mode); every
+    index mutation (merge / delete / compact) rewrites meta.json, so the
+    mtime component self-invalidates exactly like the index-handle cache.
+    Results are materialized rows (query batches are client-sized by the
+    bm25_topk_indexed contract, so a cached entry is k×queries rows);
+    FIFO eviction at {cap} entries.""".format(cap=_RESULT_CACHE_CAP)
+    import os
+
+    qrows = tuple(
+        sorted(
+            (int(r["query_id"]), r["text"], int(r["fuzzy_k"] or 0))
+            for r in queries.withColumn(
+                "fuzzy_k",
+                F.col("fuzzy_k") if "fuzzy_k" in queries.columns else F.lit(0),
+            ).select("query_id", "text", "fuzzy_k").collect()
+        )
+    )
+    key = (
+        spark.sparkContext.applicationId,
+        index_dir,
+        os.path.getmtime(f"{index_dir}/meta.json"),
+        qrows, k, strategy, distribute, mode,
+    )
+    if key not in _RESULT_CACHE:
+        rows = [
+            (int(r["query_id"]), int(r["doc_id"]), float(r["score"]), int(r["rank"]))
+            for r in bm25_topk_indexed(
+                spark,
+                index_dir,
+                spark.createDataFrame(
+                    list(qrows), "query_id long, text string, fuzzy_k int"
+                ),
+                k=k, strategy=strategy, distribute=distribute, mode=mode,
+            ).collect()
+        ]
+        if len(_RESULT_CACHE) >= _RESULT_CACHE_CAP:
+            _RESULT_CACHE.pop(next(iter(_RESULT_CACHE)))
+        _RESULT_CACHE[key] = rows
+    return spark.createDataFrame(_RESULT_CACHE[key], TOPK_SCHEMA)
+
+
 def match_counts_indexed(
     spark: SparkSession, index_dir: str, queries: DataFrame
 ) -> DataFrame:
