@@ -374,6 +374,32 @@ def _q_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-field probe: text is the default field (boost 1.0), source is a
+# scoped field (boost 0.5); includes a source-only query and a miss.
+MF_QUERIES = [
+    (0, "fast join"),
+    (1, "source:src3 fast"),
+    (2, "source:src7"),
+    (3, "table scan source:src1"),
+    (4, "data source:zzqq"),
+]
+MF_BOOSTS = {"text": 1.0, "source": 0.5}
+
+
+def _mf_routed() -> dict[str, list[tuple[int, str]]]:
+    """(query_id, term) rows per field after clause routing — shared by
+    the engine call's expectations and the oracle VALUES."""
+    out: dict[str, list[tuple[int, str]]] = {"text": [], "source": []}
+    for qid, text in MF_QUERIES:
+        for clause in text.split():
+            f, sep, rest = clause.partition(":")
+            if sep and f in MF_BOOSTS and rest:
+                out[f].append((qid, rest))
+            else:
+                out["text"].append((qid, clause))
+    return out
+
+
 DELETE_PRED_MOD = 7  # tombstone doc_id % 7 == 3 in the deletion probes
 DELETE_PRED_REM = 3
 # Substring patterns for the snippet probe (incl. a cross-token pattern
@@ -478,6 +504,35 @@ def _q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches = boolean_match_docs(spark, _pos_index(spark, sf_dir), bq)
     return facet_counts(
         matches, _docs(spark, sf_dir), "lang", key="bq_id"
+    )
+
+
+def _q_multifield_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-scoped queries with boosts (dts.multifield): one sub-index
+    per field sharing doc_ids, per-field BM25 (per-field stats — the
+    BM25F-lite requirement), weighted union-sum, global top-k. Oracle:
+    two scored CTEs (text boost 1.0, source boost 0.5) summed."""
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from dts.io import driver_documents_as_source
+    from dts.multifield import bm25_topk_multifield, build_multifield_index
+
+    docs = driver_documents_as_source(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
+    ).withColumnRenamed("content", "text")
+    d = tempfile.mkdtemp(prefix="dts_mf_idx_")
+    build_multifield_index(spark, docs, d, MF_BOOSTS, bucket_size=256)
+    q = spark.createDataFrame(MF_QUERIES, "query_id long, text string")
+    full = bm25_topk_multifield(spark, d, q, k=10**6, default_field="text")
+    w = W.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), F.col("doc_id").asc()
+    )
+    return (
+        full.withColumn("r6", F.row_number().over(w))
+        .filter(F.col("r6") <= 10)
+        .select("query_id", "doc_id", F.col("r6").alias("rank"))
     )
 
 
@@ -807,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_and": _q_bm25_topk_and,
         "facet_lang": _q_facet_lang,
         "dup_clusters": _q_dup_clusters,
+        "multifield_topk": _q_multifield_topk,
         # training-data pipeline operators
         "exact_dup": _q_exact_dup,
         "minhash_bands": _q_minhash_bands,
@@ -1254,6 +1310,47 @@ SELECT q_id, vec_id, cos6, rank::INTEGER AS rank FROM (
 ) WHERE rank <= 10
 """
     extra["bm25_topk_engine"] = base["bm25_topk"]
+    # Multi-field: per-field scored CTE (per-field tf/df/dl/avgdl — the
+    # BM25F-lite per-field statistics), weighted union-sum, round-6 rank.
+    routed = _mf_routed()
+
+    def _mf_cte(col: str, a: str, boost: float) -> str:
+        vals = ", ".join(f"({i}, '{t}')" for i, t in routed[a]) or "(NULL, NULL)"
+        return f"""
+tok_{a} AS (SELECT doc_id, unnest(regexp_extract_all(lower(coalesce({col}, '')), '{TOK}')) AS term FROM documents),
+tf_{a} AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok_{a} GROUP BY 1, 2),
+dl_{a} AS (SELECT doc_id, len(regexp_extract_all(lower(coalesce({col}, '')), '{TOK}'))::BIGINT AS dl FROM documents),
+stats_{a} AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl_{a}),
+dfreq_{a} AS (SELECT term, count(*)::BIGINT AS df FROM tf_{a} GROUP BY 1),
+qt_{a}(query_id, term) AS (VALUES {vals}),
+scored_{a} AS (
+  SELECT qt_{a}.query_id::BIGINT AS query_id, tf_{a}.doc_id,
+         {boost} * sum(
+           ln(1 + (stats_{a}.n_docs - dfreq_{a}.df + 0.5) / (dfreq_{a}.df + 0.5))
+           * tf_{a}.tf * ({K1} + 1.0)
+           / (tf_{a}.tf + {K1} * (1.0 - {B} + {B} * dl_{a}.dl / stats_{a}.avgdl))
+         ) AS score
+  FROM qt_{a}
+  JOIN tf_{a} USING (term)
+  JOIN dfreq_{a} USING (term)
+  JOIN dl_{a} ON tf_{a}.doc_id = dl_{a}.doc_id
+  CROSS JOIN stats_{a}
+  GROUP BY 1, 2
+)"""
+
+    extra["multifield_topk"] = f"""
+WITH {_mf_cte("text", "text", MF_BOOSTS["text"])},
+{_mf_cte("source", "source", MF_BOOSTS["source"])}
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
+  FROM (
+    SELECT query_id, doc_id, round(sum(score), 6) AS score6
+    FROM (SELECT * FROM scored_text UNION ALL SELECT * FROM scored_source)
+    GROUP BY 1, 2
+  )
+) WHERE rank <= 10
+"""
     # Conjunctive mode: eligibility = doc carries every distinct query
     # term; scores unchanged. (Probe queries have no duplicate tokens, so
     # distinct-term presence == clause presence.)
