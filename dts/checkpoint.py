@@ -252,6 +252,7 @@ def build_index_resumable(
     )
     meta = {
         "n_docs": int(n_docs),
+        "next_doc_id": int(n_docs),  # dense 0-based ids enforced above
         "total_tokens": int(total_tokens),
         "avgdl": avgdl,
         "bucket_size": bucket_size,

@@ -56,12 +56,24 @@ def delete_docs(
         ids = spark.createDataFrame(
             [(int(d),) for d in set(doc_ids)], "doc_id long"
         )
+    watermark = meta.get("next_doc_id", meta["n_docs"])
     bad = ids.filter(
-        (F.col("doc_id") < 0) | (F.col("doc_id") >= meta["n_docs"])
+        (F.col("doc_id") < 0) | (F.col("doc_id") >= watermark)
     ).count()
     if bad:
         raise ValueError(
-            f"{bad} doc_ids outside [0, {meta['n_docs']}) — refusing"
+            f"{bad} doc_ids outside [0, {watermark}) — refusing"
+        )
+    # Ids must be LIVE: already-compacted-away ids would silently skew the
+    # n_docs/avgdl adjustment at the next compaction.
+    dead = ids.join(
+        spark.read.parquet(f"{index_dir}/doc_stats").select("doc_id"),
+        "doc_id",
+        "left_anti",
+    ).count()
+    if dead:
+        raise ValueError(
+            f"{dead} doc_ids are not live documents of this index — refusing"
         )
     ids.write.mode("append").parquet(f"{index_dir}/deletes")
     n_deleted = (

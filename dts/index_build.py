@@ -137,11 +137,19 @@ def term_stats(tf: DataFrame) -> DataFrame:
 
 def corpus_meta(docs: DataFrame, tf: DataFrame) -> dict:
     """n_docs counts ALL docs (incl. zero-token ones, mirroring the oracle's
-    avgdl over every doc); total_tokens from tf avoids a second tokenize."""
-    n_docs = docs.select("doc_id").count()
+    avgdl over every doc); total_tokens from tf avoids a second tokenize.
+    ``next_doc_id`` is the id-space WATERMARK (max assigned + 1) — distinct
+    from n_docs once deletions have been compacted away: n_docs shrinks
+    (it feeds idf/avgdl over LIVE docs) but ids are stable identities and
+    are never reused, so appends continue from the watermark."""
+    agg = docs.agg(
+        F.count("doc_id").alias("n"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    n_docs = int(agg["n"])
     total = tf.agg(F.sum("tf").alias("t")).collect()[0]["t"] or 0
     return {
-        "n_docs": int(n_docs),
+        "n_docs": n_docs,
+        "next_doc_id": int(agg["hi"]) + 1 if n_docs else 0,
         "total_tokens": int(total),
         "avgdl": (float(total) / n_docs) if n_docs else 0.0,
     }
@@ -446,10 +454,14 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         dels_df = spark.createDataFrame(
             [(int(d),) for d in del_arr], "doc_id long"
         )
-        dl_deleted = int(
-            ds.join(F.broadcast(dels_df), "doc_id", "left_semi")
-            .agg(F.sum("dl")).collect()[0][0] or 0
-        )
+        live_del = ds.join(F.broadcast(dels_df), "doc_id", "left_semi").agg(
+            F.count("*").alias("n"), F.sum("dl").alias("t")
+        ).collect()[0]
+        # Only tombstones that are actually LIVE (present in doc_stats)
+        # adjust the stats — delete_docs validates this, but the guard
+        # keeps a hand-edited deletes dir from corrupting n_docs.
+        n_live_deleted = int(live_del["n"])
+        dl_deleted = int(live_del["t"] or 0)
         tmp_ds = f"{index_dir}/doc_stats_new"
         ds.join(F.broadcast(dels_df), "doc_id", "left_anti").write.mode(
             "overwrite"
@@ -458,7 +470,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         os.replace(tmp_ts, f"{index_dir}/term_stats")
         shutil.rmtree(f"{index_dir}/doc_stats")
         os.replace(tmp_ds, f"{index_dir}/doc_stats")
-        meta["n_docs"] -= len(del_arr)
+        meta.setdefault("next_doc_id", meta["n_docs"])  # pre-watermark indexes
+        meta["n_docs"] -= n_live_deleted
         meta["total_tokens"] -= dl_deleted
         meta["avgdl"] = (
             meta["total_tokens"] / meta["n_docs"] if meta["n_docs"] else 0.0
@@ -605,7 +618,10 @@ def merge_index(spark: SparkSession, index_dir: str, new_docs: DataFrame) -> dic
     from dts.io import assign_doc_ids
 
     meta = load_meta(index_dir)
-    base = meta["n_docs"]
+    # Id WATERMARK, not live-doc count: after a deletion-applying
+    # compaction n_docs < max-id+1, and reusing a live id would corrupt
+    # the index (doc_ids are stable identities).
+    base = meta.get("next_doc_id", meta["n_docs"])
     par = spark.sparkContext.defaultParallelism
 
     # Deterministic id assignment continuing at `base`: natural key when
@@ -621,7 +637,7 @@ def merge_index(spark: SparkSession, index_dir: str, new_docs: DataFrame) -> dic
     add_tokens = int(tf.agg(F.sum("tf")).collect()[0][0] or 0)
     n_new = nd.count()
     new_total = meta["total_tokens"] + add_tokens
-    new_n = base + n_new
+    new_n = meta["n_docs"] + n_new  # LIVE docs (stats), not the watermark
     new_avgdl = new_total / new_n if new_n else 0.0
 
     # Postings for the new docs, encoded with the NEW avgdl (their blocks'
@@ -666,6 +682,7 @@ def merge_index(spark: SparkSession, index_dir: str, new_docs: DataFrame) -> dic
     meta.update(
         {
             "n_docs": new_n,
+            "next_doc_id": base + n_new,
             "total_tokens": new_total,
             "avgdl": new_avgdl,
             "min_encode_avgdl": min_encode,

@@ -158,3 +158,58 @@ def test_delete_validation(spark, del_index):
     meta0 = load_meta(del_index)
     meta1 = delete_docs(spark, del_index, sorted(DELETED))  # idempotent
     assert meta1["n_deleted"] == meta0["n_deleted"] == len(DELETED)
+
+
+def test_merge_after_delete_compact_keeps_ids_stable(
+    spark, del_index, corpus_pd
+):
+    """The id-watermark invariant: deletion-applying compaction shrinks
+    n_docs (live stats) but NOT next_doc_id — a later merge must append
+    at fresh ids, never reuse a live one."""
+    import pandas as pd
+
+    from dts.index_build import merge_index
+    from dts.score_index import bm25_topk_indexed
+
+    compact_index(spark, del_index)
+    meta = load_meta(del_index)
+    watermark = meta["next_doc_id"]
+    assert watermark == len(corpus_pd)  # ids are stable: watermark unmoved
+    assert meta["n_docs"] == len(corpus_pd) - len(DELETED)
+
+    extra = corpus_pd.head(15).drop(columns=["doc_id"])
+    merge_index(spark, del_index, spark.createDataFrame(extra))
+    meta2 = load_meta(del_index)
+    assert meta2["next_doc_id"] == watermark + 15
+    assert meta2["n_docs"] == len(corpus_pd) - len(DELETED) + 15
+    ds = spark.read.parquet(f"{del_index}/doc_stats").toPandas()
+    assert ds["doc_id"].is_unique
+    assert set(range(watermark, watermark + 15)) <= set(ds["doc_id"].astype(int))
+
+    # end-to-end: scores equal the oracle over live-old + appended docs
+    live = corpus_pd[~corpus_pd["doc_id"].isin(DELETED)]
+    appended = extra.assign(
+        doc_id=np.arange(watermark, watermark + 15, dtype="int64")
+    )
+    oracle = OracleIndex(
+        [
+            (int(r["doc_id"]), r["content"])
+            for _, r in pd.concat([live, appended]).iterrows()
+        ]
+    )
+    texts, q = _queries(spark, corpus_pd, n=4)
+    got = bm25_topk_indexed(spark, del_index, q, k=10).toPandas()
+    for i, text in enumerate(texts):
+        want = oracle.score_query(text, topk=10)
+        g = got[got["query_id"] == i].sort_values("rank")
+        assert list(g["doc_id"].astype(int)) == [d for _, d, _ in want], text
+        assert np.array_equal(
+            g["score"].to_numpy(), np.array([s for *_, s in want])
+        ), text
+
+
+def test_delete_dead_id_rejected(spark, del_index):
+    """An id physically removed by compaction is no longer deletable."""
+    compact_index(spark, del_index)
+    with pytest.raises(ValueError, match="not live"):
+        delete_docs(spark, del_index, [3])  # 3 ∈ DELETED, now gone
