@@ -110,6 +110,31 @@ def main() -> None:
         lambda: facet_counts(matches, corpus, "lang", key="bq_id").count(),
     )
 
+    # Multi-field: content (1.0) + path (2.0) sub-indexes at 480k docs,
+    # then a 40-query mixed batch (scoped + default clauses).
+    from dts.multifield import bm25_topk_multifield, build_multifield_index
+
+    mf_dir = idx + "_mf"
+    if os.path.exists(mf_dir):
+        shutil.rmtree(mf_dir)
+    t0 = time.perf_counter()
+    build_multifield_index(
+        spark, corpus, mf_dir, {"content": 1.0, "path": 2.0}
+    )
+    out["multifield_build"] = round(time.perf_counter() - t0, 3)
+    mfq = spark.createDataFrame(
+        [
+            (i, f"{vocab[(i * 7) % 400]} path:mod{i % 16} {vocab[(i * 7 + 1) % 400]}")
+            for i in range(40)
+        ],
+        "query_id long, text string",
+    )
+    stage(
+        "multifield_batch40",
+        lambda: bm25_topk_multifield(spark, mf_dir, mfq, k=10).count(),
+    )
+    shutil.rmtree(mf_dir)
+
     # Deletion lifecycle: tombstone 0.1% (480 docs), query through the
     # mask, then compact (physical apply + stats recompute + re-encode).
     delete_docs(
