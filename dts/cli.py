@@ -147,6 +147,34 @@ def cmd_compact(args) -> None:
     print(_json.dumps(compact_index(spark, args.index), sort_keys=True))
 
 
+def cmd_bool(args) -> None:
+    """Boolean MUST/MUST_NOT matching; prints one JSON line per doc."""
+    from dts.boolquery import boolean_match_docs
+
+    spark = get_spark("dts-bool")
+    q = spark.createDataFrame(
+        [(0, args.must, args.must_not or "")],
+        "bq_id long, must string, must_not string",
+    )
+    for r in boolean_match_docs(spark, args.index, q).orderBy("doc_id").collect():
+        print(json.dumps({"doc_id": r.doc_id}))
+
+
+def cmd_wildcard(args) -> None:
+    """Wildcard query: scored rewrite (default) or constant-score match."""
+    from dts.wildcard import bm25_topk_wildcard, wildcard_match_docs
+
+    spark = get_spark("dts-wildcard")
+    q = spark.createDataFrame([(0, args.pattern)], "wq_id long, pattern string")
+    if args.match_only:
+        for r in wildcard_match_docs(spark, args.index, q).orderBy("doc_id").collect():
+            print(json.dumps({"doc_id": r.doc_id}))
+        return
+    out = bm25_topk_wildcard(spark, args.index, q, k=args.k)
+    for r in out.orderBy("rank").collect():
+        print(json.dumps({"rank": r.rank, "doc_id": r.doc_id, "score": r.score}))
+
+
 def cmd_delete(args) -> None:
     """Tombstone doc_ids (comma list or a parquet path with a doc_id
     column); physical removal happens at the next `dts compact`."""
@@ -228,6 +256,19 @@ def main(argv: list[str] | None = None) -> None:
     g = sub.add_parser("compact")
     g.add_argument("--index", required=True)
     g.set_defaults(fn=cmd_compact)
+
+    g = sub.add_parser("bool")
+    g.add_argument("--index", required=True)
+    g.add_argument("--must", required=True)
+    g.add_argument("--must-not", default="")
+    g.set_defaults(fn=cmd_bool)
+
+    g = sub.add_parser("wildcard")
+    g.add_argument("--index", required=True)
+    g.add_argument("--pattern", required=True)
+    g.add_argument("--k", type=int, default=10)
+    g.add_argument("--match-only", action="store_true")
+    g.set_defaults(fn=cmd_wildcard)
 
     g = sub.add_parser("delete")
     g.add_argument("--index", required=True)

@@ -82,3 +82,28 @@ def test_cli_delete_query_compact(cli_dirs, corpus_pd, capsys):
     meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "n_deleted" not in meta
     assert meta["n_docs"] == len(corpus_pd) - 3
+
+
+def test_cli_bool_and_wildcard(cli_dirs, corpus_pd, capsys):
+    import os
+
+    from dts.tokenizer import tokenize_text
+
+    docs_dir, idx_dir = cli_dirs
+    if not os.path.exists(f"{idx_dir}/meta.json"):  # standalone run
+        main(["build", "--docs", docs_dir, "--out", idx_dir,
+              "--bucket-size", "64", "--positions"])
+        capsys.readouterr()
+    toks = tokenize_text(corpus_pd["content"].iloc[20])
+    main(["bool", "--index", idx_dir, "--must", f"{toks[0]} {toks[1]}"])
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and all("doc_id" in r for r in rows)
+
+    main(["wildcard", "--index", idx_dir, "--pattern", f"{toks[0][:2]}*"])
+    scored = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert scored and scored[0]["rank"] == 1
+
+    main(["wildcard", "--index", idx_dir, "--pattern", f"{toks[0][:2]}*",
+          "--match-only"])
+    matched = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {r["doc_id"] for r in scored} <= {r["doc_id"] for r in matched}
