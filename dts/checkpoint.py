@@ -265,6 +265,7 @@ def build_index_resumable(
         "build_wall_sec": round(time.perf_counter() - t_build0, 3),
         "chunks_fresh_this_run": completed_fresh,
     }
-    with open(f"{out_dir}/meta.json", "w") as f:
-        json.dump(meta, f, indent=2, sort_keys=True)
+    from dts.index_build import save_meta
+
+    save_meta(out_dir, meta)
     return meta

@@ -13,7 +13,7 @@ Operators:
 - exact duplicate groups (content hash)
 - token n-gram shingles + pairwise Jaccard near-dup pairs
 - MinHash signatures + banded LSH candidate pairs (the scale path: no
-  全pairwise join — candidates only within equal band buckets)
+  all-pairs join — candidates only within equal band buckets)
 - SimHash (64-bit) fingerprints
 - embedding-cosine near-duplicate pairs
 """

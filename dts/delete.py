@@ -4,51 +4,120 @@ Lucene's model, re-expressed for the doc-range-bucketed index:
 
 1. ``delete_docs`` appends doc_ids to ``<index>/deletes/`` (parquet) and
    rewrites meta.json (which also invalidates the process-level index
-   handle cache, keyed on meta mtime). Nothing else is touched — an O(1)
-   metadata operation regardless of index size.
+   handle cache, keyed on the meta revision). The postings/stats files are
+   never touched, but each call DOES run two cheap validation jobs (an id
+   bounds check and a liveness anti-join against doc_stats — both
+   column-pruned doc_id scans) that guard the compaction-stats invariant;
+   bulk pipelines that already know their ids are live can skip them with
+   ``validate=False``.
 2. Query paths mask tombstoned docs BEFORE top-k truncation (inside the
    scoring kernels) or via a broadcast anti-join (row-shaped outputs:
    phrase / proximity / boolean). Corpus statistics — n_docs, avgdl, df,
    cf — deliberately KEEP counting deleted docs until a merge, exactly
    like Lucene's docFreq over live+deleted segments: scores of live docs
    shift only at compaction, never mid-tombstone.
-3. ``compact_index(..., )`` (dts.index_build) physically drops deleted
-   postings, recomputes exact stats (n_docs / avgdl / df / cf), rewrites
-   doc_stats, clears the tombstone set, and re-encodes block maxima with
-   the new avgdl — restoring both stat exactness and bmw safety.
+3. ``compact_index`` (dts.index_build) physically drops deleted postings,
+   recomputes exact stats (n_docs / avgdl / df / cf), rewrites doc_stats,
+   clears the tombstone set, and re-encodes block maxima with the new
+   avgdl — restoring both stat exactness and bmw safety.
 
-Scale: the tombstone set is materialized driver-side as one sorted int64
-array and shipped to scoring tasks inside the (already pickled) scorer
-closure — the same design point as Lucene's in-memory live-docs bitset
-(8 bytes per DELETED doc here, not 1 bit per doc). ``DELETED_DRIVER_CAP``
-bounds the array (64 MB at the cap); past it the engine refuses and tells
-the operator to compact — on a 10^12-doc index the steady state is
-exactly Lucene's: a small live tombstone set between periodic merges.
-The stats-delta job in compaction prunes to the buckets that actually
-contain deletions (bucket = doc_id // bucket_size), so a 0.1% delete set
-touches ~0.1% of postings row-groups.
+Scale (round-4 redesign — tombstones are COLOCATED BY BUCKET): the
+tombstone set reaches the scoring kernels as a ``(bucket, _del_ids)``
+table joined onto the posting rows by bucket — bucket = doc_id //
+bucket_size, the same doc-range key the postings shuffle on, so a
+scoring group only ever carries the deletions of its own buckets. No
+driver-side array, no pickled closure payload, no size cap: the old
+``DELETED_DRIVER_CAP`` refusal (and its circular can't-query/can't-compact
+failure mode once exceeded — round-4 ADVICE) is gone because nothing
+materializes the full set in one place. Each per-bucket array is bounded
+by bucket_size (4096 default); under bucket-sharded scoring a task holds
+only its shard's arrays, and compaction's stats-delta job still prunes to
+the buckets that actually contain deletions (a 0.1% delete set touches
+~0.1% of postings row-groups).
+
+Crash safety: all gating derives from the deletes DIRECTORY, not from
+``meta['n_deleted']`` — a crash between the deletes append and the meta
+write leaves tombstones on disk with a stale counter, and trusting the
+counter would silently resurrect those docs (round-4 ADVICE).
+``n_deleted`` is kept as observability metadata and as a join-strategy
+hint only; correctness never reads it.
 """
 
 from __future__ import annotations
 
-import json
 import os
 from collections.abc import Iterable
 
-import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dts.index_build import load_meta
+from dts.index_build import load_meta, save_meta
 
-DELETED_DRIVER_CAP = 8_000_000
+# Above this many tombstones the per-bucket delete table stops being
+# broadcast into the scoring join and becomes a plain (shuffle-eligible)
+# join — a strategy hint, never a refusal. Read from meta.n_deleted, which
+# may lag one append batch after a crash; the join stays correct either
+# way, only the physical strategy shifts.
+BROADCAST_DELETES_MAX = 4_000_000
+
+
+def has_deletes(index_dir: str) -> bool:
+    """Tombstone presence, derived from the deletes directory itself (one
+    local listing, no Spark job) — never from meta['n_deleted']."""
+    d = f"{index_dir}/deletes"
+    if not os.path.isdir(d):
+        return False
+    return any(not f.startswith(("_", ".")) for f in os.listdir(d))
+
+
+def deletes_df(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Distinct tombstoned doc_ids as a DataFrame (never driver-side)."""
+    return (
+        spark.read.parquet(f"{index_dir}/deletes")
+        .select(F.col("doc_id").cast("long"))
+        .distinct()
+    )
+
+
+def deletes_by_bucket(
+    spark: SparkSession, index_dir: str, bucket_size: int
+) -> DataFrame:
+    """(bucket, _del_ids) — sorted distinct tombstones grouped by the
+    postings' own doc-range bucket key. Joined onto posting rows by
+    bucket, so every scoring/compaction group sees exactly the deletions
+    that can occur in its doc ranges. Each array ≤ bucket_size entries."""
+    return (
+        deletes_df(spark, index_dir)
+        .withColumn(
+            "bucket", (F.col("doc_id") / F.lit(bucket_size)).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("_del_ids"))
+    )
+
+
+def join_deletes(
+    joined: DataFrame, spark: SparkSession, index_dir: str, meta: dict
+) -> DataFrame:
+    """Attach ``_del_ids`` to posting rows (left join on bucket). Broadcast
+    while the delete set is modest (meta hint); plain join beyond — at that
+    point compaction is overdue but queries STILL work, just slower."""
+    db = deletes_by_bucket(spark, index_dir, meta["bucket_size"])
+    if int(meta.get("n_deleted") or 0) <= BROADCAST_DELETES_MAX:
+        db = F.broadcast(db)
+    return joined.join(db, "bucket", "left")
 
 
 def delete_docs(
-    spark: SparkSession, index_dir: str, doc_ids: DataFrame | Iterable[int]
+    spark: SparkSession,
+    index_dir: str,
+    doc_ids: DataFrame | Iterable[int],
+    validate: bool = True,
 ) -> dict:
     """Tombstone documents by id. Idempotent (re-deleting is a no-op in
-    effect); ids outside [0, n_docs) are rejected. Returns updated meta."""
+    effect); ids outside [0, next_doc_id) or already compacted away are
+    rejected (skippable with ``validate=False`` for bulk pipelines that
+    guarantee liveness themselves). Returns updated meta."""
     meta = load_meta(index_dir)
     if isinstance(doc_ids, DataFrame):
         ids = doc_ids.select(F.col("doc_id").cast("long")).distinct()
@@ -56,57 +125,44 @@ def delete_docs(
         ids = spark.createDataFrame(
             [(int(d),) for d in set(doc_ids)], "doc_id long"
         )
-    watermark = meta.get("next_doc_id", meta["n_docs"])
-    bad = ids.filter(
-        (F.col("doc_id") < 0) | (F.col("doc_id") >= watermark)
-    ).count()
-    if bad:
-        raise ValueError(
-            f"{bad} doc_ids outside [0, {watermark}) — refusing"
-        )
-    # Ids must be LIVE: already-compacted-away ids would silently skew the
-    # n_docs/avgdl adjustment at the next compaction.
-    dead = ids.join(
-        spark.read.parquet(f"{index_dir}/doc_stats").select("doc_id"),
-        "doc_id",
-        "left_anti",
-    ).count()
-    if dead:
-        raise ValueError(
-            f"{dead} doc_ids are not live documents of this index — refusing"
-        )
+    if validate:
+        watermark = meta.get("next_doc_id", meta["n_docs"])
+        bad = ids.filter(
+            (F.col("doc_id") < 0) | (F.col("doc_id") >= watermark)
+        ).count()
+        if bad:
+            raise ValueError(
+                f"{bad} doc_ids outside [0, {watermark}) — refusing"
+            )
+        # Ids must be LIVE: already-compacted-away ids would silently skew
+        # the n_docs/avgdl adjustment at the next compaction.
+        dead = ids.join(
+            spark.read.parquet(f"{index_dir}/doc_stats").select("doc_id"),
+            "doc_id",
+            "left_anti",
+        ).count()
+        if dead:
+            raise ValueError(
+                f"{dead} doc_ids are not live documents of this index — "
+                "refusing"
+            )
     ids.write.mode("append").parquet(f"{index_dir}/deletes")
-    n_deleted = (
-        spark.read.parquet(f"{index_dir}/deletes").distinct().count()
-    )
+    n_deleted = deletes_df(spark, index_dir).count()
     meta["n_deleted"] = int(n_deleted)
-    with open(f"{index_dir}/meta.json", "w") as f:
-        json.dump(meta, f, indent=2, sort_keys=True)
+    save_meta(index_dir, meta)
     return meta
-
-
-def deleted_ids_array(spark: SparkSession, index_dir: str, meta: dict) -> np.ndarray:
-    """Sorted distinct tombstoned ids as int64 — the live-docs mask handed
-    to the scoring kernels. Refuses past DELETED_DRIVER_CAP (compact)."""
-    n = int(meta.get("n_deleted", 0))
-    if n == 0 or not os.path.isdir(f"{index_dir}/deletes"):
-        return np.zeros(0, dtype=np.int64)
-    if n > DELETED_DRIVER_CAP:
-        raise ValueError(
-            f"{n} tombstones exceed DELETED_DRIVER_CAP={DELETED_DRIVER_CAP}; "
-            "run compact_index to apply deletions physically"
-        )
-    rows = spark.read.parquet(f"{index_dir}/deletes").distinct().collect()
-    return np.sort(np.array([r["doc_id"] for r in rows], dtype=np.int64))
 
 
 def mask_deleted_rows(
     out: DataFrame, spark: SparkSession, index_dir: str, meta: dict
 ) -> DataFrame:
     """Broadcast anti-join for row-shaped query outputs (phrase /
-    proximity / boolean): drops tombstoned doc_ids. No-op when the index
-    has no tombstones."""
-    if not meta.get("n_deleted"):
+    proximity / boolean): drops tombstoned doc_ids. No-op (zero jobs) when
+    the deletes directory is absent; the directory — not meta — is the
+    source of truth."""
+    if not has_deletes(index_dir):
         return out
-    dels = spark.read.parquet(f"{index_dir}/deletes").distinct()
-    return out.join(F.broadcast(dels), "doc_id", "left_anti")
+    dels = deletes_df(spark, index_dir)
+    if int(meta.get("n_deleted") or 0) <= BROADCAST_DELETES_MAX:
+        dels = F.broadcast(dels)
+    return out.join(dels, "doc_id", "left_anti")

@@ -243,6 +243,7 @@ def build_index(
     positions: bool = False,
     strip_literals: bool = False,
     codec: str = "varint",
+    extra_meta: dict | None = None,
 ) -> dict:
     """Build + persist the full index. `docs` needs (doc_id, content).
 
@@ -312,9 +313,9 @@ def build_index(
 
     meta["vocab_size"] = spark.read.parquet(f"{out_dir}/term_stats").count()
     meta["stage_wall_sec"] = stage_wall
-    os.makedirs(out_dir, exist_ok=True)
-    with open(f"{out_dir}/meta.json", "w") as f:
-        json.dump(meta, f, indent=2, sort_keys=True)
+    if extra_meta:
+        meta.update(extra_meta)
+    save_meta(out_dir, meta)
     tf.unpersist()
     return meta
 
@@ -348,6 +349,34 @@ def load_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
+def save_meta(index_dir: str, meta: dict) -> dict:
+    """The ONE way to commit index metadata. Bumps a monotonically
+    increasing ``revision`` counter and writes atomically (tmp +
+    os.replace). Every process-level cache (index handle, driver vocab,
+    result cache) keys on the revision, so two mutations within the same
+    filesystem-mtime tick can never serve stale results (round-4 ADVICE:
+    1 s-granularity mtime races). Callers that need extra fields committed
+    atomically with the mutation (e.g. streaming's last_stream_batch)
+    merge them into ``meta`` before calling — one write, no crash window.
+    """
+    meta["revision"] = int(meta.get("revision", 0)) + 1
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = f"{index_dir}/meta.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+    os.replace(tmp, f"{index_dir}/meta.json")
+    return meta
+
+
+def index_revision(index_dir: str) -> int | float:
+    """Cache-invalidation key: the meta revision, falling back to
+    meta.json's mtime for indexes written before revisions existed."""
+    rev = load_meta(index_dir).get("revision")
+    if rev is not None:
+        return int(rev)
+    return os.path.getmtime(f"{index_dir}/meta.json")
+
+
 def compact_index(spark: SparkSession, index_dir: str) -> dict:
     """Re-encode the postings with the CURRENT corpus stats: merges the
     duplicate (term, bucket) rows that incremental merges leave behind and
@@ -374,25 +403,49 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     positional = meta.get("positions", False)
     bucket_size = meta["bucket_size"]
 
-    del_arr = None
-    if meta.get("n_deleted"):
-        from dts.delete import deleted_ids_array
+    # Tombstones are handled FULLY DISTRIBUTED (round-4 ADVICE: no driver
+    # array, no size cap — compaction of an arbitrarily large delete set is
+    # always possible): the per-bucket delete table joins onto posting rows
+    # by the doc-range bucket key, so each task masks exactly its buckets'
+    # deletions. Gating derives from the deletes directory, never from
+    # meta['n_deleted'] (crash between deletes append and meta write).
+    from dts.delete import (
+        BROADCAST_DELETES_MAX,
+        deletes_by_bucket,
+        deletes_df,
+        has_deletes,
+    )
 
-        del_arr = deleted_ids_array(spark, index_dir, meta)
-        del_buckets = sorted({int(d) // bucket_size for d in del_arr})
+    apply_deletes = has_deletes(index_dir)
+    db_joined = None
+    if apply_deletes:
+        dels = deletes_df(spark, index_dir).cache()
+        del_by_bucket = deletes_by_bucket(
+            spark, index_dir, bucket_size
+        ).cache()
+        small = int(meta.get("n_deleted") or 0) <= BROADCAST_DELETES_MAX
+        db_joined = F.broadcast(del_by_bucket) if small else del_by_bucket
+        n_del_buckets = del_by_bucket.count()
 
         def _bucket_filter(df: DataFrame) -> DataFrame:
-            if len(del_buckets) <= 10_000:
-                return df.filter(F.col("bucket").isin(del_buckets))
-            bdf = spark.createDataFrame(
-                [(int(b),) for b in del_buckets], "bucket long"
+            if n_del_buckets <= 10_000:
+                bl = [
+                    int(r["bucket"])
+                    for r in del_by_bucket.select("bucket").collect()
+                ]
+                return df.filter(F.col("bucket").isin(bl))
+            return df.join(
+                F.broadcast(del_by_bucket.select("bucket")),
+                "bucket",
+                "left_semi",
             )
-            return df.join(F.broadcast(bdf), "bucket", "left_semi")
 
         # Stats delta: decode ONLY rows of buckets that contain deletions
         # (a 0.1% delete set touches ~0.1% of row-groups) and count each
-        # row's deleted docs / their tf mass. A doc lives in exactly one
-        # run per (term, bucket), so per-row counting sums exactly.
+        # row's deleted docs / their tf mass against the row's OWN bucket
+        # delete array (attached by the bucket join). A doc lives in
+        # exactly one run per (term, bucket), so per-row counting sums
+        # exactly.
         def _delta(it):
             from dts.codec import PackedPostings as _PP
             from dts.codec import decode_postings as _dec
@@ -400,6 +453,10 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
             for pdf in it:
                 terms, dfs, cfs = [], [], []
                 for i in range(len(pdf)):
+                    a = pdf["_del_ids"].iat[i]
+                    if a is None:
+                        continue
+                    darr = np.asarray(a, dtype=np.int64)
                     p = _PP(
                         n=int(pdf["n"].iat[i]),
                         doc_blob=bytes(pdf["doc_blob"].iat[i]),
@@ -414,7 +471,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
                         codec=codec,
                     )
                     docs, tfs, _ = _dec(p)
-                    hit = np.isin(docs, del_arr, assume_unique=True)
+                    hit = np.isin(docs, darr, assume_unique=True)
                     if hit.any():
                         terms.append(pdf["term"].iat[i])
                         dfs.append(int(hit.sum()))
@@ -430,6 +487,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         delta = (
             _bucket_filter(spark.read.parquet(f"{index_dir}/postings"))
             .select("bucket", *scan_cols)
+            .join(db_joined, "bucket")
             .mapInPandas(_delta, "term string, df_d long, cf_d long")
             .groupBy("term")
             .agg(F.sum("df_d").alias("df_d"), F.sum("cf_d").alias("cf_d"))
@@ -449,21 +507,19 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         new_stats.repartitionByRange(
             max(1, par // 2), "term"
         ).sortWithinPartitions("term").write.mode("overwrite").parquet(tmp_ts)
-        # doc_stats: deleted docs' dl mass funds the new avgdl.
+        # doc_stats: deleted docs' dl mass funds the new avgdl. Only
+        # tombstones that are actually LIVE (present in doc_stats) adjust
+        # the stats — delete_docs validates this, but the guard keeps a
+        # hand-edited deletes dir from corrupting n_docs.
         ds = spark.read.parquet(f"{index_dir}/doc_stats")
-        dels_df = spark.createDataFrame(
-            [(int(d),) for d in del_arr], "doc_id long"
-        )
-        live_del = ds.join(F.broadcast(dels_df), "doc_id", "left_semi").agg(
+        dh = F.broadcast(dels) if small else dels
+        live_del = ds.join(dh, "doc_id", "left_semi").agg(
             F.count("*").alias("n"), F.sum("dl").alias("t")
         ).collect()[0]
-        # Only tombstones that are actually LIVE (present in doc_stats)
-        # adjust the stats — delete_docs validates this, but the guard
-        # keeps a hand-edited deletes dir from corrupting n_docs.
         n_live_deleted = int(live_del["n"])
         dl_deleted = int(live_del["t"] or 0)
         tmp_ds = f"{index_dir}/doc_stats_new"
-        ds.join(F.broadcast(dels_df), "doc_id", "left_anti").write.mode(
+        ds.join(dh, "doc_id", "left_anti").write.mode(
             "overwrite"
         ).parquet(tmp_ds)
         shutil.rmtree(f"{index_dir}/term_stats")
@@ -513,8 +569,14 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
                     bytes(pdf["pos_blob"].iat[i]), run[1]
                 )
                 run = (*run, pos_flat)
-            if del_arr is not None:
-                keep = ~np.isin(run[0], del_arr, assume_unique=True)
+            darr = (
+                np.asarray(pdf["_del_ids"].iat[i], dtype=np.int64)
+                if "_del_ids" in pdf.columns
+                and pdf["_del_ids"].iat[i] is not None
+                else None
+            )
+            if darr is not None and len(darr):
+                keep = ~np.isin(run[0], darr, assume_unique=True)
                 if not keep.all():
                     if positional:
                         pos_keep = np.repeat(keep, run[1].astype(np.int64))
@@ -575,9 +637,11 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     if positional:
         cols.append("pos_blob")
     postings = spark.read.parquet(f"{index_dir}/postings")
+    src = postings.select(*cols)
+    if apply_deletes:
+        src = src.join(db_joined, "bucket", "left")
     compacted = (
-        postings.select(*cols)
-        .groupBy("bucket")
+        src.groupBy("bucket")
         .applyInPandas(
             compact, POSTINGS_SCHEMA_POS if positional else POSTINGS_SCHEMA
         )
@@ -590,16 +654,28 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     meta["min_encode_avgdl"] = avgdl
     meta["bmw_safe"] = True
     meta.pop("n_merges", None)
-    if del_arr is not None:
+    if apply_deletes:
+        dels.unpersist()
+        del_by_bucket.unpersist()
         shutil.rmtree(f"{index_dir}/deletes", ignore_errors=True)
         meta.pop("n_deleted", None)
-    with open(f"{index_dir}/meta.json", "w") as f:
-        json.dump(meta, f, indent=2, sort_keys=True)
+    save_meta(index_dir, meta)
     return meta
 
 
-def merge_index(spark: SparkSession, index_dir: str, new_docs: DataFrame) -> dict:
+def merge_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    extra_meta: dict | None = None,
+) -> dict:
     """Incremental update: append new documents to an existing index.
+
+    ``extra_meta`` fields are committed in the SAME atomic meta.json write
+    as the merge itself — the streaming-ingest idempotency marker
+    (last_stream_batch) rides here so a crash can never observe a merged
+    index without its batch id (round-4 ADVICE: exactly-once crash
+    window).
 
     `new_docs` needs (content, …) WITHOUT doc_id — ids continue from the
     current n_docs (arrival order), so new postings land in the trailing
@@ -694,7 +770,8 @@ def merge_index(spark: SparkSession, index_dir: str, new_docs: DataFrame) -> dic
             ),
         }
     )
-    with open(f"{index_dir}/meta.json", "w") as f:
-        json.dump(meta, f, indent=2, sort_keys=True)
+    if extra_meta:
+        meta.update(extra_meta)
+    save_meta(index_dir, meta)
     tf.unpersist()
     return meta

@@ -116,14 +116,27 @@ def iceberg_catalogs(spark: SparkSession) -> list[str]:
     return out
 
 
-def _is_table_ref(ref: str) -> tuple[str | None, str]:
-    """('iceberg'|'parquet'|None, rest): explicit scheme prefix wins;
-    otherwise a dotted, slash-less ref is a catalog table, else a path."""
+def _is_table_ref(
+    ref: str, catalogs: list[str] | tuple = (), for_write: bool = False
+) -> tuple[str | None, str]:
+    """('iceberg'|'parquet'|None, rest). Explicit scheme prefix wins. A
+    dotted, slash-less ref is a catalog table when its first component
+    names a CONFIGURED Iceberg catalog; otherwise, on reads only, a
+    non-existent dotted name still routes to Iceberg so the user gets the
+    configuration-guidance error instead of a parquet path-not-found. An
+    EXISTING local name like ``index.v2`` always stays on the parquet
+    branch (round-4 ADVICE) — the ``iceberg:`` prefix covers the
+    intentional case."""
+    import os
+
     for scheme in ("iceberg", "parquet"):
         if ref.startswith(scheme + ":"):
             return scheme, ref[len(scheme) + 1 :]
     if "/" not in ref and "." in ref and not ref.endswith(".parquet"):
-        return "iceberg", ref
+        if ref.split(".", 1)[0] in catalogs:
+            return "iceberg", ref
+        if not for_write and not os.path.exists(ref):
+            return "iceberg", ref
     return None, ref
 
 
@@ -132,7 +145,7 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
     identifier) via the catalog, 'parquet:<path>' or a plain path via
     parquet. Raises a clear error when an Iceberg ref is used in a runtime
     without a configured Iceberg catalog."""
-    scheme, rest = _is_table_ref(ref)
+    scheme, rest = _is_table_ref(ref, iceberg_catalogs(spark))
     if scheme == "iceberg":
         if not iceberg_catalogs(spark):
             raise RuntimeError(
@@ -148,7 +161,9 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
 def write_table(df: DataFrame, ref: str, mode: str = "overwrite") -> None:
     """Write a DataFrame through the same seam: Iceberg refs use the v2
     writeTo API (createOrReplace / append), paths write parquet."""
-    scheme, rest = _is_table_ref(ref)
+    scheme, rest = _is_table_ref(
+        ref, iceberg_catalogs(df.sparkSession), for_write=True
+    )
     if scheme == "iceberg":
         if not iceberg_catalogs(df.sparkSession):
             raise RuntimeError(

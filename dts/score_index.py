@@ -39,8 +39,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dts.codec import PackedPostings, bm25_impact
+from dts.delete import has_deletes, join_deletes
 from dts.fuzzy import build_vocab_struct, expand_fuzzy_local, expand_fuzzy_terms
-from dts.index_build import load_meta
+from dts.index_build import index_revision, load_meta
 from dts.tokenizer import tokenize_text
 from dts.wand import bmw_topk
 
@@ -82,15 +83,16 @@ _INDEX_CACHE: dict[tuple, dict] = {}
 
 def load_index(spark: SparkSession, index_dir: str, use_cache: bool = True):
     """Index handle (lazy DataFrames + meta). Cached per (session,
-    index_dir, meta.json mtime): repeated query batches skip the parquet
-    footer reads and plan rebuilding; any index mutation (merge, compact)
-    rewrites meta.json, so the mtime key self-invalidates."""
+    index_dir, meta revision): every index mutation (merge, delete,
+    compact) bumps the monotonically increasing revision counter via
+    save_meta, so the key self-invalidates even when two mutations land
+    within one filesystem-mtime tick (round-4 ADVICE)."""
     import os
 
     key = (
         spark.sparkContext.applicationId,
         index_dir,
-        os.path.getmtime(f"{index_dir}/meta.json"),
+        index_revision(index_dir),
     )
     if use_cache and key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
@@ -167,14 +169,16 @@ def _scorer_fn(
     strategy: str,
     block_size: int,
     codec: str = "varint",
-    deleted: np.ndarray | None = None,
     mode: str = "or",
     m_map: dict[int, int] | None = None,
 ):
-    """``deleted``: sorted tombstoned doc_ids (dts.delete) — masked BEFORE
-    top-k truncation so a tombstone can never occupy a rank slot. Stats
-    (idf / avgdl / n_docs) intentionally still count deleted docs until
-    compaction (Lucene semantics).
+    """Tombstones arrive COLOCATED on the posting rows as a ``_del_ids``
+    column (dts.delete.join_deletes — per-bucket sorted arrays, joined by
+    the doc-range bucket key), never as a driver-shipped closure array:
+    the group reassembles exactly its own buckets' deletions and masks
+    them BEFORE top-k truncation, so a tombstone can never occupy a rank
+    slot. Stats (idf / avgdl / n_docs) intentionally still count deleted
+    docs until compaction (Lucene semantics).
 
     ``mode='and'`` (Lucene MUST / default-AND search): only docs matching
     EVERY query clause are ranked — a clause is a query token position,
@@ -184,11 +188,23 @@ def _scorer_fn(
     disjunctive BM25 sums, AND only filters eligibility."""
     from dts.codec import decode_postings
 
-    if deleted is not None and not len(deleted):
-        deleted = None
-
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = int(pdf["query_id"].iloc[0])
+        # Reassemble this group's tombstones from the per-bucket arrays:
+        # buckets are disjoint ascending doc ranges and each array is
+        # sorted, so bucket-ordered concatenation is globally sorted+unique.
+        deleted = None
+        if "_del_ids" in pdf.columns:
+            per_bucket: dict[int, np.ndarray] = {}
+            for b, a in zip(pdf["bucket"], pdf["_del_ids"]):
+                if a is not None and int(b) not in per_bucket:
+                    arr = np.asarray(a, dtype=np.int64)
+                    if len(arr):
+                        per_bucket[int(b)] = arr
+            if per_bucket:
+                deleted = np.concatenate(
+                    [per_bucket[b] for b in sorted(per_bucket)]
+                )
         # Ascending (term, bucket): fixes the accumulation order AND makes
         # each term's bucket rows an ordered concatenation (the lazy phase-2
         # of the salted merge).
@@ -288,12 +304,10 @@ _VOCAB_CACHE: dict[tuple, dict] = {}
 
 
 def _driver_vocab(spark: SparkSession, index_dir: str, meta: dict) -> dict:
-    import os
-
     key = (
         index_dir,
         meta.get("vocab_size"),
-        os.path.getmtime(f"{index_dir}/meta.json"),
+        index_revision(index_dir),
     )
     if key not in _VOCAB_CACHE:
         _VOCAB_CACHE.clear()  # hold one vocab at a time
@@ -364,18 +378,6 @@ def auto_distribute(
     return "bucket" if 2 <= n_queries <= 16 and n_buckets >= 32 else "query"
 
 
-def _deleted_mask(
-    spark: SparkSession, index_dir: str, meta: dict
-) -> np.ndarray | None:
-    """Sorted tombstone array when the index has live deletions, else None
-    (no job issued). See dts.delete for the scale contract."""
-    if not meta.get("n_deleted"):
-        return None
-    from dts.delete import deleted_ids_array
-
-    return deleted_ids_array(spark, index_dir, meta)
-
-
 def _filter_by_qterms(
     idx: dict, scan: DataFrame, qterms: DataFrame, max_isin_terms: int
 ) -> tuple[DataFrame, DataFrame, list[str]]:
@@ -413,21 +415,25 @@ def _score_filtered(
     k: int,
     strategy: str,
     distribute: str | None,
-    deleted: np.ndarray | None = None,
+    index_dir: str | None = None,
     mode: str = "or",
     m_map: dict[int, int] | None = None,
 ) -> DataFrame:
     """Shared scoring tail: join filtered postings with broadcast stats +
-    query terms, pick the distribution mode, run the per-group scorer."""
+    query terms, attach colocated tombstones (when ``index_dir`` has a
+    deletes directory), pick the distribution mode, run the per-group
+    scorer."""
     joined = postings.join(F.broadcast(stats), "term").join(
         F.broadcast(qterms), "term"
     )
+    if index_dir is not None and has_deletes(index_dir):
+        joined = join_deletes(joined, spark, index_dir, meta)
     n_buckets = -(-meta["n_docs"] // meta["bucket_size"])
     if distribute is None:
         distribute = auto_distribute(n_queries, n_buckets, meta["n_docs"])
     scorer = _scorer_fn(
         meta["n_docs"], meta["avgdl"], k, strategy, meta["block_size"],
-        meta.get("codec", "varint"), deleted, mode, m_map,
+        meta.get("codec", "varint"), mode, m_map,
     )
     if distribute == "bucket":
         # Cap group count: per-group applyInPandas overhead is real, so
@@ -492,7 +498,7 @@ def score_expanded_terms(
         return spark.createDataFrame([], TOPK_SCHEMA)
     return _score_filtered(
         spark, idx["meta"], postings, stats, qterms, n_queries, k,
-        strategy, distribute, _deleted_mask(spark, index_dir, idx["meta"]),
+        strategy, distribute, index_dir,
     )
 
 
@@ -587,7 +593,7 @@ def bm25_topk_indexed(
         n_queries = queries.count() if distribute is None else 0
     return _score_filtered(
         spark, meta, postings, stats, qterms, n_queries, k, strategy,
-        distribute, _deleted_mask(spark, index_dir, meta), mode, m_map,
+        distribute, index_dir, mode, m_map,
     )
 
 
@@ -606,14 +612,13 @@ def bm25_topk_cached(
 ) -> DataFrame:
     """Process-level result cache over ``bm25_topk_indexed`` — the hot
     dashboard/repeated-query path. Key = (application, index_dir, meta
-    mtime, the frozen query rows, k, strategy, distribute, mode); every
-    index mutation (merge / delete / compact) rewrites meta.json, so the
-    mtime component self-invalidates exactly like the index-handle cache.
-    Results are materialized rows (query batches are client-sized by the
+    REVISION, the frozen query rows, k, strategy, distribute, mode); every
+    index mutation (merge / delete / compact) bumps the revision counter
+    via save_meta, so the key self-invalidates even when two mutations
+    land within one filesystem-mtime tick (round-4 ADVICE). Results are
+    materialized rows (query batches are client-sized by the
     bm25_topk_indexed contract, so a cached entry is k×queries rows);
     FIFO eviction at {cap} entries.""".format(cap=_RESULT_CACHE_CAP)
-    import os
-
     qrows = tuple(
         sorted(
             (int(r["query_id"]), r["text"], int(r["fuzzy_k"] or 0))
@@ -626,7 +631,7 @@ def bm25_topk_cached(
     key = (
         spark.sparkContext.applicationId,
         index_dir,
-        os.path.getmtime(f"{index_dir}/meta.json"),
+        index_revision(index_dir),
         qrows, k, strategy, distribute, mode,
     )
     if key not in _RESULT_CACHE:

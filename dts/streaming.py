@@ -146,37 +146,37 @@ def stream_ingest_index(
     """
     from dts.index_build import build_index, load_meta, merge_index
 
-    import json
     import os
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.rdd.isEmpty():
+        if batch_df.isEmpty():
             return
-        has_index = os.path.exists(f"{index_dir}/meta.json")
-        if has_index:
-            meta = load_meta(index_dir)
-            last = meta.get("last_stream_batch")
+        # The batch-id marker is committed in the SAME atomic meta.json
+        # write as the build/merge itself (extra_meta) — a sink retry
+        # after a crash can observe either "not merged, no marker" (it
+        # re-merges) or "merged, marker present" (it skips), never the
+        # double-merge middle state.
+        marker = {"last_stream_batch": int(batch_id)}
+        if os.path.exists(f"{index_dir}/meta.json"):
+            last = load_meta(index_dir).get("last_stream_batch")
             if last is not None and batch_id <= last:
                 return  # replayed batch: already merged
-            merge_index(spark, index_dir, batch_df)
-            meta = load_meta(index_dir)
+            merge_index(spark, index_dir, batch_df, extra_meta=marker)
         else:
             from dts.io import assign_doc_ids
 
             kw = {}
             if bucket_size is not None:
                 kw["bucket_size"] = bucket_size
-            meta = build_index(
+            build_index(
                 spark,
                 assign_doc_ids(batch_df),
                 index_dir,
                 positions=positions,
                 strip_literals=strip_literals,
+                extra_meta=marker,
                 **kw,
             )
-        meta["last_stream_batch"] = int(batch_id)
-        with open(f"{index_dir}/meta.json", "w") as f:
-            json.dump(meta, f, indent=2, sort_keys=True)
 
     stream = spark.readStream.schema(doc_schema).parquet(source_dir)
     writer = (

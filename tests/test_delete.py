@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from dts.boolquery import boolean_match_docs
-from dts.delete import delete_docs, deleted_ids_array
+from dts.delete import delete_docs, has_deletes
 from dts.index_build import build_index, compact_index, load_meta
 from dts.oracle import OracleIndex
 from dts.phrase import phrase_match_counts
@@ -106,7 +106,7 @@ def test_compact_applies_deletes(spark, del_index, corpus_pd, oracle_live):
     assert meta["bmw_safe"]
     # postings contain no tombstoned doc — and stats are exact: scores
     # equal a fresh build over the live corpus, bit-identically.
-    assert len(deleted_ids_array(spark, del_index, meta)) == 0
+    assert not has_deletes(del_index)
     texts, q = _queries(spark, corpus_pd)
     got = bm25_topk_indexed(spark, del_index, q, k=10, strategy="bmw").toPandas()
     for i, text in enumerate(texts):
@@ -206,6 +206,85 @@ def test_merge_after_delete_compact_keeps_ids_stable(
         assert np.array_equal(
             g["score"].to_numpy(), np.array([s for *_, s in want])
         ), text
+
+
+def test_mass_delete_queries_without_compaction(
+    spark, docs_sdf, corpus_pd, oracle_full, tmp_path
+):
+    """Round-4: tombstones are colocated by bucket — no driver cap, so an
+    index can carry an arbitrarily large tombstone set (here 60% of the
+    corpus) and every query path still masks correctly WITHOUT compaction."""
+    d = str(tmp_path / "didx_mass")
+    build_index(spark, docs_sdf, d, bucket_size=64, block_size=16)
+    dead = set(range(0, len(corpus_pd), 5)) | set(range(1, len(corpus_pd), 5)) | set(
+        range(2, len(corpus_pd), 5)
+    )
+    delete_docs(spark, d, sorted(dead))
+    texts, q = _queries(spark, corpus_pd, n=4)
+    for strategy, distribute in [("taat", "query"), ("taat", "bucket"), ("bmw", "query")]:
+        got = bm25_topk_indexed(
+            spark, d, q, k=10, strategy=strategy, distribute=distribute
+        ).toPandas()
+        assert not set(got["doc_id"].astype(int)) & dead, (strategy, distribute)
+        for i, text in enumerate(texts):
+            want = [
+                (dd, s)
+                for _, dd, s in oracle_full.score_query(text, topk=10**6)
+                if dd not in dead
+            ][:10]
+            g = got[got["query_id"] == i].sort_values("rank")
+            assert list(g["doc_id"].astype(int)) == [dd for dd, _ in want], (
+                strategy, distribute, text,
+            )
+
+
+def test_stale_meta_never_resurrects_deletes(spark, del_index, corpus_pd):
+    """Round-4 ADVICE: a crash between the deletes append and the meta
+    write leaves n_deleted stale — masking must derive from the deletes
+    directory, not the counter."""
+    import json
+
+    from dts.index_build import load_meta, save_meta
+
+    meta = load_meta(del_index)
+    meta["n_deleted"] = 0  # simulate the crash-window state
+    save_meta(del_index, meta)
+    texts, q = _queries(spark, corpus_pd, n=3)
+    got = bm25_topk_indexed(spark, del_index, q, k=10).toPandas()
+    assert not set(got["doc_id"].astype(int)) & DELETED
+    # row-shaped paths too
+    phr = spark.createDataFrame(
+        [(0, " ".join(tokenize_text(corpus_pd["content"].iloc[3])[:2]))],
+        "phrase_id long, text string",
+    )
+    pm = phrase_match_counts(spark, del_index, phr).toPandas()
+    assert not set(pm["doc_id"].astype(int)) & DELETED
+
+
+def test_meta_revision_monotonic(spark, docs_sdf, tmp_path):
+    """Every mutation bumps meta.revision (cache keys depend on it — the
+    1s-mtime-granularity race from round-4 ADVICE)."""
+    from dts.index_build import load_meta
+
+    d = str(tmp_path / "didx_rev")
+    build_index(spark, docs_sdf, d, bucket_size=64, block_size=16)
+    r0 = load_meta(d)["revision"]
+    delete_docs(spark, d, [1])
+    r1 = load_meta(d)["revision"]
+    compact_index(spark, d)
+    r2 = load_meta(d)["revision"]
+    assert r0 < r1 < r2
+
+
+def test_delete_validate_false_skips_jobs(spark, docs_sdf, tmp_path):
+    """validate=False is the bulk path: no validation jobs, same tombstone
+    effect."""
+    from dts.index_build import build_index
+
+    d = str(tmp_path / "didx_nv")
+    build_index(spark, docs_sdf, d, bucket_size=64, block_size=16)
+    meta = delete_docs(spark, d, [1, 2], validate=False)
+    assert meta["n_deleted"] == 2
 
 
 def test_delete_dead_id_rejected(spark, del_index):

@@ -107,6 +107,29 @@ def test_storage_seam_iceberg_requires_catalog(spark):
         write_table(df, "iceberg:lake.db.sources")
 
 
+def test_dotted_local_path_stays_parquet(tmp_path, monkeypatch):
+    """Round-4 ADVICE fix: a slash-less dotted name that EXISTS locally
+    (e.g. a directory 'index.v2') resolves to the parquet branch; writes
+    only go to Iceberg when the first component names a configured
+    catalog; reads of absent dotted names keep the instructive Iceberg
+    error."""
+    from dts.io import _is_table_ref
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "index.v2").mkdir()
+    assert _is_table_ref("index.v2") == (None, "index.v2")
+    # absent dotted name on READ → iceberg (guidance error downstream)
+    assert _is_table_ref("lake.db.sources") == ("iceberg", "lake.db.sources")
+    # on WRITE a bare dotted name is parquet unless a catalog matches
+    assert _is_table_ref("new.dir", for_write=True) == (None, "new.dir")
+    assert _is_table_ref("lake.db.t", ["lake"], for_write=True) == (
+        "iceberg", "lake.db.t",
+    )
+    # explicit prefixes always win
+    assert _is_table_ref("parquet:index.v2") == ("parquet", "index.v2")
+    assert _is_table_ref("iceberg:a.b.c") == ("iceberg", "a.b.c")
+
+
 def test_storage_seam_live_iceberg(spark, tmp_path):
     """Live Iceberg catalog roundtrip — runs only when the runtime has the
     jar (skipped in this sandbox; the seam keeps it a config change)."""
