@@ -551,8 +551,10 @@ def _q_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed results page: round-6 re-ranked BM25 top-10 joined
-    back to the source table (broadcast point-lookup join) with a snippet
-    of the query's first term."""
+    back to the source table with a snippet of the query's first term.
+    The top-k doc_ids are driver-known (client-sized page), so the docs
+    scan carries an IN-list doc_id pushdown — row-group pruning turns the
+    corpus scan into a point lookup (round-4 verdict fix)."""
     from dts.score_index import bm25_topk_indexed
     from dts.snippet import _snippet_cols
 
@@ -560,12 +562,15 @@ def _q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, t, 0) for i, t in PROBE_QUERIES],
         "query_id long, text string, fuzzy_k int",
     )
-    top = _rerank6_top10(
+    top_df = _rerank6_top10(
         bm25_topk_indexed(spark, _pos_index(spark, sf_dir), q, k=10**6)
     )
+    top_rows = top_df.collect()
+    ids = sorted({int(r["doc_id"]) for r in top_rows})
+    top = spark.createDataFrame(top_rows, top_df.schema)
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.col("text").alias("content")
-    )
+    ).where(F.col("doc_id").isin(ids))
     fterms = spark.createDataFrame(
         [(i, t.split()[0]) for i, t in PROBE_QUERIES],
         "query_id long, fterm string",

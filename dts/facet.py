@@ -22,6 +22,7 @@ def facet_counts(
     field: str,
     key: str,
     broadcast_matches: bool = True,
+    pushdown_hits: bool = False,
 ) -> DataFrame:
     """(key, field, n): how many matched docs of each ``key`` (query id
     column of ``matches``) carry each value of ``docs.field``.
@@ -30,13 +31,24 @@ def facet_counts(
     outputs are query-sized — broadcasting them turns the join into a
     map-side lookup over the (doc_id, field) projection. Set False for
     corpus-scale match sets (falls back to a shuffle join).
+
+    ``pushdown_hits``: for CLIENT-sized hit lists (top-k pages), collect
+    the distinct doc_ids and filter the docs scan with an IN-list — the
+    filter reaches the parquet row-group stats (doc_ids are
+    write-ordered), so the (doc_id, field) projection reads only the
+    row-groups containing hits instead of the whole corpus. Leave False
+    for corpus-scale match sets (boolean/phrase over common terms), where
+    collecting would be a driver blowup and the scan is unavoidable.
     """
     m = matches.select(key, "doc_id").distinct()
+    side = docs.select("doc_id", field)
+    if pushdown_hits:
+        ids = sorted({int(r["doc_id"]) for r in m.select("doc_id").distinct().collect()})
+        side = side.where(F.col("doc_id").isin(ids)) if ids else side.limit(0)
     if broadcast_matches:
         m = F.broadcast(m)
     return (
-        docs.select("doc_id", field)
-        .join(m, "doc_id")
+        side.join(m, "doc_id")
         .groupBy(key, field)
         .agg(F.count("*").alias("n"))
     )

@@ -42,6 +42,26 @@ def test_column_pruning_on_docs_scan(spark, small_index):
     assert read_schema and "doc_blob" not in read_schema[0], read_schema
 
 
+def test_snippet_lookup_pushes_doc_id_filter(spark, docs_sdf, small_index, tmp_path):
+    """Round-4 verdict fix: the results-page doc lookup must filter the
+    docs scan by the (driver-known) top-k doc_ids — PushedFilters
+    In(doc_id, …) — instead of streaming the whole corpus through a
+    broadcast join probe."""
+    from dts.snippet import search_with_snippets
+
+    docs_dir = str(tmp_path / "docs_pq")
+    docs_sdf.select("doc_id", "content").write.parquet(docs_dir)
+    docs = spark.read.parquet(docs_dir)
+    queries = spark.createDataFrame(
+        [(0, "def import", 0)], "query_id long, text string, fuzzy_k int"
+    )
+    out = search_with_snippets(spark, small_index, docs, queries, k=5)
+    plan = _plan(out)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("In(doc_id" in l or "EqualTo(doc_id" in l for l in pushed), plan
+    assert out.count() > 0
+
+
 def test_bm25_plan_broadcasts_query_side(spark, docs_sdf):
     queries = spark.createDataFrame(
         [(0, "def import")], "query_id long, text string"
