@@ -32,8 +32,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dts.index_build import build_index
-from dts.score_index import ROUND_RANK, TOPK_SCHEMA, bm25_topk_indexed
+from dts.index_build import build_index, load_meta
+from dts.score_index import (
+    ROUND_RANK,
+    TOPK_SCHEMA,
+    bm25_shard_candidates,
+    bm25_topk_indexed,
+    scoring_shards,
+    topk_merge_global,
+)
 
 
 def build_multifield_index(
@@ -87,15 +94,33 @@ def bm25_topk_multifield(
     k: int = 10,
     strategy: str = "taat",
     default_field: str | None = None,
+    distribute: str | None = None,
 ) -> DataFrame:
     """Top-k over a multifield index. ``queries`` needs (query_id, text
     [, fuzzy_k]); clause routing per ``parse_field_query``. Returns the
     engine-standard (query_id, doc_id, score, rank).
 
-    Per field: one bm25_topk_indexed call with k=∞-equivalent (the result
-    is CANDIDATE-bounded — only docs containing ≥1 of that field's query
-    terms — never corpus-sized), then a weighted union-sum and one global
-    window. Fields with no routed clauses issue no job at all."""
+    ``distribute`` (round-4 verdict fix — the old implementation pushed
+    EVERY candidate of every field through one global window partition per
+    query, a single-task sort at head-term scale):
+
+    - ``"bucket"`` (default on many-bucket indexes): sub-indexes share
+      doc_ids AND bucket boundaries, so a document's entire multi-field
+      score lives in ONE bucket shard across all fields. Per field,
+      ``bm25_shard_candidates`` emits full per-(query, shard) candidate
+      scores with an IDENTICAL shard mapping; the weighted union-sum is
+      then grouped per (query, shard, doc), local top-k runs per
+      (query, shard) — every window partition bounded by the shard's doc
+      range — and ``topk_merge_global`` ranks the k×shards survivors.
+      Exact: local top-k under the global ranking key restricted to
+      disjoint shards can never drop a global top-k doc.
+    - ``"query"``: the small-index path — per-field full candidates merged
+      through one window per query (fine when the index itself is small).
+    - ``None``: bucket when the sub-indexes have ≥32 buckets, else query
+      (same shape as auto_distribute: shards only pay off when groups are
+      big enough to amortize).
+
+    Both paths are rank-identical (tested)."""
     meta = load_multifield_meta(out_dir)
     fields: dict[str, float] = meta["fields"]
     if default_field is None:
@@ -115,6 +140,63 @@ def bm25_topk_multifield(
             per_field.setdefault(f_name, []).append(
                 (int(r["query_id"]), sub, fk)
             )
+    if not per_field:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+
+    sub_metas = {
+        f_name: load_meta(f"{out_dir}/field={f_name}") for f_name in per_field
+    }
+    bucket_sizes = {m["bucket_size"] for m in sub_metas.values()}
+    assert len(bucket_sizes) == 1, (
+        f"multifield sub-indexes disagree on bucket_size: {bucket_sizes} — "
+        "the shared shard mapping requires one bucket geometry"
+    )
+    any_meta = next(iter(sub_metas.values()))
+    n_buckets = -(-any_meta["n_docs"] // any_meta["bucket_size"])
+    if distribute is None:
+        distribute = "bucket" if n_buckets >= 32 else "query"
+
+    if distribute == "bucket":
+        n_shards = scoring_shards(
+            any_meta, spark.sparkContext.defaultParallelism
+        )
+        cands = []
+        for f_name, qrows in sorted(per_field.items()):
+            sub_q = spark.createDataFrame(
+                qrows, "query_id long, text string, fuzzy_k int"
+            )
+            c = bm25_shard_candidates(
+                spark, f"{out_dir}/field={f_name}", sub_q, n_shards,
+                strategy=strategy,
+            )
+            cands.append(
+                c.select(
+                    "query_id", "shard", "doc_id",
+                    (F.col("score") * F.lit(fields[f_name])).alias("score"),
+                )
+            )
+        union = cands[0]
+        for c in cands[1:]:
+            union = union.unionByName(c)
+        # Weighted cross-field sum per doc — a hash agg (map-side combined,
+        # group = one doc), NOT a window; then local top-k per bounded
+        # (query, shard) partition.
+        total = union.groupBy("query_id", "shard", "doc_id").agg(
+            F.sum("score").alias("score")
+        )
+        w_local = Window.partitionBy("query_id", "shard").orderBy(
+            F.round(F.col("score"), ROUND_RANK).desc(), F.col("doc_id").asc()
+        )
+        local = (
+            total.withColumn("r", F.row_number().over(w_local))
+            .filter(F.col("r") <= k)
+            .select("query_id", "doc_id", "score")
+        )
+        return topk_merge_global(local, k).select(
+            "query_id", "doc_id", "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+
     scored = []
     for f_name, qrows in sorted(per_field.items()):
         sub_q = spark.createDataFrame(
@@ -130,8 +212,6 @@ def bm25_topk_multifield(
                 (F.col("score") * F.lit(fields[f_name])).alias("score"),
             )
         )
-    if not scored:
-        return spark.createDataFrame([], TOPK_SCHEMA)
     union = scored[0]
     for s in scored[1:]:
         union = union.unionByName(s)

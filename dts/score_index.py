@@ -562,15 +562,41 @@ def bm25_topk_indexed(
         }
     elif mode != "or":
         raise ValueError(f"unknown mode {mode!r}")
+    prep = _prepare_query_scan(
+        spark, idx, index_dir, queries, max_isin_terms,
+        need_count=distribute is None,
+    )
+    if prep is None:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    postings, stats, qterms, n_queries = prep
+    return _score_filtered(
+        spark, meta, postings, stats, qterms, n_queries, k, strategy,
+        distribute, index_dir, mode, m_map,
+    )
+
+
+def _prepare_query_scan(
+    spark: SparkSession,
+    idx: dict,
+    index_dir: str,
+    queries: DataFrame,
+    max_isin_terms: int,
+    need_count: bool,
+):
+    """Shared query prep for every index-backed scoring surface: tokenize +
+    fuzzy-expand (fully driver-side under DRIVER_EXPAND_VOCAB_CAP — zero
+    Spark jobs before the scoring job itself), filter postings/stats to
+    the expanded term set (IN-list pushdown or broadcast semi-join).
+    Returns (postings, stats, qterms, n_queries) or None when the batch
+    expands to no index terms."""
+    meta = idx["meta"]
     scan = idx["postings"].select(*POSTING_SCORE_COLS)
     if meta.get("vocab_size") and meta["vocab_size"] <= DRIVER_EXPAND_VOCAB_CAP:
-        # Driver-sized vocab: the whole query-term computation is local —
-        # zero Spark jobs before the scoring job itself.
         qrows, n_queries = _local_query_term_rows(
             queries, _driver_vocab(spark, index_dir, meta)
         )
         if not qrows:
-            return spark.createDataFrame([], TOPK_SCHEMA)
+            return None
         qterms = spark.createDataFrame(
             qrows, "query_id long, clause int, term string"
         )
@@ -589,11 +615,75 @@ def bm25_topk_indexed(
             idx, scan, qterms, max_isin_terms
         )
         if postings is None:
-            return spark.createDataFrame([], TOPK_SCHEMA)
-        n_queries = queries.count() if distribute is None else 0
-    return _score_filtered(
-        spark, meta, postings, stats, qterms, n_queries, k, strategy,
-        distribute, index_dir, mode, m_map,
+            return None
+        n_queries = queries.count() if need_count else 0
+    return postings, stats, qterms, n_queries
+
+
+SHARD_CAND_SCHEMA = "query_id long, shard int, doc_id long, score double, rank int"
+
+
+def scoring_shards(meta: dict, parallelism: int) -> int:
+    """The shared bucket→shard fanout rule (also used by _score_filtered's
+    bucket mode): cap group count at ~4×cores; exact under ANY partition
+    of buckets because a doc's postings all live in its one bucket."""
+    n_buckets = -(-meta["n_docs"] // meta["bucket_size"])
+    return max(1, min(n_buckets, 4 * parallelism))
+
+
+def bm25_shard_candidates(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    n_shards: int,
+    strategy: str = "taat",
+    max_isin_terms: int = MAX_ISIN_TERMS,
+) -> DataFrame:
+    """(query_id, shard, doc_id, score): FULL per-shard candidate scores —
+    no top-k truncation — with shard = pmod(bucket, n_shards). Every group
+    is bounded by its shard's doc range (never corpus-sized), and a doc's
+    entire score accumulates inside exactly one group (bucket-colocated
+    postings), in the engine's fixed ascending-(term, bucket) order — so
+    downstream merges (multi-field weighted sums) stay bit-identical to a
+    single-group scoring. The multifield caller relies on sub-indexes
+    sharing doc_ids AND bucket_size, which makes the shard mapping
+    identical across fields."""
+    idx = load_index(spark, index_dir)
+    meta = idx["meta"]
+    if strategy == "bmw" and not meta.get("bmw_safe", True):
+        raise ValueError(
+            "bmw strategy unavailable on a merged index with stale block "
+            "maxima; use strategy='taat' or compact first."
+        )
+    prep = _prepare_query_scan(
+        spark, idx, index_dir, queries, max_isin_terms, need_count=False
+    )
+    empty = "query_id long, shard int, doc_id long, score double"
+    if prep is None:
+        return spark.createDataFrame([], empty)
+    postings, stats, qterms, _ = prep
+    joined = postings.join(F.broadcast(stats), "term").join(
+        F.broadcast(qterms), "term"
+    )
+    if has_deletes(index_dir):
+        joined = join_deletes(joined, spark, index_dir, meta)
+    joined = joined.withColumn(
+        "shard", F.pmod(F.col("bucket"), F.lit(n_shards)).cast("int")
+    )
+    scorer = _scorer_fn(
+        meta["n_docs"], meta["avgdl"], 2**62, strategy, meta["block_size"],
+        meta.get("codec", "varint"),
+    )
+
+    def with_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = scorer(pdf)
+        out.insert(1, "shard", np.int32(pdf["shard"].iloc[0]))
+        return out
+
+    return (
+        joined.groupBy("query_id", "shard")
+        .applyInPandas(with_shard, SHARD_CAND_SCHEMA)
+        .drop("rank")
     )
 
 
