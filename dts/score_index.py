@@ -248,29 +248,56 @@ def _scorer_fn(
                 d, tf, dl = decode_postings(p)
                 docs_parts.append(d)
                 contrib_parts.append(w * bm25_impact(tf, dl, avgdl))
+            empty = pd.DataFrame(
+                columns=["query_id", "doc_id", "score", "rank"]
+            ).astype({"query_id": "int64", "doc_id": "int64", "score": "float64", "rank": "int32"})
             if not docs_parts:
-                return pd.DataFrame(
-                    columns=["query_id", "doc_id", "score", "rank"]
-                ).astype({"query_id": "int64", "doc_id": "int64", "score": "float64", "rank": "int32"})
-            uniq = np.unique(np.concatenate(docs_parts))
-            acc = np.zeros(len(uniq), dtype=np.float64)
-            for d, c in zip(docs_parts, contrib_parts):
-                acc[np.searchsorted(uniq, d)] += c
+                return empty
             if mode == "and":
-                # Per-clause presence: docs_parts[i] aligns with sorted
-                # pdf row i; a doc must appear under every clause id.
+                # Conjunctive intersection-driven scoring (Lucene swaps
+                # algorithms for MUST-only queries): build the eligible
+                # set FIRST — per-clause candidate doc sets (union of the
+                # clause's fuzzy expansions), intersected smallest-first —
+                # then accumulate scores ONLY over survivors. A head-term
+                # clause costs a probe into the (small) intersection
+                # instead of a full accumulation over its posting list.
+                # Per-doc addition order is unchanged (ascending
+                # (term, bucket) row loop) ⇒ bit-identical scores.
                 m = m_map[query_id]
                 clause_vals = pdf["clause"].to_numpy()
-                pres = np.zeros(len(uniq), dtype=np.int32)
-                for cl in np.unique(clause_vals):
+                uniq_cl = np.unique(clause_vals)
+                if len(uniq_cl) < m:
+                    return empty  # a clause matched no index term
+                sets = []
+                for cl in uniq_cl:
                     rows_c = [
                         docs_parts[i]
                         for i in np.flatnonzero(clause_vals == cl)
                     ]
-                    dc = np.unique(np.concatenate(rows_c))
-                    pres[np.searchsorted(uniq, dc)] += 1
-                keep = pres == m
-                uniq, acc = uniq[keep], acc[keep]
+                    sets.append(
+                        rows_c[0]
+                        if len(rows_c) == 1
+                        else np.unique(np.concatenate(rows_c))
+                    )
+                sets.sort(key=len)
+                uniq = sets[0]
+                for cd in sets[1:]:
+                    if not len(uniq):
+                        return empty
+                    uniq = uniq[np.isin(uniq, cd, assume_unique=True)]
+                if not len(uniq):
+                    return empty
+                acc = np.zeros(len(uniq), dtype=np.float64)
+                for d, c in zip(docs_parts, contrib_parts):
+                    pos = np.searchsorted(uniq, d)
+                    pos_c = np.minimum(pos, len(uniq) - 1)
+                    valid = uniq[pos_c] == d
+                    acc[pos_c[valid]] += c[valid]
+            else:
+                uniq = np.unique(np.concatenate(docs_parts))
+                acc = np.zeros(len(uniq), dtype=np.float64)
+                for d, c in zip(docs_parts, contrib_parts):
+                    acc[np.searchsorted(uniq, d)] += c
             if deleted is not None:
                 live = ~np.isin(uniq, deleted, assume_unique=True)
                 uniq, acc = uniq[live], acc[live]
