@@ -275,6 +275,24 @@ def _q_byte_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_byte_match_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4: the BYTE-exact window variant (src/apm1.c:252 sweeps raw
+    bytes) — UTF-8 bytes re-viewed as ISO-8859-1 so the same JVM
+    length/substring/levenshtein plan operates at byte granularity. The
+    DuckDB oracle rebuilds the identical byte-view string from
+    hex(encode(text)), so BOTH engines compute byte-level distances (the
+    non-ASCII divergence itself is pinned in pytest — driver corpora are
+    ASCII, where byte and codepoint counts provably coincide)."""
+    from dts.bytematch import byte_match_counts_binary
+
+    pat = spark.createDataFrame(
+        BYTE_PATTERNS, "pat_id long, pattern string, k int"
+    )
+    return byte_match_counts_binary(
+        _docs(spark, sf_dir).select("doc_id", "text"), pat
+    )
+
+
 def _q_fuzzy_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-faithful counting query at token granularity: per (fuzzy
     term, doc), number of token positions within distance 1 — the analogue
@@ -852,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_expand": _q_fuzzy_expand,
         "fuzzy_match_count": _q_fuzzy_match_count,
         "byte_match_count": _q_byte_match_count,
+        "byte_match_binary": _q_byte_match_binary,
         "bm25_topk_engine": _q_bm25_topk_engine,
         "fuzzy_expand_engine": _q_fuzzy_expand_engine,
         "phrase_match": _q_phrase_match,
@@ -1277,6 +1296,28 @@ SELECT pat_id::BIGINT AS pat_id, doc_id,
                               substring(coalesce(text, ''), j::INTEGER, length(pattern))) <= k))
         END)::BIGINT AS n_matches
 FROM documents CROSS JOIN pat
+""",
+        # Byte-exact variant: the byte view bv is rebuilt from
+        # hex(encode(text)) — chr(byte) per octet, i.e. the same
+        # ISO-8859-1 byte↔codepoint bijection the Spark side uses — so
+        # levenshtein/substring/length below are BYTE-granularity. The
+        # ASCII patterns are their own byte view.
+        "byte_match_binary": f"""
+WITH pat(pat_id, pattern, k) AS (VALUES {", ".join(f"({i}, '{p}', {k})" for i, p, k in BYTE_PATTERNS)}),
+t AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+             range(1, octet_length(encode(coalesce(text, ''))) + 1),
+             i -> chr(('0x' || substring(hex(encode(coalesce(text, ''))),
+                                         (2*i-1)::INT, 2))::INT)), '') AS bv
+  FROM documents)
+SELECT pat_id::BIGINT AS pat_id, doc_id,
+       (CASE WHEN length(bv) = 0 THEN 0
+        ELSE len(list_filter(range(1, length(bv) + 1),
+             j -> levenshtein(left(pattern, (length(bv) - j + 1)::INTEGER),
+                              substring(bv, j::INTEGER, length(pattern))) <= k))
+        END)::BIGINT AS n_matches
+FROM t CROSS JOIN pat
 """,
     }
     # LSH ANN: md5-derived planes make the whole pipeline SQL-expressible —

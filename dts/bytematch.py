@@ -15,13 +15,17 @@ Semantic deltas vs the reference (documented in SURVEY.md §7.6):
 - The reference concatenates all files into ONE byte array, so matches may
   straddle file boundaries; our unit of matching is the document row —
   windows never cross documents.
-- Granularity is Unicode CODEPOINTS, not raw bytes: Spark/DuckDB
-  length/substring/levenshtein operate on characters, while the reference
-  sweeps raw bytes. On non-ASCII content window sizes and distances can
+- ``byte_match_counts`` sweeps Unicode CODEPOINTS (Spark/DuckDB
+  length/substring/levenshtein are character-based); the reference sweeps
+  raw bytes, so on non-ASCII content window sizes and distances can
   differ (a 2-byte UTF-8 char is two reference positions, one here). The
-  generated corpus and all test data are ASCII, where the two coincide
-  exactly; a byte-exact variant would cast content to binary and window
-  over bytes at ~the same plan shape.
+  BYTE-EXACT variant is ``byte_match_counts_binary`` (round 4): it
+  re-views the UTF-8 byte stream as ISO-8859-1 — a byte↔codepoint
+  bijection over U+0000–U+00FF — which turns the same JVM
+  length/substring/levenshtein plan into byte-granularity operators,
+  reproducing apm1's counts on arbitrary UTF-8 (pinned non-ASCII
+  regression where the two variants differ). On the pure-ASCII corpora
+  the variants coincide exactly (tested).
 
 Execution: 100% JVM expressions — the position sweep is a higher-order
 ``filter`` over ``sequence(1, n)`` and each window check uses Spark's
@@ -78,13 +82,46 @@ def byte_match_counts(
     )
 
 
-def byte_match_totals(
+# Byte↔codepoint bijection: UTF-8 bytes re-viewed as ISO-8859-1 chars.
+# length() of the view = octet count; substring() = byte windows;
+# levenshtein() = byte-level edit distance. Pure JVM, same codegen span
+# as the codepoint path.
+_BYTE_VIEW = "decode(encode({c}, 'UTF-8'), 'ISO-8859-1')"
+
+
+def byte_match_counts_binary(
     docs: DataFrame, patterns: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    """(pat_id, n_matches) — the reference's actual output shape: one
-    global counter per pattern (src/apm1.c:197-203, O13 final agg)."""
-    return (
-        byte_match_counts(docs, patterns, text_col)
-        .groupBy("pat_id")
-        .agg(F.sum("n_matches").alias("n_matches"))
+    """BYTE-exact sliding-window counting — the last reference semantic
+    the engine couldn't reproduce (src/apm1.c:252 sweeps raw bytes of the
+    concatenated buffer): windows, comparison lengths and edit distances
+    over the UTF-8 BYTE stream. Same output shape and plan shape as
+    ``byte_match_counts``; identical results on ASCII, reference-faithful
+    (and generally different) on multi-byte UTF-8."""
+    d = docs.select(
+        "doc_id",
+        F.expr(_BYTE_VIEW.format(c=f"coalesce({text_col}, '')")).alias("t"),
     )
+    p = patterns.select(
+        "pat_id", F.expr(_BYTE_VIEW.format(c="pattern")).alias("pattern"), "k"
+    )
+    return d.crossJoin(F.broadcast(p)).select(
+        "pat_id", "doc_id", F.expr(_COUNT_EXPR).alias("n_matches")
+    )
+
+
+def byte_match_totals(
+    docs: DataFrame,
+    patterns: DataFrame,
+    text_col: str = "text",
+    binary: bool = False,
+) -> DataFrame:
+    """(pat_id, n_matches) — the reference's actual output shape: one
+    global counter per pattern (src/apm1.c:197-203, O13 final agg).
+    ``binary=True`` counts at byte granularity (byte_match_counts_binary)."""
+    counts = (
+        byte_match_counts_binary(docs, patterns, text_col)
+        if binary
+        else byte_match_counts(docs, patterns, text_col)
+    )
+    return counts.groupBy("pat_id").agg(F.sum("n_matches").alias("n_matches"))

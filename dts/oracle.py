@@ -201,6 +201,21 @@ def byte_match_count(text: str, pattern: str, k: int) -> int:
     )
 
 
+def byte_match_count_bytes(text: str, pattern: str, k: int) -> int:
+    """The BYTE-exact reference semantic (src/apm1.c:252 sweeps raw
+    bytes): identical recurrence to ``byte_match_count`` but over the
+    UTF-8 byte sequences — on non-ASCII content window sizes and
+    distances differ from the codepoint variant. Spec for
+    dts.bytematch.byte_match_counts_binary."""
+    t, p = text.encode("utf-8"), pattern.encode("utf-8")
+    n, m = len(t), len(p)
+    return sum(
+        1
+        for j in range(n)
+        if banded_levenshtein(p[: min(m, n - j)], t[j : j + m], k) <= k
+    )
+
+
 def phrase_count(text: str, phrase_terms: list[str]) -> int:
     """Occurrences of the token phrase (consecutive tokens; overlaps count)
     — the position-level spec for dts.phrase (analogue of the reference's

@@ -226,6 +226,67 @@ def test_byte_match_counts_vs_oracle(spark, corpus_pd):
     assert n == 2
 
 
+def test_byte_match_binary_vs_byte_oracle(spark, corpus_pd):
+    """Round-4: the BYTE-exact variant equals the byte-level reference
+    spec on ASCII (where it must also equal the codepoint variant) AND on
+    multi-byte UTF-8 — with a pinned non-ASCII regression where byte and
+    codepoint counts DIFFER, i.e. the case apm1 computes differently from
+    Spark's codepoint semantics."""
+    from dts.bytematch import byte_match_counts, byte_match_counts_binary
+    from dts.oracle import byte_match_count, byte_match_count_bytes
+
+    # ASCII: binary == codepoint == both oracles
+    sub = corpus_pd.head(15)
+    docs = spark.createDataFrame(sub[["doc_id", "content"]])
+    pats = [(0, "def", 1), (1, "a", 0)]
+    pat_sdf = spark.createDataFrame(pats, "pat_id long, pattern string, k int")
+    got_b = {
+        (r["pat_id"], r["doc_id"]): r["n_matches"]
+        for r in byte_match_counts_binary(
+            docs, pat_sdf, text_col="content"
+        ).collect()
+    }
+    got_c = {
+        (r["pat_id"], r["doc_id"]): r["n_matches"]
+        for r in byte_match_counts(docs, pat_sdf, text_col="content").collect()
+    }
+    assert got_b == got_c
+    for pid, p, k in pats:
+        for row in sub.itertuples():
+            assert got_b[(pid, row.doc_id)] == byte_match_count_bytes(
+                row.content, p, k
+            )
+
+    # Non-ASCII: pinned case where the two granularities disagree.
+    # text 'café mérge' = 12 bytes / 10 codepoints; 'é' = 2 bytes.
+    # 'ééé' is 3 codepoints / 6 bytes: a k=1 single-char pattern matches
+    # at EVERY position, so the counts are 3 (codepoint) vs 6 (byte) —
+    # exactly the apm1-vs-Spark gap. 'axb' vs pattern 'aéb' (k=1): one
+    # codepoint substitution but TWO byte substitutions, so j=0 matches
+    # only at codepoint granularity (2 vs 1 total).
+    nat = [(0, "café mérge"), (1, "ééé"), (2, "axb")]
+    nat_sdf = spark.createDataFrame(nat, "doc_id long, text string")
+    npats = [(0, "fé", 0), (1, "x", 1), (2, "aéb", 1), (3, "é", 0)]
+    np_sdf = spark.createDataFrame(npats, "pat_id long, pattern string, k int")
+    bin_got = {
+        (r["pat_id"], r["doc_id"]): r["n_matches"]
+        for r in byte_match_counts_binary(nat_sdf, np_sdf).collect()
+    }
+    cp_got = {
+        (r["pat_id"], r["doc_id"]): r["n_matches"]
+        for r in byte_match_counts(nat_sdf, np_sdf).collect()
+    }
+    diffs = 0
+    for pid, p, k in npats:
+        for did, t in nat:
+            want_b = byte_match_count_bytes(t, p, k)
+            want_c = byte_match_count(t, p, k)
+            assert bin_got[(pid, did)] == want_b, (p, k, t, "byte")
+            assert cp_got[(pid, did)] == want_c, (p, k, t, "codepoint")
+            diffs += want_b != want_c
+    assert diffs > 0, "regression must exercise a byte-vs-codepoint gap"
+
+
 def test_byte_match_prefix_truncation_regressions(spark):
     """Pinned inputs where the reference's prefix-truncation semantics
     (apm1.c runs BOTH DP loops to size = min(m, n-j); src/apm1.c:82-105,
