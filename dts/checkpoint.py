@@ -240,9 +240,10 @@ def build_index_resumable(
         ).sortWithinPartitions("term"),
         f"{out_dir}/term_stats",
     )
-    from dts.index_build import write_trigrams
+    from dts.index_build import write_reversed_terms, write_trigrams
 
     write_trigrams(spark, out_dir)
+    write_reversed_terms(spark, out_dir)
     dl = all_tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
     _atomic_write(
         docs.select("doc_id")

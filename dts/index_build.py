@@ -293,6 +293,7 @@ def build_index(
         .parquet(f"{out_dir}/term_stats"),
     )
     timed("trigrams", lambda: write_trigrams(spark, out_dir))
+    timed("terms_rev", lambda: write_reversed_terms(spark, out_dir))
     timed(
         "doc_stats",
         lambda: doc_stats(docs, tf)
@@ -342,6 +343,33 @@ def write_trigrams(spark: SparkSession, index_dir: str) -> None:
     if os.path.isdir(f"{index_dir}/trigrams"):
         shutil.rmtree(f"{index_dir}/trigrams")
     os.replace(tmp, f"{index_dir}/trigrams")
+
+
+def write_reversed_terms(spark: SparkSession, index_dir: str) -> None:
+    """Reversed term dictionary (Lucene's ReversedWildcardFilter design
+    point): one column ``rterm`` = reverse(term), written rterm-sorted so
+    a LEADING-wildcard pattern (``*ing``) rewrites to a PREFIX range over
+    rterm (``gni*`` → rterm >= 'gni' AND rterm < 'gnj'), pruned by parquet
+    row-group stats — instead of a full vocabulary scan. The original term
+    is recovered as reverse(rterm) (reversal is a bijection, no second
+    column needed). Derived from the PERSISTED term_stats, refreshed
+    wherever the trigram table is."""
+    par = spark.sparkContext.defaultParallelism
+    vocab = spark.read.parquet(f"{index_dir}/term_stats").select(
+        F.reverse(F.col("term")).alias("rterm")
+    )
+    tmp = f"{index_dir}/terms_rev_new"
+    (
+        vocab.repartitionByRange(max(1, par // 4), "rterm")
+        .sortWithinPartitions("rterm")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    import shutil
+
+    if os.path.isdir(f"{index_dir}/terms_rev"):
+        shutil.rmtree(f"{index_dir}/terms_rev")
+    os.replace(tmp, f"{index_dir}/terms_rev")
 
 
 def load_meta(index_dir: str) -> dict:
@@ -533,6 +561,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
             meta["total_tokens"] / meta["n_docs"] if meta["n_docs"] else 0.0
         )
         write_trigrams(spark, index_dir)
+        if os.path.isdir(f"{index_dir}/terms_rev"):
+            write_reversed_terms(spark, index_dir)
         meta["vocab_size"] = spark.read.parquet(
             f"{index_dir}/term_stats"
         ).count()
@@ -751,6 +781,8 @@ def merge_index(
     os.replace(tmp, f"{index_dir}/term_stats")
     if os.path.isdir(f"{index_dir}/trigrams"):
         write_trigrams(spark, index_dir)
+    if os.path.isdir(f"{index_dir}/terms_rev"):
+        write_reversed_terms(spark, index_dir)
 
     doc_stats(nd, tf).write.mode("append").parquet(f"{index_dir}/doc_stats")
 

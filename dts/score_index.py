@@ -105,6 +105,9 @@ def load_index(spark: SparkSession, index_dir: str, use_cache: bool = True):
     }
     if os.path.isdir(f"{index_dir}/trigrams"):
         out["trigrams"] = spark.read.parquet(f"{index_dir}/trigrams")
+    out["terms_rev"] = None
+    if os.path.isdir(f"{index_dir}/terms_rev"):
+        out["terms_rev"] = spark.read.parquet(f"{index_dir}/terms_rev")
     if use_cache:
         if len(_INDEX_CACHE) >= 8:
             _INDEX_CACHE.clear()

@@ -11,11 +11,15 @@ scan, no Python in the plan.
 Pattern language: ``*`` matches any (possibly empty) run of characters;
 everything else is literal. The literal prefix before the first ``*``
 drives the range pushdown; the residual pattern applies as an anchored
-JVM-side ``rlike``. A LEADING-wildcard pattern (``*ing``) has no prefix
-and honestly scans the whole vocabulary — the same cost Lucene pays
-(which is why it historically gated leading wildcards); the vocabulary
-table is tiny relative to postings, so this stays a metadata-sized scan
-even at 10^12 docs.
+JVM-side ``rlike``. A LEADING-wildcard pattern (``*ing``) is resolved
+through the REVERSED term dictionary (round 4 — Lucene's
+ReversedWildcardFilter): ``match(t, '*ing') ⟺ match(reverse(t), 'gni*')``,
+so the rewrite becomes a prefix range over the rterm-sorted ``terms_rev``
+table (plan-asserted pushdown) — no vocabulary scan at any size. Only a
+pattern BOTH starting and ending with ``*`` (``*a*``) still has no
+prunable anchor on either side and scans the dictionary, exactly as
+Lucene does. Indexes built before round 4 (no ``terms_rev`` dir) fall
+back to the scan transparently.
 
 Scoring rewrite semantics match Lucene's BooleanQuery rewrite: each
 matched term contributes its own idf·impact exactly once (distinct term
@@ -49,24 +53,31 @@ def _prefix_upper(prefix: str) -> str | None:
     return None
 
 
-def _pattern_filter(pattern: str):
+def _reverse_pattern(pattern: str) -> str:
+    """match(t, p) ⟺ match(reverse(t), _reverse_pattern(p)): reverse the
+    literal parts AND their order, keeping the stars between them.
+    '*ing' → 'gni*', '*a*b' → 'b*a*', 'jo*n' → 'n*oj'."""
+    return "*".join(part[::-1] for part in reversed(pattern.split("*")))
+
+
+def _pattern_filter(pattern: str, col: str = "term"):
     """Column predicate for one pattern: equality for literal patterns, a
     range predicate (row-group-prunable) for the literal prefix plus an
     anchored rlike residual when the pattern has inner/trailing parts."""
     star = pattern.find("*")
     if star < 0:
-        return F.col("term") == pattern
+        return F.col(col) == pattern
     prefix = pattern[:star]
     cond = F.lit(True)
     if prefix:
-        cond = F.col("term") >= prefix
+        cond = F.col(col) >= prefix
         up = _prefix_upper(prefix)
         if up is not None:
-            cond = cond & (F.col("term") < up)
+            cond = cond & (F.col(col) < up)
     if pattern == prefix + "*":  # pure prefix: the range IS the match
         return cond
     rx = "^" + ".*".join(re.escape(p) for p in pattern.split("*")) + "$"
-    return cond & F.col("term").rlike(rx)
+    return cond & F.col(col).rlike(rx)
 
 
 def _expand_local(
@@ -88,6 +99,35 @@ def _expand_local(
             if i < len(terms) and terms[i] == pattern:
                 out.append((wq_id, pattern))
             continue
+        if star == 0:
+            rp = _reverse_pattern(pattern)
+            rstar = rp.find("*")
+            if rstar > 0:
+                # Leading wildcard with a literal TAIL: bisect the reversed
+                # dictionary (the in-memory analogue of the terms_rev
+                # parquet range pushdown) and un-reverse the matches.
+                rterms = vocab_struct.get("sorted_rterms")
+                if rterms is None:
+                    rterms = sorted(t[::-1] for t in vocab_struct["terms"])
+                    vocab_struct["sorted_rterms"] = rterms
+                rprefix = rp[:rstar]
+                lo = bisect.bisect_left(rterms, rprefix)
+                rup = _prefix_upper(rprefix)
+                hi = (
+                    bisect.bisect_left(rterms, rup)
+                    if rup is not None
+                    else len(rterms)
+                )
+                cand = rterms[lo:hi]
+                if rp != rprefix + "*":
+                    rx = re.compile(
+                        "^"
+                        + ".*".join(re.escape(s) for s in rp.split("*"))
+                        + "$"
+                    )
+                    cand = [t for t in cand if rx.match(t)]
+                out.extend((wq_id, t[::-1]) for t in cand)
+                continue
         prefix = pattern[:star]
         lo = bisect.bisect_left(terms, prefix) if prefix else 0
         up = _prefix_upper(prefix) if prefix else None
@@ -136,6 +176,24 @@ def _expand(
     vocab = idx["term_stats"].select("term")
     legs = []
     for wq_id, pattern in rows:
+        rp = _reverse_pattern(pattern)
+        if (
+            pattern.startswith("*")
+            and rp.find("*") > 0
+            and idx.get("terms_rev") is not None
+        ):
+            # Leading wildcard → prefix range over the reversed dictionary
+            # (plan-asserted PushedFilters on rterm); the original term is
+            # reverse(rterm).
+            legs.append(
+                idx["terms_rev"]
+                .filter(_pattern_filter(rp, col="rterm"))
+                .select(
+                    F.lit(wq_id).cast("long").alias("wq_id"),
+                    F.reverse(F.col("rterm")).alias("term"),
+                )
+            )
+            continue
         legs.append(
             vocab.filter(_pattern_filter(pattern)).select(
                 F.lit(wq_id).cast("long").alias("wq_id"), "term"

@@ -102,6 +102,48 @@ def test_prefix_range_is_pushed_down(spark, wc_index):
     assert "GreaterThanOrEqual(term,de)" in plan and "LessThan(term,df)" in plan, plan
 
 
+def test_leading_wildcard_uses_reversed_dictionary(spark, wc_index):
+    """Round-4: a leading-wildcard pattern must range-push into the
+    rterm-sorted reversed dictionary (Lucene ReversedWildcardFilter) —
+    '*nt' ⇒ rterm ∈ ['tn', 'to') — instead of scanning the vocabulary."""
+    from dts.score_index import load_index
+    from dts.wildcard import _reverse_pattern
+
+    assert _reverse_pattern("*ing") == "gni*"
+    assert _reverse_pattern("*a*b") == "b*a*"
+    assert _reverse_pattern("jo*n") == "n*oj"
+    idx = load_index(spark, wc_index, use_cache=False)
+    assert idx["terms_rev"] is not None  # built by build_index
+    pats = spark.createDataFrame([(0, "*nt")], "wq_id long, pattern string")
+    leg = expand_wildcard_terms(spark, wc_index, pats, local=False)
+    plan = leg._sc._jvm.PythonSQLUtils.explainString(
+        leg._jdf.queryExecution(), "formatted"
+    )
+    assert "GreaterThanOrEqual(rterm,tn)" in plan and "LessThan(rterm,to)" in plan, plan
+
+
+def test_reversed_dictionary_refreshed_on_merge(spark, wc_index, docs_sdf, tmp_path):
+    """terms_rev stays consistent with the vocabulary across merge: a term
+    introduced by the merge must be findable via a leading wildcard on
+    BOTH expansion paths."""
+    import shutil
+
+    from dts.index_build import merge_index
+
+    d = str(tmp_path / "wc_merge")
+    shutil.copytree(wc_index, d)
+    extra = spark.createDataFrame(
+        [("zzuniquesuffixqx only here",)], "content string"
+    )
+    merge_index(spark, d, extra)
+    pats = spark.createDataFrame(
+        [(0, "*suffixqx")], "wq_id long, pattern string"
+    )
+    for local in (True, False):
+        got = expand_wildcard_terms(spark, d, pats, local=local).collect()
+        assert {r["term"] for r in got} == {"zzuniquesuffixqx"}, local
+
+
 def test_match_docs_vs_oracle(spark, wc_index, oracle):
     from dts.wildcard import wildcard_match_docs
 
