@@ -142,6 +142,17 @@ def build_index_resumable(
             and m.get("status") == "complete"
         )
 
+    # The reference's per-job timing contract is
+    # "done in %lf s: %lf transmitting, %lf computing, %lf gathering"
+    # (src/flexible_mpi.c:549-553). The Spark analogue per chunk:
+    # computing = the transform+write job wall (Spark fuses the kernel and
+    # the output transmit inside one job — recorded as one number, which
+    # IS the honest split here), gathering = the read-back verification
+    # aggregate (the driver-side reduce), transmitting = checkpoint
+    # bookkeeping (manifest write + rename). Each chunk manifest carries
+    # the breakdown; meta.json carries the summed totals.
+    breakdown = {"computing": 0.0, "gathering": 0.0, "transmitting": 0.0}
+
     # ---- stage 1: tf per chunk -------------------------------------------
     for cid in range(n_chunks):
         if _lineage_ok(_read_manifest(out_dir, "tf", cid), "tf"):
@@ -151,12 +162,18 @@ def build_index_resumable(
         chunk_docs = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
         tf = build_tf(chunk_docs, positions=positions, strip_literals=strip_literals)
         _atomic_write(tf, f"{out_dir}/tf/chunk={cid}")
+        t_compute = time.perf_counter()
         back = spark.read.parquet(f"{out_dir}/tf/chunk={cid}")
         agg = back.agg(
             F.count("*").alias("rows"),
             F.sum("tf").alias("tokens"),
             F.countDistinct("doc_id").alias("docs_with_tokens"),
         ).collect()[0]
+        t_gather = time.perf_counter()
+        chunk_breakdown = {
+            "computing": round(t_compute - t0, 3),
+            "gathering": round(t_gather - t_compute, 3),
+        }
         _write_manifest(
             out_dir,
             "tf",
@@ -174,10 +191,14 @@ def build_index_resumable(
                 "tokens": int(agg["tokens"] or 0),
                 "docs_with_tokens": int(agg["docs_with_tokens"] or 0),
                 "wall_sec": round(time.perf_counter() - t0, 3),
+                "breakdown": chunk_breakdown,
                 "lineage": lineage,
                 "params": params,
             },
         )
+        breakdown["computing"] += chunk_breakdown["computing"]
+        breakdown["gathering"] += chunk_breakdown["gathering"]
+        breakdown["transmitting"] += round(time.perf_counter() - t_gather, 3)
         completed_fresh += 1
         if fail_after_chunks is not None and completed_fresh >= fail_after_chunks:
             raise RuntimeError(f"injected failure after {completed_fresh} chunks")
@@ -201,6 +222,7 @@ def build_index_resumable(
         postings = build_postings(tf, avgdl, bucket_size, block_size)
         postings = postings.sortWithinPartitions("term", "bucket")
         _atomic_write(postings, f"{out_dir}/postings/chunk={cid}")
+        t_compute = time.perf_counter()
         back = spark.read.parquet(f"{out_dir}/postings/chunk={cid}")
         agg = back.agg(
             F.count("*").alias("rows"), F.sum("n").alias("postings")
@@ -210,6 +232,11 @@ def build_index_resumable(
             for dp, _, fns in os.walk(f"{out_dir}/postings/chunk={cid}")
             for fn in fns
         )
+        t_gather = time.perf_counter()
+        chunk_breakdown = {
+            "computing": round(t_compute - t0, 3),
+            "gathering": round(t_gather - t_compute, 3),
+        }
         _write_manifest(
             out_dir,
             "postings",
@@ -223,10 +250,14 @@ def build_index_resumable(
                 "bytes": int(nbytes),
                 "avgdl_used": avgdl,
                 "wall_sec": round(time.perf_counter() - t0, 3),
+                "breakdown": chunk_breakdown,
                 "lineage": lineage,
                 "params": params,
             },
         )
+        breakdown["computing"] += chunk_breakdown["computing"]
+        breakdown["gathering"] += chunk_breakdown["gathering"]
+        breakdown["transmitting"] += round(time.perf_counter() - t_gather, 3)
         completed_fresh += 1
         if fail_after_chunks is not None and completed_fresh >= fail_after_chunks:
             raise RuntimeError(f"injected failure after {completed_fresh} chunks")
@@ -265,6 +296,12 @@ def build_index_resumable(
         "vocab_size": int(stats.count()),
         "build_wall_sec": round(time.perf_counter() - t_build0, 3),
         "chunks_fresh_this_run": completed_fresh,
+        # Summed per-chunk breakdown — the engine's analogue of the
+        # reference's "done in %lf s: %lf transmitting, %lf computing,
+        # %lf gathering" line (src/flexible_mpi.c:549-553).
+        "stage_breakdown_sec": {
+            key: round(val, 3) for key, val in breakdown.items()
+        },
     }
     from dts.index_build import save_meta
 

@@ -50,6 +50,11 @@ def test_killed_build_resumes_without_recompute(spark, docs_sdf, tmp_path):
     assert _tree_mtimes(f"{out}/tf/chunk=0") == done_before
     # The resumed run only did the REMAINING chunks.
     assert meta["chunks_fresh_this_run"] < 2 * meta["n_chunks"]
+    # Round-4: the reference-shaped timing breakdown is recorded
+    # (flexible_mpi.c "transmitting/computing/gathering" sidecar parity).
+    bd = meta["stage_breakdown_sec"]
+    assert set(bd) == {"computing", "gathering", "transmitting"}
+    assert bd["computing"] > 0
 
     # Value-identity with a from-scratch build.
     build_index_resumable(spark, docs_sdf, fresh, **kw)
