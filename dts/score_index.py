@@ -245,6 +245,8 @@ def _scorer_fn(
             # cursors co-exist safely; duplicates contribute twice as in
             # the oracle's multiset.
             ranked = bmw_topk(packs, k, avgdl, deleted=deleted)
+            docs_out = np.array([d for d, _ in ranked], dtype=np.int64)
+            scores_out = np.array([s for _, s in ranked], dtype=np.float64)
         else:
             docs_parts, contrib_parts = [], []
             for _, w, p in packs:
@@ -305,14 +307,17 @@ def _scorer_fn(
                 live = ~np.isin(uniq, deleted, assume_unique=True)
                 uniq, acc = uniq[live], acc[live]
             key = np.round(acc, ROUND_RANK)
+            # numpy-native tail (round-4): no per-row python tuples — at
+            # k=∞ (full-candidate stages) this path emits millions of rows.
             order = np.lexsort((uniq, -key))[:k]
-            ranked = [(int(uniq[i]), float(acc[i])) for i in order]
+            docs_out = uniq[order].astype(np.int64)
+            scores_out = acc[order]
         return pd.DataFrame(
             {
-                "query_id": np.full(len(ranked), query_id, dtype=np.int64),
-                "doc_id": np.array([d for d, _ in ranked], dtype=np.int64),
-                "score": np.array([s for _, s in ranked], dtype=np.float64),
-                "rank": np.arange(1, len(ranked) + 1, dtype=np.int32),
+                "query_id": np.full(len(docs_out), query_id, dtype=np.int64),
+                "doc_id": docs_out,
+                "score": scores_out,
+                "rank": np.arange(1, len(docs_out) + 1, dtype=np.int32),
             }
         )
 
@@ -705,16 +710,27 @@ def bm25_shard_candidates(
         meta.get("codec", "varint"),
     )
 
-    def with_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = scorer(pdf)
-        out.insert(1, "shard", np.int32(pdf["shard"].iloc[0]))
-        return out
+    # repartition + mapInPandas with partition-level grouping instead of
+    # applyInPandas: with n_queries × n_shards groups each emitting its
+    # FULL candidate set, the per-group Arrow batch overhead of
+    # FlatMapGroupsInPandas dominates (measured ~7 ms/group at 1,280
+    # groups on the 480k index — 8 s of pure overhead). Hash-partitioning
+    # on the group key keeps every group whole within one partition; the
+    # pandas groupby inside costs microseconds per group.
+    n_parts = max(1, 2 * spark.sparkContext.defaultParallelism)
+    src = joined.repartition(n_parts, "query_id", "shard")
 
-    return (
-        joined.groupBy("query_id", "shard")
-        .applyInPandas(with_shard, SHARD_CAND_SCHEMA)
-        .drop("rank")
-    )
+    def score_partition(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        for (_, sh), g in pdf.groupby(["query_id", "shard"], sort=False):
+            out = scorer(g)
+            out.insert(1, "shard", np.int32(sh))
+            yield out
+
+    return src.mapInPandas(score_partition, SHARD_CAND_SCHEMA).drop("rank")
 
 
 _RESULT_CACHE: dict[tuple, list] = {}
