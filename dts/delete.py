@@ -2,10 +2,12 @@
 
 Lucene's model, re-expressed for the doc-range-bucketed index:
 
-1. ``delete_docs`` appends doc_ids to ``<index>/deletes/`` (parquet) and
-   rewrites meta.json (which also invalidates the process-level index
-   handle cache, keyed on the meta revision). The postings/stats files are
-   never touched, but each call DOES run two cheap validation jobs (an id
+1. ``delete_docs`` commits the tombstone set to ``<index>/deletes/`` as a
+   BUCKET-AGGREGATED parquet — (bucket, sorted _del_ids array), the exact
+   shape the query-time join consumes — via an atomic full-union rewrite,
+   then bumps meta.json (which invalidates the process-level caches,
+   keyed on the meta revision). The postings/stats files are never
+   touched, but each call DOES run two cheap validation jobs (an id
    bounds check and a liveness anti-join against doc_stats — both
    column-pruned doc_id scans) that guard the compaction-stats invariant;
    bulk pipelines that already know their ids are live can skip them with
@@ -61,22 +63,40 @@ from dts.index_build import load_meta, save_meta
 BROADCAST_DELETES_MAX = 4_000_000
 
 
+def _nonempty_dir(d: str) -> bool:
+    return os.path.isdir(d) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(d)
+    )
+
+
+def deletes_path(index_dir: str) -> str | None:
+    """The live tombstone store, derived from the filesystem — never from
+    meta['n_deleted']. ``deletes/`` is the committed store;
+    ``deletes_new/`` is only consulted when ``deletes/`` is absent (a
+    crash between delete_docs' rmtree and rename — the pending store
+    holds the FULL union, so reading it never loses tombstones)."""
+    for name in ("deletes", "deletes_new"):
+        d = f"{index_dir}/{name}"
+        if _nonempty_dir(d):
+            return d
+    return None
+
+
 def has_deletes(index_dir: str) -> bool:
-    """Tombstone presence, derived from the deletes directory itself (one
-    local listing, no Spark job) — never from meta['n_deleted']."""
-    d = f"{index_dir}/deletes"
-    if not os.path.isdir(d):
-        return False
-    return any(not f.startswith(("_", ".")) for f in os.listdir(d))
+    """Tombstone presence (one local listing, no Spark job)."""
+    return deletes_path(index_dir) is not None
 
 
 def deletes_df(spark: SparkSession, index_dir: str) -> DataFrame:
-    """Distinct tombstoned doc_ids as a DataFrame (never driver-side)."""
-    return (
-        spark.read.parquet(f"{index_dir}/deletes")
-        .select(F.col("doc_id").cast("long"))
-        .distinct()
-    )
+    """Distinct tombstoned doc_ids as a DataFrame (never driver-side).
+    Handles both the bucket-aggregated store (current) and the raw
+    doc_id-rows layout (pre-round-4 indexes)."""
+    raw = spark.read.parquet(deletes_path(index_dir))
+    if "_del_ids" in raw.columns:
+        return raw.select(
+            F.explode("_del_ids").alias("doc_id")
+        ).select(F.col("doc_id").cast("long"))
+    return raw.select(F.col("doc_id").cast("long")).distinct()
 
 
 def deletes_by_bucket(
@@ -85,9 +105,19 @@ def deletes_by_bucket(
     """(bucket, _del_ids) — sorted distinct tombstones grouped by the
     postings' own doc-range bucket key. Joined onto posting rows by
     bucket, so every scoring/compaction group sees exactly the deletions
-    that can occur in its doc ranges. Each array ≤ bucket_size entries."""
+    that can occur in its doc ranges. Each array ≤ bucket_size entries.
+
+    ``delete_docs`` persists the store ALREADY in this shape, so the hot
+    query path is a scan of a tombstone-set-sized parquet + broadcast —
+    no per-batch distinct/groupBy stages (those cost ~1 s/batch on the
+    480k index when computed inline). The groupBy fallback covers
+    pre-round-4 indexes whose deletes/ holds raw doc_id rows."""
+    raw = spark.read.parquet(deletes_path(index_dir))
+    if "_del_ids" in raw.columns:
+        return raw.select("bucket", "_del_ids")
     return (
-        deletes_df(spark, index_dir)
+        raw.select(F.col("doc_id").cast("long"))
+        .distinct()
         .withColumn(
             "bucket", (F.col("doc_id") / F.lit(bucket_size)).cast("long")
         )
@@ -146,9 +176,36 @@ def delete_docs(
                 f"{dead} doc_ids are not live documents of this index — "
                 "refusing"
             )
-    ids.write.mode("append").parquet(f"{index_dir}/deletes")
-    n_deleted = deletes_df(spark, index_dir).count()
-    meta["n_deleted"] = int(n_deleted)
+    # Commit the bucket-aggregated store atomically: write the FULL union
+    # (existing ∪ new) to deletes_new/, then swap. Readers prefer
+    # deletes/ and fall back to deletes_new/ only when deletes/ is absent
+    # (see deletes_path), so every crash point leaves a complete,
+    # readable tombstone set — and the hot query path never pays
+    # distinct/groupBy stages, just a scan of this tiny table.
+    import shutil
+
+    if has_deletes(index_dir):
+        ids = ids.unionByName(deletes_df(spark, index_dir)).distinct()
+    bucket_size = int(meta["bucket_size"])
+    bucketed = (
+        ids.withColumn(
+            "bucket", (F.col("doc_id") / F.lit(bucket_size)).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("_del_ids"))
+    )
+    tmp = f"{index_dir}/deletes_new"
+    bucketed.write.mode("overwrite").parquet(tmp)
+    n_deleted = int(
+        spark.read.parquet(tmp)
+        .agg(F.sum(F.size("_del_ids")).alias("n"))
+        .collect()[0]["n"]
+        or 0
+    )
+    if os.path.isdir(f"{index_dir}/deletes"):
+        shutil.rmtree(f"{index_dir}/deletes")
+    os.replace(tmp, f"{index_dir}/deletes")
+    meta["n_deleted"] = n_deleted
     save_meta(index_dir, meta)
     return meta
 

@@ -688,6 +688,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         dels.unpersist()
         del_by_bucket.unpersist()
         shutil.rmtree(f"{index_dir}/deletes", ignore_errors=True)
+        shutil.rmtree(f"{index_dir}/deletes_new", ignore_errors=True)
         meta.pop("n_deleted", None)
     save_meta(index_dir, meta)
     return meta
