@@ -273,23 +273,33 @@ def _scorer_fn(
                 uniq_cl = np.unique(clause_vals)
                 if len(uniq_cl) < m:
                     return empty  # a clause matched no index term
+                terms_arr = pdf["term"].to_numpy()
                 sets = []
                 for cl in uniq_cl:
-                    rows_c = [
-                        docs_parts[i]
-                        for i in np.flatnonzero(clause_vals == cl)
-                    ]
-                    sets.append(
-                        rows_c[0]
-                        if len(rows_c) == 1
-                        else np.unique(np.concatenate(rows_c))
-                    )
+                    idxs = np.flatnonzero(clause_vals == cl)
+                    rows_c = [docs_parts[i] for i in idxs]
+                    if len(rows_c) == 1:
+                        sets.append(rows_c[0])
+                    elif len(set(terms_arr[idxs])) == 1:
+                        # One term across bucket rows: rows arrive in
+                        # ascending (term, bucket) order over disjoint doc
+                        # ranges, so the concat is already sorted+unique —
+                        # skip np.unique (head-clause n·log n).
+                        sets.append(np.concatenate(rows_c))
+                    else:
+                        sets.append(np.unique(np.concatenate(rows_c)))
                 sets.sort(key=len)
                 uniq = sets[0]
                 for cd in sets[1:]:
                     if not len(uniq):
                         return empty
-                    uniq = uniq[np.isin(uniq, cd, assume_unique=True)]
+                    # searchsorted probe INTO the larger sorted set:
+                    # O(|small| log |large|) — np.isin would re-sort the
+                    # head clause's 10^5+-doc list on every intersection.
+                    pos = np.minimum(
+                        np.searchsorted(cd, uniq), len(cd) - 1
+                    )
+                    uniq = uniq[cd[pos] == uniq]
                 if not len(uniq):
                     return empty
                 acc = np.zeros(len(uniq), dtype=np.float64)
@@ -358,20 +368,25 @@ def _driver_vocab(spark: SparkSession, index_dir: str, meta: dict) -> dict:
 
 def _local_query_term_rows(
     queries: DataFrame, vocab_struct: dict
-) -> tuple[list[tuple[int, int, str]], int]:
+) -> tuple[list[tuple[int, int, str]], int, dict[int, int]]:
     """Fully driver-side (query_id, clause, term) rows: tokenization +
     fuzzy expansion (dts.fuzzy.expand_fuzzy_local — identical semantics to
     the distributed path, tested). ``clause`` = query token position.
-    Returns (rows, n_queries)."""
+    Returns (rows, n_queries, m_map) where m_map = per-query token count
+    — the AND-mode clause target, derived here so conjunctive batches
+    need no second collect job."""
     if "fuzzy_k" not in queries.columns:
         queries = queries.withColumn("fuzzy_k", F.lit(0))
     rows = queries.select("query_id", "text", "fuzzy_k").collect()
     exact: list[tuple[int, int, str]] = []
     fuzzy_occ: list[tuple[int, int, str, int]] = []
     pairs: set[tuple[str, int]] = set()
+    m_map: dict[int, int] = {}
     for r in rows:
         k = int(r["fuzzy_k"] or 0)
-        for clause, t in enumerate(tokenize_text(r["text"])):
+        toks = tokenize_text(r["text"])
+        m_map[int(r["query_id"])] = len(toks)
+        for clause, t in enumerate(toks):
             if k == 0:
                 exact.append((int(r["query_id"]), clause, t))
             else:
@@ -383,7 +398,7 @@ def _local_query_term_rows(
         for qid, clause, t, k in fuzzy_occ
         for et in exp[(t, k)]
     ]
-    return out, len(rows)
+    return out, len(rows), m_map
 
 
 def auto_distribute(
@@ -587,14 +602,9 @@ def bm25_topk_indexed(
             "maxima are no longer sound upper bounds. Use strategy='taat' "
             "(exact) or re-encode/compact the index."
         )
-    m_map = None
     if mode == "and":
         if strategy != "taat":
             raise ValueError("mode='and' requires strategy='taat'")
-        m_map = {
-            int(r["query_id"]): len(tokenize_text(r["text"]))
-            for r in queries.select("query_id", "text").collect()
-        }
     elif mode != "or":
         raise ValueError(f"unknown mode {mode!r}")
     prep = _prepare_query_scan(
@@ -603,7 +613,16 @@ def bm25_topk_indexed(
     )
     if prep is None:
         return spark.createDataFrame([], TOPK_SCHEMA)
-    postings, stats, qterms, n_queries = prep
+    postings, stats, qterms, n_queries, m_map = prep
+    if mode == "and" and m_map is None:
+        # Distributed-expansion path only: the driver prep derives m_map
+        # for free, so this extra collect never runs under the vocab cap.
+        m_map = {
+            int(r["query_id"]): len(tokenize_text(r["text"]))
+            for r in queries.select("query_id", "text").collect()
+        }
+    if mode != "and":
+        m_map = None
     return _score_filtered(
         spark, meta, postings, stats, qterms, n_queries, k, strategy,
         distribute, index_dir, mode, m_map,
@@ -627,7 +646,7 @@ def _prepare_query_scan(
     meta = idx["meta"]
     scan = idx["postings"].select(*POSTING_SCORE_COLS)
     if meta.get("vocab_size") and meta["vocab_size"] <= DRIVER_EXPAND_VOCAB_CAP:
-        qrows, n_queries = _local_query_term_rows(
+        qrows, n_queries, m_map = _local_query_term_rows(
             queries, _driver_vocab(spark, index_dir, meta)
         )
         if not qrows:
@@ -643,6 +662,7 @@ def _prepare_query_scan(
             idx["term_stats"], all_terms, max_isin_terms
         ).select("term", "df")
     else:
+        m_map = None
         qterms = expanded_query_terms(
             queries, idx["term_stats"], idx.get("trigrams")
         ).cache()
@@ -652,7 +672,7 @@ def _prepare_query_scan(
         if postings is None:
             return None
         n_queries = queries.count() if need_count else 0
-    return postings, stats, qterms, n_queries
+    return postings, stats, qterms, n_queries, m_map
 
 
 SHARD_CAND_SCHEMA = "query_id long, shard int, doc_id long, score double, rank int"
@@ -696,7 +716,7 @@ def bm25_shard_candidates(
     empty = "query_id long, shard int, doc_id long, score double"
     if prep is None:
         return spark.createDataFrame([], empty)
-    postings, stats, qterms, _ = prep
+    postings, stats, qterms, _, _ = prep
     joined = postings.join(F.broadcast(stats), "term").join(
         F.broadcast(qterms), "term"
     )
@@ -798,7 +818,7 @@ def match_counts_indexed(
     idx = load_index(spark, index_dir)
     meta = idx["meta"]
     if meta.get("vocab_size") and meta["vocab_size"] <= DRIVER_EXPAND_VOCAB_CAP:
-        qrows, _ = _local_query_term_rows(
+        qrows, _, _ = _local_query_term_rows(
             queries, _driver_vocab(spark, index_dir, meta)
         )
         qterms = spark.createDataFrame(
