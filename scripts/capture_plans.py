@@ -193,10 +193,95 @@ def main() -> None:
             "Tombstone masking on row outputs (round 3)",
             "Phrase/proximity/boolean outputs anti-join the broadcast "
             "tombstone set (BroadcastHashJoin LeftAnti); scoring paths mask "
-            "inside the kernels instead (before top-k truncation), so no "
-            "join appears there — the deleted array rides the scorer "
-            "closure, Lucene live-docs style.",
+            "inside the kernels instead (before top-k truncation) — see the "
+            "round-4 colocated-tombstone capture below for how the delete "
+            "set reaches them.",
             plan_of(masked, executed=True),
+        )
+    )
+
+    # ---- round-4 paths ------------------------------------------------
+    sections.append(
+        (
+            "Leading-wildcard expansion — REVERSED dictionary pushdown (round 4)",
+            "The leading pattern *st rewrites to the prefix range "
+            "rterm >= 'ts' AND rterm < 'tt' over the rterm-sorted terms_rev "
+            "parquet (Lucene ReversedWildcardFilter): PushedFilters carries "
+            "the range, the original term is recovered as reverse(rterm) — "
+            "no vocabulary scan at any dictionary size.",
+            plan_of(
+                load_index(spark, idx, use_cache=False)["terms_rev"]
+                .filter(_pattern_filter("ts*", col="rterm"))
+                .select(F.reverse(F.col("rterm")).alias("term"))
+            ),
+        )
+    )
+    from dts.snippet import search_with_snippets
+
+    sections.append(
+        (
+            "Results page — top-k doc_id IN-list pushed into the docs scan (round 4)",
+            "The driver-known top-k ids filter the corpus scan "
+            "(PushedFilters In(doc_id, …) → row-group pruning on "
+            "write-ordered ids) BEFORE the broadcast join; the old shape "
+            "streamed the whole docs table through the join probe.",
+            plan_of(
+                search_with_snippets(
+                    spark, idx, d.select("doc_id", F.col("text").alias("content")), q, k=5
+                ),
+                executed=True,
+            ),
+        )
+    )
+    sections.append(
+        (
+            "Colocated tombstones in the scoring join (round 4)",
+            "The per-bucket delete table (bucket, _del_ids) — persisted in "
+            "exactly this shape by delete_docs — joins the filtered postings "
+            "on the doc-range bucket key (broadcast below ~4M tombstones), "
+            "so each scoring group reassembles only its own buckets' "
+            "deletions. No driver-side array, no closure payload, no size "
+            "cap.",
+            plan_of(
+                bm25_topk_indexed(
+                    spark, pos_idx,
+                    spark.createDataFrame(
+                        [(0, "fast join", 0)],
+                        "query_id long, text string, fuzzy_k int",
+                    ),
+                    k=10,
+                ),
+                executed=True,
+            ),
+        )
+    )
+    from dts.multifield import bm25_topk_multifield, build_multifield_index
+
+    mf_dir = tempfile.mkdtemp(prefix="plans_mf_")
+    build_multifield_index(
+        spark,
+        docs.select("doc_id", "content", F.col("path")),
+        mf_dir,
+        {"content": 1.0, "path": 2.0},
+        bucket_size=256,
+    )
+    mfq = spark.createDataFrame(
+        [(0, "fast path:doc")], "query_id long, text string"
+    )
+    sections.append(
+        (
+            "Multifield bounded merge (round 4, final AQE plan)",
+            "Per-field full candidates from mapInPandas over "
+            "(query, bucket-shard) partitions, weighted cross-field sum as a "
+            "hash agg per (query, shard, doc), local top-k in windows "
+            "partitioned by (query_id, shard) — every window partition "
+            "bounded by its shard's doc range — then the tiny k×shards "
+            "global merge window. The old plan pushed every candidate "
+            "through one window partition per query.",
+            plan_of(
+                bm25_topk_multifield(spark, mf_dir, mfq, k=5, distribute="bucket"),
+                executed=True,
+            ),
         )
     )
 
