@@ -93,7 +93,10 @@ def cmd_phrase(args) -> None:
 
 def cmd_byte_count(args) -> None:
     """Reference-faithful byte-window count over the raw docs table (no
-    index, no tokenizer — arbitrary byte patterns incl. punctuation)."""
+    index, no tokenizer — arbitrary byte patterns incl. punctuation).
+    ``--binary`` counts at raw UTF-8 BYTE granularity (apm1's exact
+    semantics on non-ASCII content); default is codepoint granularity
+    (identical on ASCII)."""
     from dts.bytematch import byte_match_totals
 
     spark = get_spark("dts-byte-count")
@@ -102,7 +105,9 @@ def cmd_byte_count(args) -> None:
     pat = spark.createDataFrame(
         [(0, args.pattern, args.k)], "pat_id long, pattern string, k int"
     )
-    n = byte_match_totals(docs, pat, text_col=text_col).collect()[0]["n_matches"]
+    n = byte_match_totals(
+        docs, pat, text_col=text_col, binary=args.binary
+    ).collect()[0]["n_matches"]
     print(f"Number of matches for pattern <{args.pattern}>: {n}")
 
 
@@ -240,6 +245,8 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("--docs", required=True)
     g.add_argument("--pattern", required=True)
     g.add_argument("--k", type=int, default=0)
+    g.add_argument("--binary", action="store_true",
+                   help="raw UTF-8 byte granularity (apm1-exact)")
     g.set_defaults(fn=cmd_byte_count)
 
     g = sub.add_parser("query")
