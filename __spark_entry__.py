@@ -493,6 +493,31 @@ def _q_bm25_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank6_top10(bm25_topk_indexed(spark, d, q, k=10**6))
 
 
+FILTER_LANGS = ("en", "fr")
+
+
+def _q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 filter context (Lucene's non-scoring filter clause): only
+    docs with lang ∈ FILTER_LANGS are RANKED — masked before top-k
+    truncation through the same colocated (bucket, id array) join as
+    tombstones — while scores keep FULL-corpus statistics. Oracle: the
+    full-stats scored CTE, filtered to member docs just before ranking."""
+    from dts.score_index import bm25_topk_indexed
+
+    flt = _docs(spark, sf_dir).filter(
+        F.col("lang").isin(list(FILTER_LANGS))
+    ).select("doc_id")
+    q = spark.createDataFrame(
+        [(i, t, 0) for i, t in PROBE_QUERIES],
+        "query_id long, text string, fuzzy_k int",
+    )
+    return _rerank6_top10(
+        bm25_topk_indexed(
+            spark, _pos_index(spark, sf_dir), q, k=10**6, doc_filter=flt
+        )
+    )
+
+
 def _q_bm25_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (Lucene default-AND) ranking: only docs containing ALL
     query clauses are ranked; scores stay the disjunctive BM25 sums.
@@ -880,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_topk": _q_wildcard_topk,
         "wildcard_docs": _q_wildcard_docs,
         "bm25_topk_tombstone": _q_bm25_topk_tombstone,
+        "bm25_topk_filtered": _q_bm25_topk_filtered,
         "bm25_topk_deleted": _q_bm25_topk_deleted,
         "snippet": _q_snippet,
         "search_snippets": _q_search_snippets,
@@ -1467,6 +1493,17 @@ SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
   FROM scored WHERE doc_id % {DELETE_PRED_MOD} <> {DELETE_PRED_REM}
+) WHERE rank <= 10
+"""
+    # Filter context: FULL-corpus stats (unchanged scored CTE), non-member
+    # docs dropped just before ranking — Lucene's filter clause.
+    extra["bm25_topk_filtered"] = _BM25_SQL_CTE + f"""
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
+  FROM scored
+  WHERE doc_id IN (SELECT doc_id FROM documents
+                   WHERE lang IN ({", ".join(f"'{lang}'" for lang in FILTER_LANGS)}))
 ) WHERE rank <= 10
 """
     # Post-compaction: stats recomputed over live docs only — identical to

@@ -191,23 +191,35 @@ def _scorer_fn(
     disjunctive BM25 sums, AND only filters eligibility."""
     from dts.codec import decode_postings
 
+    def _bucket_ids(pdf: pd.DataFrame, col: str) -> np.ndarray:
+        """Reassemble a group's per-bucket id arrays: buckets are disjoint
+        ascending doc ranges and each array is sorted, so bucket-ordered
+        concatenation is globally sorted+unique. Nulls contribute nothing
+        (an empty result is meaningful for ALLOW lists: no member docs in
+        this group's buckets)."""
+        per_bucket: dict[int, np.ndarray] = {}
+        for b, a in zip(pdf["bucket"], pdf[col]):
+            if a is not None and int(b) not in per_bucket:
+                arr = np.asarray(a, dtype=np.int64)
+                if len(arr):
+                    per_bucket[int(b)] = arr
+        if not per_bucket:
+            return np.zeros(0, dtype=np.int64)
+        return np.concatenate([per_bucket[b] for b in sorted(per_bucket)])
+
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = int(pdf["query_id"].iloc[0])
-        # Reassemble this group's tombstones from the per-bucket arrays:
-        # buckets are disjoint ascending doc ranges and each array is
-        # sorted, so bucket-ordered concatenation is globally sorted+unique.
         deleted = None
         if "_del_ids" in pdf.columns:
-            per_bucket: dict[int, np.ndarray] = {}
-            for b, a in zip(pdf["bucket"], pdf["_del_ids"]):
-                if a is not None and int(b) not in per_bucket:
-                    arr = np.asarray(a, dtype=np.int64)
-                    if len(arr):
-                        per_bucket[int(b)] = arr
-            if per_bucket:
-                deleted = np.concatenate(
-                    [per_bucket[b] for b in sorted(per_bucket)]
-                )
+            arr = _bucket_ids(pdf, "_del_ids")
+            deleted = arr if len(arr) else None
+        # ALLOW-list (filter context): unlike tombstones, an empty
+        # reassembly means NOTHING in this group's buckets is eligible.
+        allowed = (
+            _bucket_ids(pdf, "_keep_ids")
+            if "_keep_ids" in pdf.columns
+            else None
+        )
         # Ascending (term, bucket): fixes the accumulation order AND makes
         # each term's bucket rows an ordered concatenation (the lazy phase-2
         # of the salted merge).
@@ -244,7 +256,9 @@ def _scorer_fn(
             # one term over disjoint doc ranges never overlap, so their
             # cursors co-exist safely; duplicates contribute twice as in
             # the oracle's multiset.
-            ranked = bmw_topk(packs, k, avgdl, deleted=deleted)
+            ranked = bmw_topk(
+                packs, k, avgdl, deleted=deleted, allowed=allowed
+            )
             docs_out = np.array([d for d, _ in ranked], dtype=np.int64)
             scores_out = np.array([s for _, s in ranked], dtype=np.float64)
         else:
@@ -316,6 +330,14 @@ def _scorer_fn(
             if deleted is not None:
                 live = ~np.isin(uniq, deleted, assume_unique=True)
                 uniq, acc = uniq[live], acc[live]
+            if allowed is not None:
+                if not len(allowed) or not len(uniq):
+                    return empty
+                pos = np.minimum(
+                    np.searchsorted(allowed, uniq), len(allowed) - 1
+                )
+                keep_m = allowed[pos] == uniq
+                uniq, acc = uniq[keep_m], acc[keep_m]
             key = np.round(acc, ROUND_RANK)
             # numpy-native tail (round-4): no per-row python tuples — at
             # k=∞ (full-candidate stages) this path emits millions of rows.
@@ -455,6 +477,22 @@ def _filter_by_qterms(
     return postings, stats, terms
 
 
+def _ids_by_bucket(
+    ids_df: DataFrame, bucket_size: int, alias: str
+) -> DataFrame:
+    """(bucket, sorted id array) from a doc_id DataFrame — the colocation
+    shape shared by tombstones (deny) and filter contexts (allow)."""
+    return (
+        ids_df.select(F.col("doc_id").cast("long"))
+        .distinct()
+        .withColumn(
+            "bucket", (F.col("doc_id") / F.lit(bucket_size)).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias(alias))
+    )
+
+
 def _score_filtered(
     spark: SparkSession,
     meta: dict,
@@ -468,16 +506,23 @@ def _score_filtered(
     index_dir: str | None = None,
     mode: str = "or",
     m_map: dict[int, int] | None = None,
+    doc_filter: DataFrame | None = None,
+    broadcast_filter: bool = True,
 ) -> DataFrame:
     """Shared scoring tail: join filtered postings with broadcast stats +
     query terms, attach colocated tombstones (when ``index_dir`` has a
-    deletes directory), pick the distribution mode, run the per-group
-    scorer."""
+    deletes directory) and the optional ALLOW-list filter context, pick
+    the distribution mode, run the per-group scorer."""
     joined = postings.join(F.broadcast(stats), "term").join(
         F.broadcast(qterms), "term"
     )
     if index_dir is not None and has_deletes(index_dir):
         joined = join_deletes(joined, spark, index_dir, meta)
+    if doc_filter is not None:
+        kb = _ids_by_bucket(doc_filter, meta["bucket_size"], "_keep_ids")
+        if broadcast_filter:
+            kb = F.broadcast(kb)
+        joined = joined.join(kb, "bucket", "left")
     n_buckets = -(-meta["n_docs"] // meta["bucket_size"])
     if distribute is None:
         distribute = auto_distribute(n_queries, n_buckets, meta["n_docs"])
@@ -561,8 +606,20 @@ def bm25_topk_indexed(
     distribute: str | None = None,
     max_isin_terms: int = MAX_ISIN_TERMS,
     mode: str = "or",
+    doc_filter: DataFrame | None = None,
+    broadcast_filter: bool = True,
 ) -> DataFrame:
     """Top-k over the persisted index. Returns (query_id, doc_id, score, rank).
+
+    ``doc_filter`` (Lucene filter context — round 4): a DataFrame with a
+    ``doc_id`` column; only member docs are RANKED (masked before top-k
+    truncation, like tombstones), while scores keep full-corpus statistics
+    — exactly Lucene's non-scoring filter clause. Colocated per bucket
+    through the same (bucket, id array) join as deletions, so a scoring
+    group only carries its own buckets' allow-lists. ``broadcast_filter``:
+    keep True for selective filters (the common case); set False for
+    corpus-scale filters, which then reach the join as a plain
+    shuffle-eligible table.
 
     ``mode``: ``"or"`` (default) ranks any doc matching ≥1 query term —
     the engine's native disjunctive BM25. ``"and"`` ranks only docs
@@ -625,7 +682,7 @@ def bm25_topk_indexed(
         m_map = None
     return _score_filtered(
         spark, meta, postings, stats, qterms, n_queries, k, strategy,
-        distribute, index_dir, mode, m_map,
+        distribute, index_dir, mode, m_map, doc_filter, broadcast_filter,
     )
 
 

@@ -93,6 +93,7 @@ def bmw_topk(
     k1: float = 1.2,
     b: float = 0.75,
     deleted: np.ndarray | None = None,
+    allowed: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND over full (single-list-per-term) postings.
 
@@ -101,12 +102,16 @@ def bmw_topk(
     Returns [(doc_id, score)] already ranked (round-9 desc, doc_id asc).
 
     ``deleted``: sorted tombstoned doc_ids — a tombstoned pivot is skipped
-    before scoring (never enters the heap). Pruning stays sound: removing
-    candidates can only lower true scores below the block-max upper
-    bounds, never above.
+    before scoring (never enters the heap). ``allowed``: sorted ALLOW-list
+    (Lucene filter context — round 4): when given, only member pivots are
+    scored; None means unfiltered. Pruning stays sound either way:
+    removing candidates can only lower true scores below the block-max
+    upper bounds, never above.
     """
     if deleted is not None and not len(deleted):
         deleted = None
+    if allowed is not None and not len(allowed):
+        return []
     cursors = [
         _Cursor(t, w, p) for t, w, p in term_postings if p.n > 0
     ]
@@ -141,12 +146,17 @@ def bmw_topk(
             # cursors currently AT pivot_doc (a prefix of `live`); bound it
             # by their current-block maxima.
             contributors = [c for c in live if c.doc() == pivot_doc]
-            is_deleted = deleted is not None and bool(
+            is_excluded = deleted is not None and bool(
                 np.searchsorted(deleted, pivot_doc) < len(deleted)
                 and deleted[np.searchsorted(deleted, pivot_doc)] == pivot_doc
             )
+            if not is_excluded and allowed is not None:
+                ai = int(np.searchsorted(allowed, pivot_doc))
+                is_excluded = not (
+                    ai < len(allowed) and allowed[ai] == pivot_doc
+                )
             block_ub = sum(c.block_ub() for c in contributors)
-            if not is_deleted and block_ub >= th - eps:
+            if not is_excluded and block_ub >= th - eps:
                 # Score fully — ascending term order for bit-identity.
                 contributors.sort(key=lambda c: c.term)
                 s = 0.0
