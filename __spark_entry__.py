@@ -84,6 +84,15 @@ BOOL_QUERIES = [
     (2, "customer order", "merge"),
     (3, "data query row", ""),
 ]
+# Round-4 BooleanQuery completion: (bq_id, must, should, must_not, msm);
+# msm NULL ⇒ Lucene default (0 with MUST, 1 without).
+BOOL_SHOULD_QUERIES = [
+    (0, "fast", "join scan", "", None),        # must + optional should
+    (1, "table", "scan merge query", "", 2),   # must + msm=2
+    (2, "", "customer order", "", None),       # should-only → msm=1
+    (3, "", "data query row", "", 2),          # should-only msm=2
+    (4, "", "fast slow", "merge", 1),          # should + must_not
+]
 
 VALUES_QUERIES = ", ".join(f"({i}, '{t}')" for i, t in PROBE_QUERIES)
 VALUES_FUZZY = ", ".join(f"({i}, '{t}')" for i, t in FUZZY_TERMS)
@@ -629,6 +638,26 @@ def _q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REGEX_PATTERNS = [
+    (0, "fa[a-z]+"),
+    (1, "(jo|sc)[a-z]*n"),
+    (2, "qu.ry"),
+    (3, "zz[0-9]+"),
+    (4, "[a-f]+"),
+]
+
+
+def _q_regex_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 RegexpQuery surface: anchored whole-term regex expansion
+    over the vocabulary (literal-prefix range pushdown like wildcards),
+    counts resolved from term_stats.cf alone. Oracle: regexp_matches with
+    ^(?:p)$ anchoring over the token multiset."""
+    from dts.wildcard import regex_match_counts
+
+    rq = spark.createDataFrame(REGEX_PATTERNS, "rq_id long, pattern string")
+    return regex_match_counts(spark, _pos_index(spark, sf_dir), rq)
+
+
 def _q_wildcard_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wildcard term counting resolved from term_stats.cf alone
     (dts.wildcard): the literal prefix pushes down as a range predicate on
@@ -679,6 +708,20 @@ def _q_boolean_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bq = spark.createDataFrame(
         BOOL_QUERIES, "bq_id long, must string, must_not string"
+    )
+    return boolean_match_docs(spark, _pos_index(spark, sf_dir), bq)
+
+
+def _q_boolean_should(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 BooleanQuery completion: SHOULD clauses with
+    minimum_should_match (Lucene defaults: msm 0 with MUST, 1 without;
+    SHOULD-only queries resolve as a counted union). Oracle: per-doc count
+    of contained should-terms via list_filter/list_contains."""
+    from dts.boolquery import boolean_match_docs
+
+    bq = spark.createDataFrame(
+        BOOL_SHOULD_QUERIES,
+        "bq_id long, must string, should string, must_not string, msm int",
     )
     return boolean_match_docs(spark, _pos_index(spark, sf_dir), bq)
 
@@ -901,7 +944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "proximity_match": _q_proximity_match,
         "boolean_match": _q_boolean_match,
+        "boolean_should": _q_boolean_should,
         "wildcard_count": _q_wildcard_count,
+        "regex_count": _q_regex_count,
         "wildcard_topk": _q_wildcard_topk,
         "wildcard_docs": _q_wildcard_docs,
         "bm25_topk_tombstone": _q_bm25_topk_tombstone,
@@ -1254,6 +1299,16 @@ c AS (
 SELECT wq.wq_id::BIGINT AS wq_id, coalesce(c.n, 0)::BIGINT AS n_matches
 FROM wq LEFT JOIN c USING (wq_id)
 """,
+        "regex_count": f"""
+WITH tok AS (SELECT unnest({_D_TOKS}) AS term FROM documents),
+rq(rq_id, pat) AS (VALUES {", ".join(f"({i}, '^(?:{p})$')" for i, p in REGEX_PATTERNS)}),
+c AS (
+  SELECT rq_id, count(*)::BIGINT AS n
+  FROM rq JOIN tok ON regexp_matches(tok.term, rq.pat) GROUP BY 1
+)
+SELECT rq.rq_id::BIGINT AS rq_id, coalesce(c.n, 0)::BIGINT AS n_matches
+FROM rq LEFT JOIN c USING (rq_id)
+""",
         "wildcard_topk": f"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '{TOK}')) AS term
@@ -1312,6 +1367,27 @@ bq(bq_id, must, must_not) AS (VALUES {", ".join(
 SELECT bq_id::BIGINT AS bq_id, doc_id
 FROM t CROSS JOIN bq
 WHERE list_has_all(toks, must) AND NOT list_has_any(toks, must_not)
+""",
+        # SHOULD + minimum_should_match (msm resolved to the engine's
+        # Lucene-default rule in Python so the SQL stays declarative).
+        "boolean_should": f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+bq(bq_id, must, should, must_not, msm) AS (VALUES {", ".join(
+    "({}, {}, {}, {}, {})".format(
+        i,
+        "[" + ",".join(f"'{w}'" for w in m.split()) + "]" if m else "[]::VARCHAR[]",
+        "[" + ",".join(f"'{w}'" for w in s.split()) + "]" if s else "[]::VARCHAR[]",
+        "[" + ",".join(f"'{w}'" for w in n.split()) + "]" if n else "[]::VARCHAR[]",
+        (lambda eff: max(eff, 1) if not m and s else eff)(
+            msm if msm is not None else (0 if m else 1)
+        ),
+    )
+    for i, m, s, n, msm in BOOL_SHOULD_QUERIES
+)})
+SELECT bq_id::BIGINT AS bq_id, doc_id
+FROM t CROSS JOIN bq
+WHERE list_has_all(toks, must) AND NOT list_has_any(toks, must_not)
+  AND len(list_filter(should, s -> list_contains(toks, s))) >= msm
 """,
         "byte_match_count": f"""
 WITH pat(pat_id, pattern, k) AS (VALUES {", ".join(f"({i}, '{p}', {k})" for i, p, k in BYTE_PATTERNS)})

@@ -1,11 +1,14 @@
-"""Boolean (conjunctive / negated) document matching over the index.
+"""Boolean document matching over the index — Lucene BooleanQuery algebra.
 
 BM25 scoring is disjunctive (any query term contributes); the reference's
 counting surface likewise treats each pattern independently
 (src/apm1.c:197-203 accumulates per-pattern totals). A search engine user
-also needs the boolean algebra Lucene calls MUST / MUST_NOT: documents
-containing ALL of one term set and NONE of another. This module resolves
-such queries purely from the compressed postings — no corpus rescan.
+also needs Lucene's BooleanQuery algebra: MUST (all present), MUST_NOT
+(none present), and — round 4 — SHOULD with ``minimum_should_match``
+(at least msm of the optional terms present; Lucene's default msm is 0
+when MUST clauses exist, 1 otherwise, and SHOULD-only queries therefore
+stay index-resolvable as a counted union). This module resolves such
+queries purely from the compressed postings — no corpus rescan.
 
 Distribution mirrors dts.phrase: the (tiny) query-term table is broadcast,
 postings arrive pre-partitioned by the doc-range bucket, and a
@@ -62,6 +65,9 @@ def _decode_docs(rows: pd.DataFrame, block_size: int, codec: str) -> np.ndarray:
     return np.concatenate(runs) if runs else np.zeros(0, dtype=np.int64)
 
 
+ROLE_MUST, ROLE_SHOULD, ROLE_NOT = 0, 1, 2
+
+
 def _bool_matcher_fn(block_size: int, codec: str):
     def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -72,7 +78,8 @@ def _bool_matcher_fn(block_size: int, codec: str):
         )
         bq_id = int(pdf["bq_id"].iloc[0])
         m = int(pdf["m"].iloc[0])
-        must = pdf[~pdf["neg"]]
+        msm = int(pdf["msm"].iloc[0])
+        must = pdf[pdf["role"] == ROLE_MUST]
         if must["i"].nunique() != m:
             return empty  # a MUST term is absent from this bucket
         docs = None
@@ -88,7 +95,28 @@ def _bool_matcher_fn(block_size: int, codec: str):
             )
             if len(docs) == 0:
                 return empty
-        neg = pdf[pdf["neg"]]
+        if msm > 0:
+            should = pdf[pdf["role"] == ROLE_SHOULD]
+            sh_slots = [
+                _decode_docs(should[should["i"] == i], block_size, codec)
+                for i in sorted(should["i"].unique())
+            ]
+            if docs is None:
+                # SHOULD-only query: counted union over the candidates.
+                if not sh_slots:
+                    return empty
+                docs = np.unique(np.concatenate(sh_slots))
+            cnt = np.zeros(len(docs), dtype=np.int32)
+            for d in sh_slots:
+                pos = np.minimum(
+                    np.searchsorted(docs, d), max(len(docs) - 1, 0)
+                )
+                valid = docs[pos] == d
+                cnt[pos[valid]] += 1
+            docs = docs[cnt >= msm]
+            if len(docs) == 0:
+                return empty
+        neg = pdf[pdf["role"] == ROLE_NOT]
         if len(neg):
             nd = np.unique(
                 np.concatenate(
@@ -115,35 +143,64 @@ def boolean_match_docs(
     queries: DataFrame,
     max_isin_terms: int = MAX_ISIN_TERMS,
 ) -> DataFrame:
-    """(bq_id, doc_id) for documents containing ALL tokens of ``must`` and
-    NONE of ``must_not`` (set semantics — duplicate tokens are collapsed).
+    """(bq_id, doc_id) for documents satisfying the Lucene BooleanQuery:
+    ALL tokens of ``must``, NONE of ``must_not``, and — when a ``should``
+    column is present — at least ``msm`` of the ``should`` tokens (set
+    semantics everywhere; duplicate tokens are collapsed).
 
-    ``queries`` needs (bq_id, must, must_not); both texts go through the
-    shared engine tokenizer on the driver (query batches are client-sized;
-    the term table is broadcast below anyway). ``must`` must tokenize to at
-    least one term — a pure-negation query would be a match-all scan, which
-    this index-resolved operator deliberately refuses (same stance as
-    Lucene's MatchAllDocsQuery being a separate, explicit operator).
+    ``queries`` needs (bq_id, must, must_not[, should[, msm]]); texts go
+    through the shared engine tokenizer on the driver (query batches are
+    client-sized; the term table is broadcast below anyway). ``msm``
+    defaults per Lucene: 0 with MUST clauses, 1 without (and is floored
+    at 1 for SHOULD-only queries — msm=0 there would be a match-all).
+    At least one of must/should must tokenize to a term — a pure-negation
+    query would be a match-all scan, which this index-resolved operator
+    deliberately refuses (same stance as Lucene's MatchAllDocsQuery being
+    a separate, explicit operator).
     """
-    qt_rows: list[tuple[int, int, int, bool, str]] = []
-    for r in queries.select("bq_id", "must", "must_not").collect():
+    has_should = "should" in queries.columns
+    has_msm = "msm" in queries.columns
+    sel = ["bq_id", "must", "must_not"]
+    if has_should:
+        sel.append("should")
+    if has_msm:
+        sel.append("msm")
+    qt_rows: list[tuple[int, int, int, int, int, str]] = []
+    for r in queries.select(*sel).collect():
         must = sorted(set(tokenize_text(r["must"] or "")))
-        # A term in BOTH sets yields no matches (Lucene +t -t semantics):
-        # the intersection-then-subtraction below gives that for free.
+        # A term in BOTH must and must_not yields no matches (Lucene
+        # +t -t semantics): intersection-then-subtraction gives that free.
         nots = sorted(set(tokenize_text(r["must_not"] or "")))
-        if not must:
+        should = (
+            sorted(set(tokenize_text(r["should"] or ""))) if has_should else []
+        )
+        msm = r["msm"] if has_msm and r["msm"] is not None else None
+        if msm is None:
+            msm = 0 if must else 1
+        msm = int(msm)
+        if not must and should and msm < 1:
+            msm = 1  # SHOULD-only with msm=0 would be match-all
+        if not must and not should:
             raise ValueError(
-                f"boolean query {r['bq_id']}: `must` tokenizes to no terms; "
-                "pure-negation queries are not index-resolvable"
+                f"boolean query {r['bq_id']}: neither `must` nor `should` "
+                "tokenizes to a term; pure-negation queries are not "
+                "index-resolvable"
             )
-        for i, t in enumerate(must):
-            qt_rows.append((int(r["bq_id"]), len(must), i, False, t))
-        for i, t in enumerate(nots):
-            qt_rows.append((int(r["bq_id"]), len(must), len(must) + i, True, t))
+        bq_id, m = int(r["bq_id"]), len(must)
+        slot = 0
+        for t in must:
+            qt_rows.append((bq_id, m, slot, ROLE_MUST, msm, t))
+            slot += 1
+        for t in should:
+            qt_rows.append((bq_id, m, slot, ROLE_SHOULD, msm, t))
+            slot += 1
+        for t in nots:
+            qt_rows.append((bq_id, m, slot, ROLE_NOT, msm, t))
+            slot += 1
     if not qt_rows:
         return spark.createDataFrame([], BOOL_SCHEMA)
     qt = spark.createDataFrame(
-        qt_rows, "bq_id long, m int, i int, neg boolean, term string"
+        qt_rows, "bq_id long, m int, i int, role int, msm int, term string"
     )
     idx = load_index(spark, index_dir)
     meta = idx["meta"]

@@ -224,6 +224,147 @@ def expand_wildcard_terms(
     return qterms
 
 
+# --- regex term queries (Lucene RegexpQuery, round 4) -------------------
+# A regex matches WHOLE terms (fullmatch anchoring, Lucene semantics).
+# The literal prefix before the first metacharacter drives the same
+# dictionary range pushdown as wildcards (Lucene extracts it from the
+# regex automaton's common prefix; this is the scalar version).
+
+_REGEX_META = set(".?*+()[]{}|\\^$")
+
+
+def _regex_literal_prefix(pattern: str) -> str:
+    """Longest literal prefix every match must start with. A quantifier
+    makes the preceding char optional, so it is dropped from the prefix."""
+    out: list[str] = []
+    for ch in pattern:
+        if ch in _REGEX_META:
+            if ch in "*?{" and out:
+                out.pop()
+            break
+        out.append(ch)
+    return "".join(out)
+
+
+def expand_regex_terms(
+    spark: SparkSession,
+    index_dir: str,
+    patterns: DataFrame,
+    local: bool | None = None,
+) -> tuple[DataFrame, list[str] | None]:
+    """(qterms df, distinct term list when known driver-side) for anchored
+    regex patterns over the vocabulary. ``patterns`` needs
+    (rq_id, pattern). Driver-sized vocabularies filter the cached sorted
+    term list (prefix bisect + re.fullmatch — no Spark job); larger ones
+    run one pruned term_stats scan leg per pattern (prefix range pushed,
+    anchored rlike residual), unioned."""
+    idx = load_index(spark, index_dir)
+    meta = idx["meta"]
+    rows = [
+        (int(r["rq_id"]), r["pattern"])
+        for r in patterns.select("rq_id", "pattern").collect()
+    ]
+    if local is None:
+        local = bool(
+            meta.get("vocab_size")
+            and meta["vocab_size"] <= _si.DRIVER_EXPAND_VOCAB_CAP
+        )
+    if local:
+        vocab_struct = _si._driver_vocab(spark, index_dir, meta)
+        terms = vocab_struct.get("sorted_terms")
+        if terms is None:
+            terms = sorted(vocab_struct["terms"])
+            vocab_struct["sorted_terms"] = terms
+        out: list[tuple[int, str]] = []
+        for rq_id, pattern in rows:
+            prefix = _regex_literal_prefix(pattern)
+            lo = bisect.bisect_left(terms, prefix) if prefix else 0
+            up = _prefix_upper(prefix) if prefix else None
+            hi = bisect.bisect_left(terms, up) if up is not None else len(terms)
+            rx = re.compile(pattern)
+            out.extend(
+                (rq_id, t) for t in terms[lo:hi] if rx.fullmatch(t)
+            )
+        qterms = (
+            spark.createDataFrame(out, "rq_id long, term string")
+            if out
+            else spark.createDataFrame([], "rq_id long, term string")
+        )
+        return qterms, sorted({t for _, t in out})
+    vocab = idx["term_stats"].select("term")
+    legs = []
+    for rq_id, pattern in rows:
+        prefix = _regex_literal_prefix(pattern)
+        cond = F.col("term").rlike(f"^(?:{pattern})$")
+        if prefix:
+            cond = (F.col("term") >= prefix) & cond
+            up = _prefix_upper(prefix)
+            if up is not None:
+                cond = (F.col("term") < up) & cond
+        legs.append(
+            vocab.filter(cond).select(
+                F.lit(rq_id).cast("long").alias("rq_id"), "term"
+            )
+        )
+    if not legs:
+        return spark.createDataFrame([], "rq_id long, term string"), []
+    out_df = legs[0]
+    for leg in legs[1:]:
+        out_df = out_df.unionByName(leg)
+    return out_df, None
+
+
+def regex_match_counts(
+    spark: SparkSession, index_dir: str, patterns: DataFrame
+) -> DataFrame:
+    """(rq_id, n_matches): TOTAL corpus token positions whose term
+    fullmatches each regex — resolved entirely from term_stats.cf, like
+    wildcard_match_counts. Patterns matching no term report 0."""
+    idx = load_index(spark, index_dir)
+    expanded, terms = expand_regex_terms(spark, index_dir, patterns)
+    stats = idx["term_stats"].select("term", "cf")
+    if terms is not None:
+        from dts.score_index import term_filter
+
+        stats = term_filter(stats, terms)
+    counts = (
+        expanded.join(stats, "term")
+        .groupBy("rq_id")
+        .agg(F.sum("cf").alias("n_matches"))
+    )
+    return (
+        patterns.select("rq_id")
+        .join(counts, "rq_id", "left")
+        .select(
+            "rq_id", F.coalesce("n_matches", F.lit(0)).alias("n_matches")
+        )
+    )
+
+
+def bm25_topk_regex(
+    spark: SparkSession,
+    index_dir: str,
+    patterns: DataFrame,
+    k: int = 10,
+    strategy: str = "taat",
+    distribute: str | None = None,
+    max_isin_terms: int = MAX_ISIN_TERMS,
+) -> DataFrame:
+    """Top-k BM25 where each regex scores as the disjunction of its
+    matched terms (Lucene RegexpQuery → BooleanQuery rewrite; each term's
+    own idf once). Returns (query_id, doc_id, score, rank)."""
+    expanded, terms = expand_regex_terms(spark, index_dir, patterns)
+    expanded = expanded.select(F.col("rq_id").alias("query_id"), "term")
+    n_queries = patterns.count()
+    if n_queries == 0:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    return score_expanded_terms(
+        spark, index_dir, expanded, n_queries, k=k, strategy=strategy,
+        distribute=distribute, max_isin_terms=max_isin_terms,
+        all_terms=terms,
+    )
+
+
 def wildcard_match_counts(
     spark: SparkSession, index_dir: str, patterns: DataFrame
 ) -> DataFrame:

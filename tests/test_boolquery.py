@@ -99,3 +99,65 @@ def test_pure_negation_rejected(spark, bool_index):
     )
     with pytest.raises(ValueError, match="must"):
         boolean_match_docs(spark, bool_index, q)
+
+
+def _py_oracle_should(
+    corpus_pd, must: str, should: str, must_not: str, msm: int | None
+) -> set[int]:
+    m = set(tokenize_text(must))
+    s = set(tokenize_text(should))
+    n = set(tokenize_text(must_not))
+    if msm is None:
+        msm = 0 if m else 1
+    if not m and s and msm < 1:
+        msm = 1
+    out = set()
+    for _, r in corpus_pd.iterrows():
+        toks = set(tokenize_text(r["content"]))
+        if m <= toks and not (n & toks) and len(s & toks) >= msm:
+            out.add(int(r["doc_id"]))
+    return out
+
+
+def test_should_minimum_should_match_vs_oracle(spark, bool_index, corpus_pd):
+    """Round-4 BooleanQuery completion: SHOULD + minimum_should_match —
+    Lucene defaults (msm 0 with MUST, 1 without), SHOULD-only counted
+    union, msm floors, composition with MUST/MUST_NOT."""
+    ts = _terms_from(corpus_pd, seed=23, n=12)
+    cases = [
+        # (must, should, must_not, msm)
+        (f"{ts[0]}", f"{ts[1]} {ts[2]}", "", None),          # msm→0
+        (f"{ts[0]}", f"{ts[1]} {ts[2]} {ts[3]}", "", 2),     # must + msm=2
+        ("", f"{ts[4]} {ts[5]}", "", None),                  # should-only → msm=1
+        ("", f"{ts[1]} {ts[2]} {ts[6]}", "", 2),             # should-only msm=2
+        ("", f"{ts[7]} {ts[8]}", f"{ts[0]}", 1),             # should + not
+        ("", f"{ts[3]} {ts[9]}", "", 0),                     # msm=0 floored to 1
+        (f"{ts[0]} {ts[1]}", f"{ts[2]}", f"{ts[10]}", 1),    # all three roles
+        ("", f"{ts[4]} {ts[5]} {ts[6]}", "", 5),             # msm > |should| ⇒ ∅
+    ]
+    q = spark.createDataFrame(
+        [(i, m, n, s, msm) for i, (m, s, n, msm) in enumerate(cases)],
+        "bq_id long, must string, must_not string, should string, msm int",
+    )
+    got_df = boolean_match_docs(spark, bool_index, q).toPandas()
+    got = {
+        int(i): set(g["doc_id"].astype(int)) for i, g in got_df.groupby("bq_id")
+    }
+    for i, (m, s, n, msm) in enumerate(cases):
+        want = _py_oracle_should(corpus_pd, m, s, n, msm)
+        assert got.get(i, set()) == want, (i, m, s, n, msm)
+    assert got.get(7, set()) == set()  # unreachable msm
+
+
+def test_should_backward_compat_no_column(spark, bool_index, corpus_pd):
+    """Queries without a should column behave exactly as before."""
+    ts = _terms_from(corpus_pd, seed=11, n=4)
+    q = spark.createDataFrame(
+        [(0, f"{ts[0]} {ts[1]}", ts[2])],
+        "bq_id long, must string, must_not string",
+    )
+    got = {
+        int(r["doc_id"])
+        for r in boolean_match_docs(spark, bool_index, q).collect()
+    }
+    assert got == _py_oracle(corpus_pd, f"{ts[0]} {ts[1]}", ts[2])

@@ -144,6 +144,73 @@ def test_reversed_dictionary_refreshed_on_merge(spark, wc_index, docs_sdf, tmp_p
         assert {r["term"] for r in got} == {"zzuniquesuffixqx"}, local
 
 
+REGEXES = ["de[a-z]+", "i.*t", "(de|im)port.*", "zz[0-9]+", "[a-d]+", "s.m"]
+
+
+def test_regex_literal_prefix():
+    from dts.wildcard import _regex_literal_prefix
+
+    assert _regex_literal_prefix("de[a-z]+") == "de"
+    assert _regex_literal_prefix("abc*") == "ab"      # c is quantified
+    assert _regex_literal_prefix("ab?c") == "a"
+    assert _regex_literal_prefix(".*x") == ""
+    assert _regex_literal_prefix("ab\\d") == "ab"
+    assert _regex_literal_prefix("plain") == "plain"
+
+
+@pytest.mark.parametrize("local", [True, False])
+def test_regex_expand_vs_python(spark, wc_index, oracle, local):
+    """Both regex expansion paths equal re.fullmatch over the vocabulary
+    (Lucene RegexpQuery whole-term anchoring)."""
+    import re as _re
+
+    from dts.wildcard import expand_regex_terms
+
+    pats = spark.createDataFrame(
+        list(enumerate(REGEXES)), "rq_id long, pattern string"
+    )
+    got_df, terms = expand_regex_terms(spark, wc_index, pats, local=local)
+    got = {
+        int(i): set(g["term"])
+        for i, g in got_df.toPandas().groupby("rq_id")
+    }
+    for i, p in enumerate(REGEXES):
+        rx = _re.compile(p)
+        want = {t for t in oracle.vocab if rx.fullmatch(t)}
+        assert got.get(i, set()) == want, p
+    if local:
+        assert terms == sorted(set().union(*got.values())) if got else terms == []
+
+
+def test_regex_counts_and_topk_vs_oracle(spark, wc_index, oracle):
+    import re as _re
+
+    from dts.wildcard import bm25_topk_regex, regex_match_counts
+
+    pats = spark.createDataFrame(
+        list(enumerate(REGEXES)), "rq_id long, pattern string"
+    )
+    got_c = {
+        int(r["rq_id"]): int(r["n_matches"])
+        for r in regex_match_counts(spark, wc_index, pats).collect()
+    }
+    for i, p in enumerate(REGEXES):
+        rx = _re.compile(p)
+        matched = [t for t in oracle.vocab if rx.fullmatch(t)]
+        want = sum(sum(oracle.tf[t].values()) for t in matched)
+        assert got_c[i] == want, p
+    got_t = bm25_topk_regex(spark, wc_index, pats, k=10).toPandas()
+    for i, p in enumerate(REGEXES):
+        rx = _re.compile(p)
+        matched = [t for t in oracle.vocab if rx.fullmatch(t)]
+        want = oracle.score_terms(matched, topk=10)
+        g = got_t[got_t["query_id"] == i].sort_values("rank")
+        assert list(g["doc_id"].astype(int)) == [d for _, d, _ in want], p
+        assert np.allclose(
+            g["score"].to_numpy(), [s for *_, s in want], rtol=0, atol=0
+        ), p
+
+
 def test_match_docs_vs_oracle(spark, wc_index, oracle):
     from dts.wildcard import wildcard_match_docs
 
