@@ -647,6 +647,38 @@ REGEX_PATTERNS = [
 ]
 
 
+SAMPLE_SEED = "s7"
+SAMPLE_FRACTIONS = {"en": 1.0, "zh": 0.0, "es": 0.35}
+SAMPLE_DEFAULT = 0.6
+
+
+def _q_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 deterministic stratified sampling (dts.sample): per-lang
+    keep fractions via an md5 hash cut — stable across partitionings,
+    retries and ENGINES (md5 is bit-identical in Spark and DuckDB), so
+    the oracle checks exact membership, not counts."""
+    from dts.sample import stratified_hash_sample
+
+    return stratified_hash_sample(
+        _docs(spark, sf_dir),
+        SAMPLE_FRACTIONS,
+        stratum_col="lang",
+        seed=SAMPLE_SEED,
+        default_fraction=SAMPLE_DEFAULT,
+    ).select("doc_id", "lang")
+
+
+def _q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 end-to-end dedup policy (dts.dedup.dedup_corpus): the
+    CLEANED corpus after dropping all but the minimum-doc_id member of
+    each byte-identical group. Oracle: min window over md5(text)."""
+    from dts.dedup import dedup_corpus
+
+    return dedup_corpus(_docs(spark, sf_dir), method="exact").select(
+        "doc_id", "lang"
+    )
+
+
 def _q_regex_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 RegexpQuery surface: anchored whole-term regex expansion
     over the vocabulary (literal-prefix range pushdown like wildcards),
@@ -947,6 +979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_should": _q_boolean_should,
         "wildcard_count": _q_wildcard_count,
         "regex_count": _q_regex_count,
+        "sample_docs": _q_sample_docs,
+        "dedup_keep": _q_dedup_keep,
         "wildcard_topk": _q_wildcard_topk,
         "wildcard_docs": _q_wildcard_docs,
         "bm25_topk_tombstone": _q_bm25_topk_tombstone,
@@ -1298,6 +1332,19 @@ c AS (
 )
 SELECT wq.wq_id::BIGINT AS wq_id, coalesce(c.n, 0)::BIGINT AS n_matches
 FROM wq LEFT JOIN c USING (wq_id)
+""",
+        "sample_docs": f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substring(md5('{SAMPLE_SEED}' || doc_id::VARCHAR), 1, 8))::BIGINT <
+      (CASE {" ".join(f"WHEN lang = '{s}' THEN {int(f * 2**32)}" for s, f in sorted(SAMPLE_FRACTIONS.items()))}
+            ELSE {int(SAMPLE_DEFAULT * 2**32)} END)
+""",
+        "dedup_keep": """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         min(doc_id) OVER (PARTITION BY md5(coalesce(text, ''))) AS c
+  FROM documents
+) WHERE doc_id = c
 """,
         "regex_count": f"""
 WITH tok AS (SELECT unnest({_D_TOKS}) AS term FROM documents),

@@ -45,6 +45,40 @@ def exact_canonical(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dedup_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    method: str = "exact",
+    **near_kwargs,
+) -> DataFrame:
+    """The END-TO-END dedup policy a training-data pipeline actually runs:
+    return the CLEANED corpus — all columns of ``docs``, keeping only the
+    canonical (minimum doc_id) member of each duplicate group; unique docs
+    pass through untouched.
+
+    ``method='exact'``: byte-identical groups (md5 hash-groupBy — the
+    cheap first pass every pipeline runs). ``method='near'``:
+    shingle-Jaccard clusters via dts.cluster.dup_clusters (near_kwargs:
+    n, threshold, max_shingle_df, algorithm) — survivors are docs whose
+    cluster_id equals their own id plus every unpaired doc. Both variants
+    are deterministic (the keep-min rule, no sampling), so the output is
+    reproducible and SQL-oracle-checkable."""
+    if method == "exact":
+        keep = exact_canonical(docs, text_col=text_col).filter(
+            F.col("doc_id") == F.col("canonical_id")
+        ).select("doc_id")
+        return docs.join(keep, "doc_id", "left_semi").select(*docs.columns)
+    if method == "near":
+        from dts.cluster import dup_clusters
+
+        clusters = dup_clusters(docs, text_col=text_col, **near_kwargs)
+        losers = clusters.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select("doc_id")
+        return docs.join(losers, "doc_id", "left_anti").select(*docs.columns)
+    raise ValueError(f"unknown dedup method {method!r}")
+
+
 def shingle_col(text_col: str, n: int = 3):
     """Distinct token n-gram shingles as array<string> (built-in exprs)."""
     toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOK}', 0)"
