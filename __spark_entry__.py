@@ -857,6 +857,27 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(emb, queries, k=10)
 
 
+IVF_CENTROIDS, IVF_NPROBE, IVF_SEED = 16, 4, "ivf"
+
+
+def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 IVF ANN (dts.similarity.ivf_topk): deterministic
+    md5-sampled centroids (engine-portable — the oracle recomputes the
+    same subset), nearest-cell assignment, nprobe nearest cells per
+    query, exact cosine re-rank inside probed cells."""
+    from dts.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("qvec"),
+    )
+    return ivf_topk(
+        emb, queries, k=10, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
+        seed=IVF_SEED,
+    )
+
+
 def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN with md5-derived hyperplanes (dts.similarity.md5_hyperplanes)
     — the plane matrix is a pure function of md5, so the DuckDB oracle
@@ -1002,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "simhash": _q_simhash,
         "ann_topk": _q_ann_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "emb_top_pairs": _q_emb_top_pairs,
         # generic relational coverage
@@ -1163,6 +1185,41 @@ FROM documents
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS q_id, v AS w FROM e WHERE vec_id < 5),
 s AS (SELECT q_id, vec_id, {_D_COS} AS cos6 FROM e CROSS JOIN q)
+SELECT q_id, vec_id, cos6, rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id ASC) AS rank FROM s
+) WHERE rank <= 10
+""",
+        "ivf_ann_topk": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS c_id, v AS c FROM e
+  ORDER BY md5('{IVF_SEED}' || vec_id::VARCHAR), vec_id LIMIT {IVF_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, v, c_id FROM (
+    SELECT e.vec_id, e.v, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.v, c.c) /
+                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.c, c.c))), 6) DESC,
+               c.c_id ASC) AS r
+    FROM e CROSS JOIN cents c) WHERE r = 1
+),
+q AS (SELECT vec_id AS q_id, v AS w FROM e WHERE vec_id < 5),
+probes AS (
+  SELECT q_id, w, c_id FROM (
+    SELECT q.q_id, q.w, c.c_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round(list_dot_product(q.w, c.c) /
+                 (sqrt(list_dot_product(q.w, q.w)) * sqrt(list_dot_product(c.c, c.c))), 6) DESC,
+               c.c_id ASC) AS r
+    FROM q CROSS JOIN cents c) WHERE r <= {IVF_NPROBE}
+),
+s AS (
+  SELECT p.q_id, a.vec_id,
+         round(list_dot_product(a.v, p.w) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.w, p.w))), 6) AS cos6
+  FROM assign a JOIN probes p USING (c_id)
+)
 SELECT q_id, vec_id, cos6, rank::INTEGER AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id ASC) AS rank FROM s
 ) WHERE rank <= 10

@@ -8,6 +8,15 @@
   only matching buckets (multi-probe over Hamming-1 neighbors), exact
   re-rank inside buckets. At 10^12 vectors the bucket join replaces the
   full cross join; recall is tested against brute force on seeded data.
+- ``ivf_topk`` (round 4): the inverted-file scale path — a coarse
+  quantizer (deterministic md5-sampled centroids, the classic
+  random-subset init, engine-portable so the probe has an exact SQL
+  oracle) partitions vectors into cells; queries probe only the nprobe
+  nearest cells and re-rank exactly inside. Complementary to LSH: cells
+  are DATA-ADAPTIVE (follow the embedding distribution) where hyperplane
+  buckets are oblivious. At cluster scale the centroid table broadcasts
+  (n_centroids ~ √n rows), assignment is one map-side argmax per vector,
+  and the probe join touches nprobe/n_centroids of the corpus.
 """
 
 from __future__ import annotations
@@ -41,6 +50,79 @@ def cosine_topk_bruteforce(
     w = Window.partitionBy("q_id").orderBy(F.col("cos6").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos6", "rank")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: str = "ivf",
+) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest centroid
+    (cosine, round-6 tie-broken by centroid id), probe each query's
+    ``nprobe`` nearest cells, exact re-rank inside. Same output schema as
+    brute force: (q_id, vec_id, cos6, rank).
+
+    Centroids are the ``n_centroids`` vectors with the smallest
+    md5(seed || vec_id) — a deterministic pseudo-random subset (the
+    standard sampled-centroid init) that any engine can recompute, which
+    is what makes the probe's DuckDB oracle exact. A production variant
+    would run Lloyd iterations from this init; the cell/probe/re-rank
+    plumbing — the part that must scale — is identical."""
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    cents = (
+        e.withColumn(
+            "_h", F.md5(F.concat(F.lit(seed), F.col("vec_id").cast("string")))
+        )
+        .orderBy("_h", "vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("c"))
+    )
+    dot_vc = F.expr("aggregate(zip_with(v, c, (a, b) -> a * b), cast(0.0 as double), (acc, z) -> acc + z)")
+    nv = F.expr("sqrt(aggregate(transform(v, a -> a * a), cast(0.0 as double), (acc, z) -> acc + z))")
+    nc = F.expr("sqrt(aggregate(transform(c, a -> a * a), cast(0.0 as double), (acc, z) -> acc + z))")
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("c_id").asc()
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "v", "c_id",
+            F.round(dot_vc / (nv * nc), ROUND).alias("ccos"),
+        )
+        .withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "v", "c_id")
+    )
+    q = queries.select("q_id", F.col("qvec").alias("v"))
+    w_probe = Window.partitionBy("q_id").orderBy(
+        F.col("ccos").desc(), F.col("c_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id", F.col("v").alias("w"), "c_id",
+            F.round(dot_vc / (nv * nc), ROUND).alias("ccos"),
+        )
+        .withColumn("r", F.row_number().over(w_probe))
+        .filter(F.col("r") <= nprobe)
+        .select("q_id", "w", "c_id")
+    )
+    dot = F.expr("aggregate(zip_with(v, w, (a, b) -> a * b), cast(0.0 as double), (acc, z) -> acc + z)")
+    nw = F.expr("sqrt(aggregate(transform(w, a -> a * a), cast(0.0 as double), (acc, z) -> acc + z))")
+    scored = assigned.join(F.broadcast(probes), "c_id").select(
+        "q_id", "vec_id", F.round(dot / (nv * nw), ROUND).alias("cos6")
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.col("cos6").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "cos6", "rank")
     )

@@ -130,6 +130,43 @@ def test_cosine_topk_vs_numpy(spark):
             assert math.isclose(r.cos6, w[1], abs_tol=2e-6), (r, w)
 
 
+def test_ivf_topk_exact_when_probing_all_cells(spark):
+    """Round-4 IVF: with nprobe == n_centroids every cell is probed, so
+    the result must EQUAL brute force (the cell plumbing loses nothing);
+    with few probes on clustered data, recall stays high."""
+    from dts.similarity import ivf_topk
+
+    rng = np.random.RandomState(21)
+    centers = rng.standard_normal((20, 16))
+    vecs = np.repeat(centers, 10, axis=0) + 0.15 * rng.standard_normal((200, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(4)],
+        "q_id long, qvec array<double>",
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=10).collect()
+    full = ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=8).collect()
+    key = lambda rows: sorted((r.q_id, r.rank, r.vec_id, r.cos6) for r in rows)  # noqa: E731
+    assert key(full) == key(exact)
+
+    approx = ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.q_id, set()).add(r.vec_id)
+    for r in approx:
+        approx_sets.setdefault(r.q_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert np.mean(recalls) >= 0.6, recalls
+    for q in range(4):
+        assert q in approx_sets[q]  # the query's own vector is in its cell
+
+
 def test_lsh_topk_recall(spark):
     # Clustered embeddings (30 centers × 10 members) — the workload LSH
     # exists for; pure-random gaussians have no neighbor structure and any
