@@ -744,6 +744,23 @@ def _q_boolean_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boolean_match_docs(spark, _pos_index(spark, sf_dir), bq)
 
 
+SEARCH_QUERY = 'fast +join -slow "table scan"'
+
+
+def _q_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 one-call Lucene-style query string (dts.parser.search):
+    bare + MUST terms score disjunctively; +join / -slow / the quoted
+    phrase resolve to a doc-id constraint riding the filter context.
+    Oracle: the scored CTE over the multiset [fast, table, scan, join],
+    filtered to docs containing join, not slow, and the bigram
+    'table scan'."""
+    from dts.parser import search
+
+    return _rerank6_top10(
+        search(spark, _pos_index(spark, sf_dir), SEARCH_QUERY, k=10**6)
+    )
+
+
 def _q_boolean_should(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 BooleanQuery completion: SHOULD clauses with
     minimum_should_match (Lucene defaults: msm 0 with MUST, 1 without;
@@ -998,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_match": _q_proximity_match,
         "boolean_match": _q_boolean_match,
         "boolean_should": _q_boolean_should,
+        "search_query": _q_search_query,
         "wildcard_count": _q_wildcard_count,
         "regex_count": _q_regex_count,
         "sample_docs": _q_sample_docs,
@@ -1673,6 +1691,43 @@ SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
   FROM scored WHERE doc_id % {DELETE_PRED_MOD} <> {DELETE_PRED_REM}
+) WHERE rank <= 10
+"""
+    # One-call query string: multiset scoring + filter-context constraints.
+    _TOKS_D = f"regexp_extract_all(lower(coalesce(text, '')), '{TOK}')"
+    extra["search_query"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_D}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_D})::BIGINT AS dl FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qterms(term) AS (VALUES ('fast'), ('table'), ('scan'), ('join')),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ), 6) AS score6
+  FROM qterms JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  GROUP BY 1
+),
+eligible AS (
+  SELECT doc_id FROM documents
+  WHERE list_contains({_TOKS_D}, 'join')
+    AND NOT list_contains({_TOKS_D}, 'slow')
+    AND list_contains(
+          list_transform(range(0, len({_TOKS_D}) - 1),
+                         i -> {_TOKS_D}[i + 1] || ' ' || {_TOKS_D}[i + 2]),
+          'table scan')
+)
+SELECT 0::BIGINT AS query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score6 DESC, doc_id ASC) AS rank
+  FROM scored WHERE doc_id IN (SELECT doc_id FROM eligible)
 ) WHERE rank <= 10
 """
     # Filter context: FULL-corpus stats (unchanged scored CTE), non-member

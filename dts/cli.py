@@ -111,6 +111,24 @@ def cmd_byte_count(args) -> None:
     print(f"Number of matches for pattern <{args.pattern}>: {n}")
 
 
+def cmd_search(args) -> None:
+    """One-call ranked search for a Lucene-style query string
+    (dts.parser): bare/+must/-not terms, "quoted phrases", wild*cards,
+    fuzzy~k — composed into one scoring job + filter context."""
+    from dts.parser import search
+
+    spark = get_spark("dts-search")
+    out = search(
+        spark, args.index, args.query, k=args.k, strategy=args.strategy
+    )
+    for r in out.orderBy("rank").collect():
+        print(
+            json.dumps(
+                {"rank": r.rank, "doc_id": r.doc_id, "score": r.score}
+            )
+        )
+
+
 def cmd_query(args) -> None:
     from dts.score_index import bm25_topk_indexed
 
@@ -259,6 +277,14 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("--mode", choices=["or", "and"], default="or")
     g.add_argument("--out", default=None)
     g.set_defaults(fn=cmd_query)
+
+    g = sub.add_parser("search")
+    g.add_argument("--index", required=True)
+    g.add_argument("--query", required=True,
+                   help='Lucene-style string: a +b -c "d e" f* g~1')
+    g.add_argument("--k", type=int, default=10)
+    g.add_argument("--strategy", choices=["taat", "bmw"], default="taat")
+    g.set_defaults(fn=cmd_search)
 
     g = sub.add_parser("compact")
     g.add_argument("--index", required=True)

@@ -1,0 +1,247 @@
+"""Lucene-style query-string parser + one-call ranked search.
+
+The engine's surfaces (disjunctive BM25, fuzzy expansion, wildcard/prefix
+rewrites, boolean MUST/MUST_NOT, phrase matching, the filter context) are
+separate operators; a search USER types one string. This module parses
+the Lucene query-string dialect the operators can jointly express and
+composes them into a single ranked query:
+
+    fast +join -slow "table scan" quer* fuzz~1
+
+- bare term        → scores (disjunctive BM25), optional for matching
+- ``+term``        → scores AND is required (MUST)
+- ``-term``        → excluded (MUST_NOT; never scores)
+- ``"a b"``        → required phrase (positional index); its words also
+                     score individually. (Delta vs Lucene, which scores
+                     the phrase as a unit by phrase frequency — the
+                     per-word contribution is this engine's documented
+                     semantic; the REQUIRED-match part is identical.)
+- ``term~k``       → fuzzy clause: every vocabulary term within edit
+                     distance k scores (Lucene FuzzyQuery rewrite)
+- ``wild*card``    → wildcard rewrite: every matching term scores once
+                     (BooleanQuery rewrite; leading ``*`` uses the
+                     reversed dictionary)
+- ``-"a b"``       → excluded phrase
+
+Composition: the scoring side is ONE ``score_expanded_terms`` call over
+the union of all expansions; the matching side (MUST / MUST_NOT /
+phrases) resolves to a doc-id set via dts.boolquery / dts.phrase /
+constant-score unions and rides the round-4 FILTER CONTEXT
+(``doc_filter`` — allow-list masked before top-k, full-corpus stats).
+
+Scale: every component inherits its operator's bounds (bucket-exact
+groups, IN-list caps, colocated filter join). The eligibility set of a
+head-term ``+must`` query can be corpus-scale; pass
+``broadcast_filter=False`` in that regime, exactly as documented on
+bm25_topk_indexed.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dts.tokenizer import tokenize_text
+
+_ELEMENT = re.compile(
+    r"""(?P<sign>[+-]?)            # optional modifier
+        (?:"(?P<phrase>[^"]*)"     # quoted phrase
+         | (?P<atom>\S+))          # or a bare atom
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class ParsedQuery:
+    """Structured form of one query string."""
+
+    score_terms: list[str] = field(default_factory=list)   # plain scoring
+    fuzzy: list[tuple[str, int]] = field(default_factory=list)
+    wildcards: list[str] = field(default_factory=list)
+    must: list[str] = field(default_factory=list)          # also score
+    must_not: list[str] = field(default_factory=list)
+    phrases: list[str] = field(default_factory=list)       # required
+    not_phrases: list[str] = field(default_factory=list)
+
+    @property
+    def has_match_constraints(self) -> bool:
+        return bool(
+            self.must or self.must_not or self.phrases or self.not_phrases
+        )
+
+
+def parse_query(text: str) -> ParsedQuery:
+    """Parse one query string into its operator components. Atoms run
+    through the shared engine tokenizer, so ``Fast-Join`` splits exactly
+    as the index did at build time."""
+    q = ParsedQuery()
+    for m in _ELEMENT.finditer(text or ""):
+        sign, phrase, atom = m.group("sign"), m.group("phrase"), m.group("atom")
+        if phrase is not None:
+            toks = tokenize_text(phrase)
+            if not toks:
+                continue
+            joined = " ".join(toks)
+            if sign == "-":
+                q.not_phrases.append(joined)
+            else:
+                q.phrases.append(joined)
+                q.score_terms.extend(toks)
+            continue
+        fm = re.fullmatch(r"(?P<t>[^~\s]+)~(?P<k>\d+)", atom)
+        if fm and sign != "-":
+            for t in tokenize_text(fm.group("t")):
+                q.fuzzy.append((t, int(fm.group("k"))))
+            continue
+        if "*" in atom and sign != "-":
+            pat = atom.lower()
+            if set(pat) - {"*"}:
+                q.wildcards.append(pat)
+            continue
+        toks = tokenize_text(atom)
+        if sign == "-":
+            q.must_not.extend(toks)
+        elif sign == "+":
+            q.must.extend(toks)
+        else:
+            q.score_terms.extend(toks)
+    return q
+
+
+def _docs_containing(
+    spark: SparkSession, index_dir: str, terms: list[str]
+) -> DataFrame:
+    """Constant-score union: distinct doc_ids containing ≥1 of ``terms``
+    — dts.wildcard.wildcard_match_docs over LITERAL patterns (its
+    expansion handles star-less atoms as exact dictionary lookups)."""
+    from dts.wildcard import wildcard_match_docs
+
+    pats = spark.createDataFrame(
+        [(0, t) for t in sorted(set(terms))], "wq_id long, pattern string"
+    )
+    return wildcard_match_docs(spark, index_dir, pats).select("doc_id")
+
+
+def _match_filter(
+    spark: SparkSession,
+    index_dir: str,
+    q: ParsedQuery,
+    scoring_terms: list[str],
+) -> DataFrame | None:
+    """Doc-id allow-list for the query's match constraints, or None when
+    unconstrained. Positive constraints (MUST terms, phrases) intersect;
+    negative ones (MUST_NOT terms, excluded phrases) subtract. A
+    negative-ONLY query anchors on the scoring terms' candidate union —
+    the exact set the scorer can reach — so "fast -slow" means
+    "docs matching fast, minus docs containing slow"."""
+    from dts.boolquery import boolean_match_docs
+    from dts.phrase import phrase_match_counts
+
+    allow: DataFrame | None = None
+
+    def _and(cur: DataFrame | None, new: DataFrame) -> DataFrame:
+        new = new.select("doc_id").distinct()
+        return new if cur is None else cur.join(new, "doc_id", "left_semi")
+
+    if q.must:
+        bq = spark.createDataFrame(
+            [(0, " ".join(q.must), " ".join(q.must_not))],
+            "bq_id long, must string, must_not string",
+        )
+        allow = _and(allow, boolean_match_docs(spark, index_dir, bq))
+    for ph in q.phrases:
+        pm = phrase_match_counts(
+            spark, index_dir,
+            spark.createDataFrame([(0, ph)], "phrase_id long, text string"),
+        )
+        allow = _and(allow, pm)
+
+    neg: DataFrame | None = None
+    if q.must_not and not q.must:  # with q.must the boolquery handled them
+        neg = _docs_containing(spark, index_dir, q.must_not)
+    for ph in q.not_phrases:
+        pm = phrase_match_counts(
+            spark, index_dir,
+            spark.createDataFrame([(0, ph)], "phrase_id long, text string"),
+        ).select("doc_id").distinct()
+        neg = pm if neg is None else neg.unionByName(pm).distinct()
+    if neg is not None:
+        if allow is None:
+            if not scoring_terms:
+                return neg.limit(0)  # nothing scores ⇒ nothing to rank
+            allow = _docs_containing(spark, index_dir, scoring_terms)
+        allow = allow.join(neg, "doc_id", "left_anti")
+    return allow
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    strategy: str = "taat",
+    distribute: str | None = None,
+    broadcast_filter: bool = True,
+) -> DataFrame:
+    """One-call ranked search for a Lucene-style query string. Returns the
+    engine-standard (query_id, doc_id, score, rank) with query_id = 0."""
+    from dts.score_index import (
+        DRIVER_EXPAND_VOCAB_CAP,
+        TOPK_SCHEMA,
+        _driver_vocab,
+        score_expanded_terms,
+    )
+    from dts.index_build import load_meta
+    from dts.wildcard import expand_wildcard_terms
+
+    q = parse_query(query)
+    rows: list[tuple[int, str]] = [(0, t) for t in q.score_terms + q.must]
+    if q.fuzzy:
+        meta = load_meta(index_dir)
+        if meta.get("vocab_size", 0) <= DRIVER_EXPAND_VOCAB_CAP:
+            from dts.fuzzy import expand_fuzzy_local
+
+            exp = expand_fuzzy_local(
+                sorted(set(q.fuzzy)), _driver_vocab(spark, index_dir, meta)
+            )
+            for t, kk in q.fuzzy:
+                rows.extend((0, et) for et in exp[(t, kk)])
+        else:
+            from dts.fuzzy import expand_fuzzy_terms
+            from dts.score_index import load_index
+
+            idx = load_index(spark, index_dir)
+            fz = spark.createDataFrame(
+                [(0, i, t, kk) for i, (t, kk) in enumerate(q.fuzzy)],
+                "query_id long, clause int, qterm string, fuzzy_k int",
+            )
+            rows.extend(
+                (0, r["term"])
+                for r in expand_fuzzy_terms(
+                    fz, idx["term_stats"].select("term"), idx.get("trigrams")
+                ).collect()
+            )
+    if q.wildcards:
+        wq = spark.createDataFrame(
+            list(enumerate(q.wildcards)), "wq_id long, pattern string"
+        )
+        rows.extend(
+            (0, r["term"])
+            for r in expand_wildcard_terms(spark, index_dir, wq)
+            .select("term")
+            .collect()
+        )
+    if not rows:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    qterms = spark.createDataFrame(rows, "query_id long, term string")
+    doc_filter = _match_filter(
+        spark, index_dir, q, scoring_terms=[t for _, t in rows]
+    )
+    return score_expanded_terms(
+        spark, index_dir, qterms, n_queries=1, k=k, strategy=strategy,
+        distribute=distribute, doc_filter=doc_filter,
+        broadcast_filter=broadcast_filter,
+    )

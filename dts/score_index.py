@@ -561,9 +561,13 @@ def score_expanded_terms(
     distribute: str | None = None,
     max_isin_terms: int = MAX_ISIN_TERMS,
     all_terms: list[str] | None = None,
+    doc_filter: DataFrame | None = None,
+    broadcast_filter: bool = True,
 ) -> DataFrame:
     """BM25 top-k for explicit (query_id, term) rows — the multi-term
-    rewrite entry point (wildcard/prefix expansion, external synonym sets).
+    rewrite entry point (wildcard/prefix expansion, external synonym sets,
+    the query-string parser). ``doc_filter``: allow-list filter context,
+    same contract as bm25_topk_indexed.
     Each ROW contributes its own idf·impact once, so the caller chooses
     multiplicity: text queries keep duplicate tokens, wildcard rewrites
     pass a distinct term set (Lucene's BooleanQuery rewrite semantics).
@@ -594,6 +598,7 @@ def score_expanded_terms(
     return _score_filtered(
         spark, idx["meta"], postings, stats, qterms, n_queries, k,
         strategy, distribute, index_dir,
+        doc_filter=doc_filter, broadcast_filter=broadcast_filter,
     )
 
 

@@ -1,0 +1,147 @@
+"""Query-string parser + one-call search: parse structure, and end-to-end
+rank identity vs compositions of the already-oracle-verified operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dts.index_build import build_index
+from dts.oracle import OracleIndex
+from dts.parser import parse_query, search
+from dts.tokenizer import tokenize_text
+
+
+def test_parse_query_structure():
+    q = parse_query('fast +join -slow "table scan" quer* fuzz~1 -"bad pair"')
+    assert q.score_terms == ["fast", "table", "scan"]
+    assert q.must == ["join"]
+    assert q.must_not == ["slow"]
+    assert q.phrases == ["table scan"]
+    assert q.not_phrases == ["bad pair"]
+    assert q.wildcards == ["quer*"]
+    assert q.fuzzy == [("fuzz", 1)]
+    # camelCase atoms split through the shared tokenizer
+    assert parse_query("+FastJoin").must == ["fast", "join"]
+    assert parse_query("").score_terms == []
+
+
+@pytest.fixture(scope="module")
+def p_index(spark, docs_sdf, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("p_index"))
+    build_index(spark, docs_sdf, d, bucket_size=64, block_size=16,
+                positions=True)
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_pd) -> OracleIndex:
+    return OracleIndex(
+        list(zip(corpus_pd["doc_id"].astype(int), corpus_pd["content"]))
+    )
+
+
+def _ranked(oracle, terms, eligible=None, k=10):
+    """Reference ranking: score the term multiset, keep eligible docs,
+    truncate — the parser's documented semantics."""
+    want = [
+        (d, s)
+        for _, d, s in oracle.score_terms(terms, topk=10**6)
+        if eligible is None or d in eligible
+    ]
+    return want[:k]
+
+
+def test_search_bare_equals_bm25(spark, p_index, corpus_pd, oracle):
+    from dts.score_index import bm25_topk_indexed
+
+    toks = tokenize_text(corpus_pd["content"].iloc[0])[:3]
+    text = " ".join(toks)
+    got = search(spark, p_index, text, k=10).toPandas().sort_values("rank")
+    ref = bm25_topk_indexed(
+        spark, p_index,
+        spark.createDataFrame([(0, text, 0)], "query_id long, text string, fuzzy_k int"),
+        k=10,
+    ).toPandas().sort_values("rank")
+    assert list(got["doc_id"]) == list(ref["doc_id"])
+    assert np.array_equal(got["score"].to_numpy(), ref["score"].to_numpy())
+
+
+def test_search_must_and_not(spark, p_index, corpus_pd, oracle):
+    toks0 = tokenize_text(corpus_pd["content"].iloc[0])
+    toks9 = tokenize_text(corpus_pd["content"].iloc[9])
+    t_score, t_must, t_not = toks0[0], toks0[1], toks9[0]
+    got = search(
+        spark, p_index, f"{t_score} +{t_must} -{t_not}", k=10
+    ).toPandas().sort_values("rank")
+    eligible = {
+        d
+        for d, txt in zip(corpus_pd["doc_id"].astype(int), corpus_pd["content"])
+        if t_must in tokenize_text(txt) and t_not not in tokenize_text(txt)
+    }
+    want = _ranked(oracle, [t_score, t_must], eligible)
+    assert list(got["doc_id"].astype(int)) == [d for d, _ in want]
+    assert np.array_equal(
+        got["score"].to_numpy(), np.array([s for _, s in want])
+    )
+
+
+def test_search_negative_only_anchors_on_candidates(
+    spark, p_index, corpus_pd, oracle
+):
+    toks0 = tokenize_text(corpus_pd["content"].iloc[0])
+    toks5 = tokenize_text(corpus_pd["content"].iloc[5])
+    t, t_not = toks0[0], toks5[0]
+    got = search(spark, p_index, f"{t} -{t_not}", k=10).toPandas()
+    eligible = {
+        d
+        for d, txt in zip(corpus_pd["doc_id"].astype(int), corpus_pd["content"])
+        if t_not not in tokenize_text(txt)
+    }
+    want = _ranked(oracle, [t], eligible)
+    got = got.sort_values("rank")
+    assert list(got["doc_id"].astype(int)) == [d for d, _ in want]
+
+
+def test_search_phrase_required_and_wildcard(spark, p_index, corpus_pd, oracle):
+    toks3 = tokenize_text(corpus_pd["content"].iloc[3])
+    phrase = f"{toks3[1]} {toks3[2]}"
+    got = search(spark, p_index, f'"{phrase}"', k=10).toPandas()
+    from dts.oracle import phrase_count
+
+    eligible = {
+        int(d)
+        for d, txt in zip(corpus_pd["doc_id"], corpus_pd["content"])
+        if phrase_count(txt, phrase.split(" ")) > 0
+    }
+    assert set(got["doc_id"].astype(int)) <= eligible
+    want = _ranked(oracle, phrase.split(" "), eligible)
+    got = got.sort_values("rank")
+    assert list(got["doc_id"].astype(int)) == [d for d, _ in want]
+
+    # wildcard: scores the expansion set (distinct terms)
+    prefix = toks3[0][:2]
+    got_w = search(spark, p_index, f"{prefix}*", k=10).toPandas().sort_values("rank")
+    exp_terms = sorted(oracle.wildcard_expand(f"{prefix}*"))
+    want_w = oracle.score_terms(exp_terms, topk=10)
+    assert list(got_w["doc_id"].astype(int)) == [d for _, d, _ in want_w]
+
+
+def test_search_fuzzy_and_empty(spark, p_index, corpus_pd, oracle):
+    toks = next(
+        ts
+        for ts in (
+            tokenize_text(t) for t in corpus_pd["content"].iloc[2:12]
+        )
+        if len(ts) >= 2
+    )
+    t = toks[0]
+    fz = (t[:-1] + "x") if len(t) > 3 else (t + "x")
+    got = search(spark, p_index, f"{fz}~1", k=10).toPandas()
+    exp = sorted(oracle.expand_term(fz, 1))
+    if exp:
+        want = oracle.score_terms(exp, topk=10)
+        got = got.sort_values("rank")
+        assert list(got["doc_id"].astype(int)) == [d for _, d, _ in want]
+    assert search(spark, p_index, "", k=10).count() == 0
+    assert search(spark, p_index, "-only negative? no:", k=10).count() == 0
