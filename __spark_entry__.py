@@ -745,6 +745,24 @@ def _q_boolean_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEARCH_QUERY = 'fast +join -slow "table scan"'
+MLT_SEEDS = [3, 57, 201]
+MLT_MAX_TERMS, MLT_MIN_DF = 25, 2
+
+
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 MoreLikeThis (dts.mlt): seed term vectors reconstructed
+    from the bucket-colocated postings, top-25 tf·idf terms (df ≥ 2,
+    round-9 tiebreak by term), disjunctive BM25 over the selection with
+    the seed excluded from its own results. Oracle: the same selection +
+    scoring in SQL."""
+    from dts.mlt import more_like_this
+
+    return _rerank6_top10(
+        more_like_this(
+            spark, _pos_index(spark, sf_dir), MLT_SEEDS, k=10**6,
+            max_terms=MLT_MAX_TERMS, min_df=MLT_MIN_DF,
+        )
+    )
 
 
 def _q_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1016,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_match": _q_boolean_match,
         "boolean_should": _q_boolean_should,
         "search_query": _q_search_query,
+        "more_like_this": _q_more_like_this,
         "wildcard_count": _q_wildcard_count,
         "regex_count": _q_regex_count,
         "sample_docs": _q_sample_docs,
@@ -1728,6 +1747,46 @@ SELECT 0::BIGINT AS query_id, doc_id, rank::INTEGER AS rank FROM (
   SELECT doc_id,
          row_number() OVER (ORDER BY score6 DESC, doc_id ASC) AS rank
   FROM scored WHERE doc_id IN (SELECT doc_id FROM eligible)
+) WHERE rank <= 10
+"""
+    # MoreLikeThis: tf·idf term selection per seed + seed-excluded BM25.
+    extra["more_like_this"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_D}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_D})::BIGINT AS dl FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+seeds(seed) AS (VALUES {", ".join(f"({s})" for s in MLT_SEEDS)}),
+sel AS (
+  SELECT seed, term FROM (
+    SELECT s.seed, tf.term,
+           row_number() OVER (PARTITION BY s.seed
+             ORDER BY round(tf.tf * ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)), 9) DESC,
+               tf.term ASC) AS r
+    FROM seeds s
+    JOIN tf ON tf.doc_id = s.seed
+    JOIN dfreq USING (term)
+    CROSS JOIN stats
+    WHERE dfreq.df >= {MLT_MIN_DF}
+  ) WHERE r <= {MLT_MAX_TERMS}
+),
+scored AS (
+  SELECT sel.seed AS query_id, tf.doc_id,
+         round(sum(
+           ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ), 6) AS score6
+  FROM sel JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
+  FROM scored WHERE doc_id <> query_id
 ) WHERE rank <= 10
 """
     # Filter context: FULL-corpus stats (unchanged scored CTE), non-member
