@@ -746,6 +746,20 @@ def _q_boolean_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEARCH_QUERY = 'fast +join -slow "table scan"'
 MLT_SEEDS = [3, 57, 201]
+SUGGEST_INPUTS = ["fastt", "joon", "tabel", "zzzznope"]
+
+
+def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 did-you-mean (dts.suggest): nearest vocabulary terms per
+    misspelled input, ranked (distance ASC, cf DESC, term ASC).
+    Candidates follow the engine's n-gram generation rule (shared
+    trigrams ≥ max(1, |tri|−3k), |len Δ| ≤ k — Lucene-spellchecker
+    shape); the oracle implements the same rule."""
+    from dts.suggest import suggest_terms
+
+    return suggest_terms(
+        spark, _pos_index(spark, sf_dir), SUGGEST_INPUTS, max_k=2, n=5
+    )
 MLT_MAX_TERMS, MLT_MIN_DF = 25, 2
 
 
@@ -1035,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_should": _q_boolean_should,
         "search_query": _q_search_query,
         "more_like_this": _q_more_like_this,
+        "suggest": _q_suggest,
         "wildcard_count": _q_wildcard_count,
         "regex_count": _q_regex_count,
         "sample_docs": _q_sample_docs,
@@ -1748,6 +1763,32 @@ SELECT 0::BIGINT AS query_id, doc_id, rank::INTEGER AS rank FROM (
          row_number() OVER (ORDER BY score6 DESC, doc_id ASC) AS rank
   FROM scored WHERE doc_id IN (SELECT doc_id FROM eligible)
 ) WHERE rank <= 10
+"""
+    # Did-you-mean: nearest vocab terms, (distance, cf DESC, term) ranking.
+    # Candidates use THE ENGINE'S generation rule (shared trigrams ≥
+    # max(1, |tri(q)|−3k) and |len Δ| ≤ k — the same sound-but-1-floored
+    # n-gram prefilter Lucene's spellchecker applies), not a full sweep:
+    # a dist-2 edit on a short term can destroy every trigram, and such
+    # candidates are by-design out of reach of term~k queries too.
+    extra["suggest"] = f"""
+WITH tok AS (SELECT unnest({_TOKS_D}) AS term FROM documents),
+stats AS (SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY 1),
+inp(input) AS (VALUES {", ".join(f"('{t}')" for t in SUGGEST_INPUTS)}),
+vt AS (SELECT term, cf, {_D_TRI.format(c="term")} AS tri FROM stats),
+qt AS (SELECT input, {_D_TRI.format(c="input")} AS tri FROM inp),
+cand AS (
+  SELECT input, term AS suggestion,
+         levenshtein(input, term)::INTEGER AS distance, cf
+  FROM vt CROSS JOIN qt
+  WHERE len(list_intersect(vt.tri, qt.tri)) >= greatest(1, len(qt.tri) - 6)
+    AND abs(length(term) - length(input)) <= 2
+    AND levenshtein(input, term) <= 2 AND term <> input
+)
+SELECT input, suggestion, distance, cf, rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY input ORDER BY distance ASC, cf DESC, suggestion ASC
+  ) AS rank FROM cand
+) WHERE rank <= 5
 """
     # MoreLikeThis: tf·idf term selection per seed + seed-excluded BM25.
     extra["more_like_this"] = f"""

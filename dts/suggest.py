@@ -1,0 +1,96 @@
+"""Did-you-mean term suggestions (Lucene's DirectSpellChecker shape).
+
+For a query term that matched nothing (or a UI spell-assist), rank the
+vocabulary's nearest terms by (edit distance ASC, collection frequency
+DESC, term ASC) — closest first, popular first among equals, alphabetic
+determinism last. Expansion reuses the engine's fuzzy machinery
+(trigram-prefiltered banded Levenshtein), so suggestions carry exactly
+the semantics fuzzy QUERIES use: a suggested term is precisely one a
+``term~k`` query would reach.
+
+Scale: candidate generation is the fuzzy path's (driver-local under the
+vocab cap, distributed trigram join beyond); the cf ranking is a
+broadcast join against term_stats. Input term lists are client-sized
+(spell-assist batches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SUGGEST_SCHEMA = "input string, suggestion string, distance int, cf long, rank int"
+
+
+def suggest_terms(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    max_k: int = 2,
+    n: int = 5,
+    include_exact: bool = False,
+) -> DataFrame:
+    """(input, suggestion, distance, cf, rank): up to ``n`` suggestions
+    per input term within edit distance ``max_k``. An input already in
+    the vocabulary suggests itself at distance 0 unless
+    ``include_exact=False`` (the spell-check default: correct words need
+    no correction, so they return no rows)."""
+    from dts.fuzzy import expand_fuzzy_local, expand_fuzzy_terms
+    from dts.index_build import load_meta
+    from dts.oracle import banded_levenshtein
+    from dts.score_index import (
+        DRIVER_EXPAND_VOCAB_CAP,
+        _driver_vocab,
+        load_index,
+    )
+
+    meta = load_meta(index_dir)
+    inputs = sorted({t.lower() for t in terms if t})
+    if not inputs:
+        return spark.createDataFrame([], SUGGEST_SCHEMA)
+    pairs: list[tuple[str, str, int]] = []  # (input, suggestion, dist)
+    if meta.get("vocab_size", 0) <= DRIVER_EXPAND_VOCAB_CAP:
+        vocab = _driver_vocab(spark, index_dir, meta)
+        exp = expand_fuzzy_local([(t, max_k) for t in inputs], vocab)
+        for t in inputs:
+            for cand in exp[(t, max_k)]:
+                if cand == t and not include_exact:
+                    continue
+                pairs.append(
+                    (t, cand, int(banded_levenshtein(t, cand, max_k)))
+                )
+    else:
+        idx = load_index(spark, index_dir)
+        fz = spark.createDataFrame(
+            [(i, 0, t, max_k) for i, t in enumerate(inputs)],
+            "query_id long, clause int, qterm string, fuzzy_k int",
+        )
+        rows = expand_fuzzy_terms(
+            fz, idx["term_stats"].select("term"), idx.get("trigrams")
+        ).collect()
+        by_id = dict(enumerate(inputs))
+        for r in rows:
+            t, cand = by_id[int(r["query_id"])], r["term"]
+            if cand == t and not include_exact:
+                continue
+            pairs.append((t, cand, int(banded_levenshtein(t, cand, max_k))))
+    if not pairs:
+        return spark.createDataFrame([], SUGGEST_SCHEMA)
+    cand_df = spark.createDataFrame(
+        pairs, "input string, suggestion string, distance int"
+    )
+    idx = load_index(spark, index_dir)
+    stats = idx["term_stats"].select(
+        F.col("term").alias("suggestion"), "cf"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("input").orderBy(
+        F.col("distance").asc(), F.col("cf").desc(), F.col("suggestion").asc()
+    )
+    return (
+        cand_df.join(stats, "suggestion")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("input", "suggestion", "distance", "cf", "rank")
+    )
