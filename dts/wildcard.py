@@ -393,6 +393,27 @@ def wildcard_match_counts(
     )
 
 
+def regex_match_docs(
+    spark: SparkSession,
+    index_dir: str,
+    patterns: DataFrame,
+    max_isin_terms: int = MAX_ISIN_TERMS,
+) -> DataFrame:
+    """(rq_id, doc_id): constant-score REGEX rewrite — documents
+    containing ≥1 term fullmatching each regex, no idf scoring. The same
+    wide-pattern answer as wildcard_match_docs (a two-char-prefix regex
+    expands to ~10³ terms at bench scale, where the scored rewrite pays
+    an idf·impact accumulation per term); shares the decode+union
+    machinery."""
+    expanded, terms = expand_regex_terms(spark, index_dir, patterns)
+    out = _match_docs_from_expansion(
+        spark, index_dir,
+        expanded.select(F.col("rq_id").alias("wq_id"), "term"),
+        terms, max_isin_terms,
+    )
+    return out.select(F.col("wq_id").alias("rq_id"), "doc_id")
+
+
 def wildcard_match_docs(
     spark: SparkSession,
     index_dir: str,
@@ -405,6 +426,21 @@ def wildcard_match_docs(
     idf·impact accumulations per query for a ranking the user often
     doesn't need. One decode + union per (pattern, bucket) group, exact
     and disjoint by bucket construction; tombstones anti-joined."""
+    expanded, terms = _expand(spark, index_dir, patterns)
+    return _match_docs_from_expansion(
+        spark, index_dir, expanded, terms, max_isin_terms
+    )
+
+
+def _match_docs_from_expansion(
+    spark: SparkSession,
+    index_dir: str,
+    expanded: DataFrame,
+    terms: list[str] | None,
+    max_isin_terms: int = MAX_ISIN_TERMS,
+) -> DataFrame:
+    """Shared constant-score tail: (wq_id, term) expansion → distinct
+    (wq_id, doc_id) via per-(query, bucket-shard) decode+union."""
     import numpy as np
     import pandas as pd
 
@@ -412,7 +448,6 @@ def wildcard_match_docs(
 
     idx = load_index(spark, index_dir)
     meta = idx["meta"]
-    expanded, terms = _expand(spark, index_dir, patterns)
     if terms is not None and not terms:
         return spark.createDataFrame([], "wq_id long, doc_id long")
     postings = idx["postings"]

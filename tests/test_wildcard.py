@@ -211,6 +211,25 @@ def test_regex_counts_and_topk_vs_oracle(spark, wc_index, oracle):
         ), p
 
 
+def test_regex_match_docs_vs_oracle(spark, wc_index, oracle):
+    import re as _re
+
+    from dts.wildcard import regex_match_docs
+
+    pats = spark.createDataFrame(
+        list(enumerate(REGEXES)), "rq_id long, pattern string"
+    )
+    got = regex_match_docs(spark, wc_index, pats).toPandas()
+    by_q = {int(i): set(g["doc_id"].astype(int)) for i, g in got.groupby("rq_id")}
+    for i, p in enumerate(REGEXES):
+        rx = _re.compile(p)
+        want = set()
+        for t in oracle.vocab:
+            if rx.fullmatch(t):
+                want |= set(oracle.tf[t])
+        assert by_q.get(i, set()) == want, p
+
+
 def test_match_docs_vs_oracle(spark, wc_index, oracle):
     from dts.wildcard import wildcard_match_docs
 
