@@ -15,6 +15,9 @@ Prints ONE JSON line: {"metric", "value" (total sec), "unit": "sec",
   boolean_batch20  20 MUST/MUST_NOT conjunctive queries — round 3
   wildcard_batch20 20 prefix-pattern BM25 rewrites (range expansion)
   snippet_batch8   8-pattern first-occurrence snippet scan
+  filtered_batch40 40 queries through a 1/3-corpus filter context — round 4
+  mlt_batch8       8-seed more-like-this (term vectors from postings)
+  suggest_batch8   8 misspelled inputs → did-you-mean ranking
   delete_compact   tombstone 1% of docs + compaction re-encode
 
 The N-vs-4N scaling evidence lives in scripts/scaling_bench.py → BENCH/.
@@ -187,6 +190,29 @@ def main() -> None:
     stage(
         "snippet_batch8",
         lambda: snippet_matches(docs, spat).count(),
+    )
+
+    # Round-4 stages: filter context, more-like-this, did-you-mean.
+    from dts.mlt import more_like_this
+    from dts.suggest import suggest_terms
+
+    flt = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    stage(
+        "filtered_batch40",
+        lambda: bm25_topk_indexed(
+            spark, idx_dir, queries.filter(F.col("query_id") < 40), k=10,
+            doc_filter=flt,
+        ).count(),
+    )
+    mlt_seeds = [int(100 * i + 7) for i in range(8)]
+    stage(
+        "mlt_batch8",
+        lambda: more_like_this(spark, idx_dir, mlt_seeds, k=10).count(),
+    )
+    sug = [vocab[i * 17 % len(vocab)][:-1] + "x" for i in range(8)]
+    stage(
+        "suggest_batch8",
+        lambda: suggest_terms(spark, idx_dir, sug, max_k=2, n=5).count(),
     )
 
     def _delete_compact() -> None:
