@@ -23,11 +23,12 @@ composes them into a single ranked query:
                      reversed dictionary)
 - ``-"a b"``       → excluded phrase
 
-Composition: the scoring side is ONE ``score_expanded_terms`` call over
-the union of all expansions; the matching side (MUST / MUST_NOT /
-phrases) resolves to a doc-id set via dts.boolquery / dts.phrase /
-constant-score unions and rides the round-4 FILTER CONTEXT
-(``doc_filter`` — allow-list masked before top-k, full-corpus stats).
+Composition: ONE scoring job. Term-level MUST/MUST_NOT algebra runs
+INSIDE the scorer (``mode='mixed'``: role-typed clause rows — required
+clauses intersect, excluded terms contribute only their doc sets), so a
+``a +b -c`` query costs exactly one Spark job; only quoted PHRASES add
+jobs (positional resolution via dts.phrase, riding the filter context —
+``doc_filter`` allow-list masked before top-k, full-corpus stats).
 
 Scale: every component inherits its operator's bounds (bucket-exact
 groups, IN-list caps, colocated filter join). The eligibility set of a
@@ -125,19 +126,16 @@ def _docs_containing(
     return wildcard_match_docs(spark, index_dir, pats).select("doc_id")
 
 
-def _match_filter(
+def _phrase_filter(
     spark: SparkSession,
     index_dir: str,
     q: ParsedQuery,
     scoring_terms: list[str],
 ) -> DataFrame | None:
-    """Doc-id allow-list for the query's match constraints, or None when
-    unconstrained. Positive constraints (MUST terms, phrases) intersect;
-    negative ones (MUST_NOT terms, excluded phrases) subtract. A
-    negative-ONLY query anchors on the scoring terms' candidate union —
-    the exact set the scorer can reach — so "fast -slow" means
-    "docs matching fast, minus docs containing slow"."""
-    from dts.boolquery import boolean_match_docs
+    """Doc-id allow-list for the query's PHRASE constraints only (term
+    MUST/MUST_NOT algebra runs inside the scoring job — mode='mixed').
+    Required phrases intersect; excluded phrases subtract, anchored on
+    the scoring terms' candidate union when no positive phrase exists."""
     from dts.phrase import phrase_match_counts
 
     allow: DataFrame | None = None
@@ -146,22 +144,13 @@ def _match_filter(
         new = new.select("doc_id").distinct()
         return new if cur is None else cur.join(new, "doc_id", "left_semi")
 
-    if q.must:
-        bq = spark.createDataFrame(
-            [(0, " ".join(q.must), " ".join(q.must_not))],
-            "bq_id long, must string, must_not string",
-        )
-        allow = _and(allow, boolean_match_docs(spark, index_dir, bq))
     for ph in q.phrases:
         pm = phrase_match_counts(
             spark, index_dir,
             spark.createDataFrame([(0, ph)], "phrase_id long, text string"),
         )
         allow = _and(allow, pm)
-
     neg: DataFrame | None = None
-    if q.must_not and not q.must:  # with q.must the boolquery handled them
-        neg = _docs_containing(spark, index_dir, q.must_not)
     for ph in q.not_phrases:
         pm = phrase_match_counts(
             spark, index_dir,
@@ -198,7 +187,15 @@ def search(
     from dts.wildcard import expand_wildcard_terms
 
     q = parse_query(query)
-    rows: list[tuple[int, str]] = [(0, t) for t in q.score_terms + q.must]
+    # (query_id, clause, role, term): role 1 = required+scores (one clause
+    # per +token — intersected in the scorer), 0 = optional scorer,
+    # 2 = excluded (joined for its doc set only). The whole MUST/MUST_NOT
+    # algebra runs INSIDE the single scoring job (mode='mixed').
+    rows: list[tuple[int, int, int, str]] = [
+        (0, -1, 0, t) for t in q.score_terms
+    ]
+    rows.extend((0, ci, 1, t) for ci, t in enumerate(q.must))
+    rows.extend((0, -2, 2, t) for t in sorted(set(q.must_not)))
     if q.fuzzy:
         meta = load_meta(index_dir)
         if meta.get("vocab_size", 0) <= DRIVER_EXPAND_VOCAB_CAP:
@@ -208,7 +205,7 @@ def search(
                 sorted(set(q.fuzzy)), _driver_vocab(spark, index_dir, meta)
             )
             for t, kk in q.fuzzy:
-                rows.extend((0, et) for et in exp[(t, kk)])
+                rows.extend((0, -1, 0, et) for et in exp[(t, kk)])
         else:
             from dts.fuzzy import expand_fuzzy_terms
             from dts.score_index import load_index
@@ -219,7 +216,7 @@ def search(
                 "query_id long, clause int, qterm string, fuzzy_k int",
             )
             rows.extend(
-                (0, r["term"])
+                (0, -1, 0, r["term"])
                 for r in expand_fuzzy_terms(
                     fz, idx["term_stats"].select("term"), idx.get("trigrams")
                 ).collect()
@@ -229,19 +226,23 @@ def search(
             list(enumerate(q.wildcards)), "wq_id long, pattern string"
         )
         rows.extend(
-            (0, r["term"])
+            (0, -1, 0, r["term"])
             for r in expand_wildcard_terms(spark, index_dir, wq)
             .select("term")
             .collect()
         )
-    if not rows:
+    if not any(role != 2 for _, _, role, _ in rows):
         return spark.createDataFrame([], TOPK_SCHEMA)
-    qterms = spark.createDataFrame(rows, "query_id long, term string")
-    doc_filter = _match_filter(
-        spark, index_dir, q, scoring_terms=[t for _, t in rows]
+    qterms = spark.createDataFrame(
+        rows, "query_id long, clause int, role int, term string"
+    )
+    doc_filter = _phrase_filter(
+        spark, index_dir, q,
+        scoring_terms=[t for _, _, role, t in rows if role != 2],
     )
     return score_expanded_terms(
         spark, index_dir, qterms, n_queries=1, k=k, strategy=strategy,
         distribute=distribute, doc_filter=doc_filter,
         broadcast_filter=broadcast_filter,
+        mode="mixed", m_map={0: len(q.must)},
     )

@@ -272,56 +272,111 @@ def _scorer_fn(
             ).astype({"query_id": "int64", "doc_id": "int64", "score": "float64", "rank": "int32"})
             if not docs_parts:
                 return empty
+            def _clause_sets(idxs_by_clause):
+                """Per-clause candidate doc sets (union of the clause's
+                rows). One-term clauses skip np.unique: their bucket rows
+                arrive in ascending (term, bucket) order over disjoint doc
+                ranges, so the concat is already sorted+unique."""
+                terms_arr = pdf["term"].to_numpy()
+                sets = []
+                for idxs in idxs_by_clause:
+                    rows_c = [docs_parts[i] for i in idxs]
+                    if len(rows_c) == 1:
+                        sets.append(rows_c[0])
+                    elif len(set(terms_arr[idxs])) == 1:
+                        sets.append(np.concatenate(rows_c))
+                    else:
+                        sets.append(np.unique(np.concatenate(rows_c)))
+                return sets
+
+            def _intersect(sets):
+                """Smallest-first intersection; searchsorted probe INTO the
+                larger sorted set — np.isin would re-sort the head clause's
+                10^5+-doc list every time. Returns None when empty."""
+                sets = sorted(sets, key=len)
+                cur = sets[0]
+                for cd in sets[1:]:
+                    if not len(cur):
+                        return None
+                    pos = np.minimum(np.searchsorted(cd, cur), len(cd) - 1)
+                    cur = cur[cd[pos] == cur]
+                return cur if len(cur) else None
+
+            def _accumulate_over(uniq_in, row_mask=None):
+                acc_l = np.zeros(len(uniq_in), dtype=np.float64)
+                for i, (d, c) in enumerate(zip(docs_parts, contrib_parts)):
+                    if row_mask is not None and not row_mask[i]:
+                        continue
+                    pos = np.searchsorted(uniq_in, d)
+                    pos_c = np.minimum(pos, len(uniq_in) - 1)
+                    valid = uniq_in[pos_c] == d
+                    acc_l[pos_c[valid]] += c[valid]
+                return acc_l
+
             if mode == "and":
                 # Conjunctive intersection-driven scoring (Lucene swaps
-                # algorithms for MUST-only queries): build the eligible
-                # set FIRST — per-clause candidate doc sets (union of the
-                # clause's fuzzy expansions), intersected smallest-first —
-                # then accumulate scores ONLY over survivors. A head-term
-                # clause costs a probe into the (small) intersection
-                # instead of a full accumulation over its posting list.
-                # Per-doc addition order is unchanged (ascending
-                # (term, bucket) row loop) ⇒ bit-identical scores.
+                # algorithms for MUST-only queries): eligible set FIRST,
+                # then accumulate only over survivors. Per-doc addition
+                # order unchanged ⇒ bit-identical scores.
                 m = m_map[query_id]
                 clause_vals = pdf["clause"].to_numpy()
                 uniq_cl = np.unique(clause_vals)
                 if len(uniq_cl) < m:
                     return empty  # a clause matched no index term
-                terms_arr = pdf["term"].to_numpy()
-                sets = []
-                for cl in uniq_cl:
-                    idxs = np.flatnonzero(clause_vals == cl)
-                    rows_c = [docs_parts[i] for i in idxs]
-                    if len(rows_c) == 1:
-                        sets.append(rows_c[0])
-                    elif len(set(terms_arr[idxs])) == 1:
-                        # One term across bucket rows: rows arrive in
-                        # ascending (term, bucket) order over disjoint doc
-                        # ranges, so the concat is already sorted+unique —
-                        # skip np.unique (head-clause n·log n).
-                        sets.append(np.concatenate(rows_c))
-                    else:
-                        sets.append(np.unique(np.concatenate(rows_c)))
-                sets.sort(key=len)
-                uniq = sets[0]
-                for cd in sets[1:]:
-                    if not len(uniq):
-                        return empty
-                    # searchsorted probe INTO the larger sorted set:
-                    # O(|small| log |large|) — np.isin would re-sort the
-                    # head clause's 10^5+-doc list on every intersection.
-                    pos = np.minimum(
-                        np.searchsorted(cd, uniq), len(cd) - 1
+                sets = _clause_sets(
+                    [np.flatnonzero(clause_vals == cl) for cl in uniq_cl]
+                )
+                uniq = _intersect(sets)
+                if uniq is None:
+                    return empty
+                acc = _accumulate_over(uniq)
+            elif mode == "mixed":
+                # Role-typed clauses (the query-string parser, round 4):
+                # role 1 = REQUIRED and scores (clause = one +term; all
+                # required clauses intersect), role 0 = optional scorer,
+                # role 2 = EXCLUDED (joined only for its doc set, never
+                # scores). m_map = required clause count per query — a
+                # required clause absent from the index kills the query.
+                role_vals = pdf["role"].to_numpy()
+                clause_vals = pdf["clause"].to_numpy()
+                m = m_map[query_id]
+                req_cl = np.unique(clause_vals[role_vals == 1])
+                if len(req_cl) < m:
+                    return empty
+                neg_idx = np.flatnonzero(role_vals == 2)
+                nd = (
+                    np.unique(
+                        np.concatenate([docs_parts[i] for i in neg_idx])
                     )
-                    uniq = uniq[cd[pos] == uniq]
+                    if len(neg_idx)
+                    else None
+                )
+                score_mask = role_vals != 2
+                if m > 0:
+                    sets = _clause_sets(
+                        [
+                            np.flatnonzero(
+                                (clause_vals == cl) & (role_vals == 1)
+                            )
+                            for cl in req_cl
+                        ]
+                    )
+                    uniq = _intersect(sets)
+                    if uniq is None:
+                        return empty
+                else:
+                    score_rows = [
+                        docs_parts[i] for i in np.flatnonzero(score_mask)
+                    ]
+                    if not score_rows:
+                        return empty
+                    uniq = np.unique(np.concatenate(score_rows))
+                if nd is not None:
+                    pos = np.minimum(np.searchsorted(nd, uniq), len(nd) - 1)
+                    uniq = uniq[nd[pos] != uniq]
                 if not len(uniq):
                     return empty
-                acc = np.zeros(len(uniq), dtype=np.float64)
-                for d, c in zip(docs_parts, contrib_parts):
-                    pos = np.searchsorted(uniq, d)
-                    pos_c = np.minimum(pos, len(uniq) - 1)
-                    valid = uniq[pos_c] == d
-                    acc[pos_c[valid]] += c[valid]
+                acc = _accumulate_over(uniq, row_mask=score_mask)
             else:
                 uniq = np.unique(np.concatenate(docs_parts))
                 acc = np.zeros(len(uniq), dtype=np.float64)
@@ -563,11 +618,18 @@ def score_expanded_terms(
     all_terms: list[str] | None = None,
     doc_filter: DataFrame | None = None,
     broadcast_filter: bool = True,
+    mode: str = "or",
+    m_map: dict[int, int] | None = None,
 ) -> DataFrame:
     """BM25 top-k for explicit (query_id, term) rows — the multi-term
     rewrite entry point (wildcard/prefix expansion, external synonym sets,
     the query-string parser). ``doc_filter``: allow-list filter context,
-    same contract as bm25_topk_indexed.
+    same contract as bm25_topk_indexed. ``mode='mixed'`` (parser path):
+    ``qterms`` additionally carries ``clause`` and ``role`` columns
+    (1 = required+scores, 0 = optional scorer, 2 = excluded — joined only
+    for its doc set) and ``m_map`` gives each query's required clause
+    count; the whole MUST/MUST_NOT algebra then runs INSIDE the one
+    scoring job instead of a separate boolean-match job.
     Each ROW contributes its own idf·impact once, so the caller chooses
     multiplicity: text queries keep duplicate tokens, wildcard rewrites
     pass a distinct term set (Lucene's BooleanQuery rewrite semantics).
@@ -595,9 +657,11 @@ def score_expanded_terms(
         )
     if postings is None:
         return spark.createDataFrame([], TOPK_SCHEMA)
+    if mode == "mixed" and strategy != "taat":
+        raise ValueError("mode='mixed' requires strategy='taat'")
     return _score_filtered(
         spark, idx["meta"], postings, stats, qterms, n_queries, k,
-        strategy, distribute, index_dir,
+        strategy, distribute, index_dir, mode, m_map,
         doc_filter=doc_filter, broadcast_filter=broadcast_filter,
     )
 
