@@ -43,6 +43,7 @@ import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dts.tokenizer import tokenize_text
 
@@ -166,6 +167,115 @@ def _phrase_filter(
     return allow
 
 
+def search_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[str],
+    k: int = 10,
+    strategy: str = "taat",
+    distribute: str | None = None,
+    broadcast_filter: bool = True,
+) -> DataFrame:
+    """Batched ranked search: query_id = position in ``queries``. All
+    PHRASE-free queries fuse into ONE scoring job (their role-typed
+    clause rows share a single qterms table and per-query m_map); queries
+    with quoted phrases fall back to per-query composition (their filter
+    contexts are per-query doc sets) and union in. The throughput path
+    for dashboards/batch evaluation — 8 ``a +b -c`` strings cost one
+    Spark job instead of eight."""
+    from dts.score_index import TOPK_SCHEMA, score_expanded_terms
+
+    fused_rows: list[tuple[int, int, int, str]] = []
+    m_map: dict[int, int] = {}
+    out_parts: list[DataFrame] = []
+    for qid, text in enumerate(queries):
+        q = parse_query(text)
+        if q.phrases or q.not_phrases:
+            part = search(
+                spark, index_dir, text, k=k, strategy=strategy,
+                distribute=distribute, broadcast_filter=broadcast_filter,
+            ).withColumn("query_id", F.lit(qid).cast("long")).select(
+                "query_id", "doc_id", "score", "rank"
+            )
+            out_parts.append(part)
+            continue
+        rows = _clause_rows(spark, index_dir, q, qid)
+        if not any(role != 2 for _, _, role, _ in rows):
+            continue
+        fused_rows.extend(rows)
+        m_map[qid] = len(q.must)
+    if fused_rows:
+        qterms = spark.createDataFrame(
+            fused_rows, "query_id long, clause int, role int, term string"
+        )
+        out_parts.append(
+            score_expanded_terms(
+                spark, index_dir, qterms, n_queries=len(m_map), k=k,
+                strategy=strategy, distribute=distribute,
+                mode="mixed", m_map=m_map,
+            )
+        )
+    if not out_parts:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _clause_rows(
+    spark: SparkSession, index_dir: str, q: ParsedQuery, qid: int
+) -> list[tuple[int, int, int, str]]:
+    """Role-typed clause rows for one parsed query (shared by search and
+    search_batch): bare/fuzzy/wildcard expansions role 0, +tokens role 1
+    (one clause each), -tokens role 2."""
+    from dts.score_index import DRIVER_EXPAND_VOCAB_CAP, _driver_vocab
+    from dts.index_build import load_meta
+    from dts.wildcard import expand_wildcard_terms
+
+    rows: list[tuple[int, int, int, str]] = [
+        (qid, -1, 0, t) for t in q.score_terms
+    ]
+    rows.extend((qid, ci, 1, t) for ci, t in enumerate(q.must))
+    rows.extend((qid, -2, 2, t) for t in sorted(set(q.must_not)))
+    if q.fuzzy:
+        meta = load_meta(index_dir)
+        if meta.get("vocab_size", 0) <= DRIVER_EXPAND_VOCAB_CAP:
+            from dts.fuzzy import expand_fuzzy_local
+
+            exp = expand_fuzzy_local(
+                sorted(set(q.fuzzy)), _driver_vocab(spark, index_dir, meta)
+            )
+            for t, kk in q.fuzzy:
+                rows.extend((qid, -1, 0, et) for et in exp[(t, kk)])
+        else:
+            from dts.fuzzy import expand_fuzzy_terms
+            from dts.score_index import load_index
+
+            idx = load_index(spark, index_dir)
+            fz = spark.createDataFrame(
+                [(0, i, t, kk) for i, (t, kk) in enumerate(q.fuzzy)],
+                "query_id long, clause int, qterm string, fuzzy_k int",
+            )
+            rows.extend(
+                (qid, -1, 0, r["term"])
+                for r in expand_fuzzy_terms(
+                    fz, idx["term_stats"].select("term"), idx.get("trigrams")
+                ).collect()
+            )
+    if q.wildcards:
+        wq = spark.createDataFrame(
+            list(enumerate(q.wildcards)), "wq_id long, pattern string"
+        )
+        rows.extend(
+            (qid, -1, 0, r["term"])
+            for r in expand_wildcard_terms(spark, index_dir, wq)
+            .select("term")
+            .collect()
+        )
+    return rows
+
+
 def search(
     spark: SparkSession,
     index_dir: str,
@@ -177,60 +287,10 @@ def search(
 ) -> DataFrame:
     """One-call ranked search for a Lucene-style query string. Returns the
     engine-standard (query_id, doc_id, score, rank) with query_id = 0."""
-    from dts.score_index import (
-        DRIVER_EXPAND_VOCAB_CAP,
-        TOPK_SCHEMA,
-        _driver_vocab,
-        score_expanded_terms,
-    )
-    from dts.index_build import load_meta
-    from dts.wildcard import expand_wildcard_terms
+    from dts.score_index import TOPK_SCHEMA, score_expanded_terms
 
     q = parse_query(query)
-    # (query_id, clause, role, term): role 1 = required+scores (one clause
-    # per +token — intersected in the scorer), 0 = optional scorer,
-    # 2 = excluded (joined for its doc set only). The whole MUST/MUST_NOT
-    # algebra runs INSIDE the single scoring job (mode='mixed').
-    rows: list[tuple[int, int, int, str]] = [
-        (0, -1, 0, t) for t in q.score_terms
-    ]
-    rows.extend((0, ci, 1, t) for ci, t in enumerate(q.must))
-    rows.extend((0, -2, 2, t) for t in sorted(set(q.must_not)))
-    if q.fuzzy:
-        meta = load_meta(index_dir)
-        if meta.get("vocab_size", 0) <= DRIVER_EXPAND_VOCAB_CAP:
-            from dts.fuzzy import expand_fuzzy_local
-
-            exp = expand_fuzzy_local(
-                sorted(set(q.fuzzy)), _driver_vocab(spark, index_dir, meta)
-            )
-            for t, kk in q.fuzzy:
-                rows.extend((0, -1, 0, et) for et in exp[(t, kk)])
-        else:
-            from dts.fuzzy import expand_fuzzy_terms
-            from dts.score_index import load_index
-
-            idx = load_index(spark, index_dir)
-            fz = spark.createDataFrame(
-                [(0, i, t, kk) for i, (t, kk) in enumerate(q.fuzzy)],
-                "query_id long, clause int, qterm string, fuzzy_k int",
-            )
-            rows.extend(
-                (0, -1, 0, r["term"])
-                for r in expand_fuzzy_terms(
-                    fz, idx["term_stats"].select("term"), idx.get("trigrams")
-                ).collect()
-            )
-    if q.wildcards:
-        wq = spark.createDataFrame(
-            list(enumerate(q.wildcards)), "wq_id long, pattern string"
-        )
-        rows.extend(
-            (0, -1, 0, r["term"])
-            for r in expand_wildcard_terms(spark, index_dir, wq)
-            .select("term")
-            .collect()
-        )
+    rows = _clause_rows(spark, index_dir, q, 0)
     if not any(role != 2 for _, _, role, _ in rows):
         return spark.createDataFrame([], TOPK_SCHEMA)
     qterms = spark.createDataFrame(

@@ -127,6 +127,44 @@ def test_search_phrase_required_and_wildcard(spark, p_index, corpus_pd, oracle):
     assert list(got_w["doc_id"].astype(int)) == [d for _, d, _ in want_w]
 
 
+def test_search_batch_equals_per_query(spark, p_index, corpus_pd):
+    """search_batch fuses phrase-free queries into one job and must equal
+    per-query search row-for-row; phrase queries fall back and union in."""
+    from dts.parser import search_batch
+
+    toks0 = tokenize_text(corpus_pd["content"].iloc[0])
+    toks3 = tokenize_text(corpus_pd["content"].iloc[3])
+    toks9 = tokenize_text(corpus_pd["content"].iloc[9])
+    qs = [
+        f"{toks0[0]} {toks0[1]}",
+        f"{toks0[0]} +{toks0[1]} -{toks9[0]}",
+        f"+{toks3[0]}",
+        f'{toks0[0]} "{toks3[1]} {toks3[2]}"',   # phrase → fallback leg
+        "zzzznothing",
+    ]
+    batch = (
+        search_batch(spark, p_index, qs, k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    singles = []
+    for i, s in enumerate(qs):
+        one = search(spark, p_index, s, k=10).toPandas()
+        one["query_id"] = i
+        singles.append(one)
+    want = (
+        pd.concat(singles, ignore_index=True)
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    cols = ["query_id", "doc_id", "rank"]
+    assert batch[cols].values.tolist() == want[cols].values.tolist()
+    assert np.allclose(batch["score"], want["score"], rtol=0, atol=0)
+
+
 def test_search_fuzzy_and_empty(spark, p_index, corpus_pd, oracle):
     toks = next(
         ts
