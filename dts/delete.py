@@ -149,6 +149,21 @@ def delete_docs(
     rejected (skippable with ``validate=False`` for bulk pipelines that
     guarantee liveness themselves). Returns updated meta."""
     meta = load_meta(index_dir)
+    # Read-repair a mid-swap crash FIRST: if a previous call died between
+    # rmtree(deletes/) and os.replace, only deletes_new/ exists — and it
+    # holds the FULL union, so promoting it is exactly the rename the
+    # crashed call was about to do. Without this, the union below would
+    # read deletes_new/ and then try to overwrite that same path, which
+    # Spark rejects ("Cannot overwrite a path that is also being read
+    # from") — blocking all tombstone appends until a compact.
+    if not _nonempty_dir(f"{index_dir}/deletes") and _nonempty_dir(
+        f"{index_dir}/deletes_new"
+    ):
+        import shutil
+
+        if os.path.isdir(f"{index_dir}/deletes"):
+            shutil.rmtree(f"{index_dir}/deletes")
+        os.replace(f"{index_dir}/deletes_new", f"{index_dir}/deletes")
     if isinstance(doc_ids, DataFrame):
         ids = doc_ids.select(F.col("doc_id").cast("long")).distinct()
     else:

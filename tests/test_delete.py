@@ -261,6 +261,31 @@ def test_stale_meta_never_resurrects_deletes(spark, del_index, corpus_pd):
     assert not set(pm["doc_id"].astype(int)) & DELETED
 
 
+def test_delete_append_survives_midswap_crash(spark, docs_sdf, tmp_path):
+    """Round-5 ADVICE (medium): a crash between rmtree(deletes/) and
+    os.replace leaves ONLY deletes_new/. The next delete_docs must
+    read-repair (promote deletes_new -> deletes) before unioning — without
+    it, Spark rejects overwriting the path it is reading and tombstone
+    appends stay blocked until a compact."""
+    import os
+
+    d = str(tmp_path / "didx_crash")
+    build_index(spark, docs_sdf, d, bucket_size=64, block_size=16)
+    delete_docs(spark, d, [1, 2, 3])
+    # Simulate the crash window: committed store gone, pending store
+    # (which holds the full union) left behind.
+    os.replace(f"{d}/deletes", f"{d}/deletes_new")
+    assert has_deletes(d)  # fallback read still sees the tombstones
+    meta = delete_docs(spark, d, [7, 8])  # must NOT raise
+    assert meta["n_deleted"] == 5
+    assert os.path.isdir(f"{d}/deletes")
+    assert not os.path.isdir(f"{d}/deletes_new")
+    from dts.delete import deletes_df
+
+    got = sorted(r["doc_id"] for r in deletes_df(spark, d).collect())
+    assert got == [1, 2, 3, 7, 8]
+
+
 def test_meta_revision_monotonic(spark, docs_sdf, tmp_path):
     """Every mutation bumps meta.revision (cache keys depend on it — the
     1s-mtime-granularity race from round-4 ADVICE)."""
