@@ -167,6 +167,100 @@ def test_ivf_topk_exact_when_probing_all_cells(spark):
         assert q in approx_sets[q]  # the query's own vector is in its cell
 
 
+def test_ivf_assignment_matches_window_spec_and_plan(spark):
+    """Round-5 verdict #1: assignment is a map-side pandas-UDF matmul
+    argmax — it must (a) equal the SQL-window spec the probe oracle pins
+    (round-6 cosine desc, c_id asc tie-break) bit-for-bit on seeded data,
+    and (b) produce a plan with NO Window / row_number over the
+    n_vectors × n_centroids expansion."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dts.similarity import _ivf_centroids, ivf_assign_udf
+
+    rng = np.random.RandomState(33)
+    vecs = rng.standard_normal((150, 16)).astype(np.float64)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(150)],
+        "vec_id long, embedding array<float>",
+    )
+    e = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    cents = _ivf_centroids(e, 12, "ivf")
+    rows = cents.collect()
+    cent_ids = np.array([r["c_id"] for r in rows], dtype=np.int64)
+    cent_mat = np.array([r["c"] for r in rows], dtype=np.float64)
+
+    assigned = e.withColumn("c_id", ivf_assign_udf(cent_ids, cent_mat)(F.col("v")))
+    plan = assigned._sc._jvm.PythonSQLUtils.explainString(
+        assigned._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan and "Exchange" not in plan, plan
+
+    # The old (round-4) window spec, inline — the semantics the oracle pins.
+    dot_vc = F.expr("aggregate(zip_with(v, c, (a, b) -> a * b), cast(0.0 as double), (acc, z) -> acc + z)")
+    nv = F.expr("sqrt(aggregate(transform(v, a -> a * a), cast(0.0 as double), (acc, z) -> acc + z))")
+    nc = F.expr("sqrt(aggregate(transform(c, a -> a * a), cast(0.0 as double), (acc, z) -> acc + z))")
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("c_id").asc())
+    old = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "c_id", F.round(dot_vc / (nv * nc), 6).alias("ccos"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "c_id")
+    )
+    got = {r["vec_id"]: r["c_id"] for r in assigned.select("vec_id", "c_id").collect()}
+    want = {r["vec_id"]: r["c_id"] for r in old.collect()}
+    assert got == want
+
+
+def test_ivf_lloyd_refinement_recall(spark):
+    """Round-5 verdict #7: 2 Lloyd sweeps from the md5-sampled init must
+    beat (or match) the raw init's recall at equal nprobe on clustered
+    data, and remain exact when probing all cells."""
+    from dts.similarity import ivf_topk
+
+    rng = np.random.RandomState(77)
+    centers = rng.standard_normal((24, 16))
+    vecs = np.repeat(centers, 12, axis=0) + 0.1 * rng.standard_normal((288, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(288)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i * 7]]) for i in range(6)],
+        "q_id long, qvec array<double>",
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.q_id, set()).add(r.vec_id)
+
+    def recall(rows):
+        sets = {}
+        for r in rows:
+            sets.setdefault(r.q_id, set()).add(r.vec_id)
+        return np.mean([
+            len(exact_sets[q] & sets.get(q, set())) / len(exact_sets[q])
+            for q in exact_sets
+        ])
+
+    r_init = recall(ivf_topk(emb, queries, k=10, n_centroids=24, nprobe=3).collect())
+    r_lloyd = recall(
+        ivf_topk(emb, queries, k=10, n_centroids=24, nprobe=3, lloyd_iters=2).collect()
+    )
+    assert r_lloyd >= r_init, (r_lloyd, r_init)
+    assert r_lloyd >= 0.8, r_lloyd
+
+    # probing every cell stays exact regardless of refinement
+    full = ivf_topk(
+        emb, queries, k=10, n_centroids=8, nprobe=8, lloyd_iters=2
+    ).collect()
+    key = lambda rows: sorted((r.q_id, r.rank, r.vec_id, r.cos6) for r in rows)  # noqa: E731
+    assert key(full) == key(exact)
+
+
 def test_lsh_topk_recall(spark):
     # Clustered embeddings (30 centers × 10 members) — the workload LSH
     # exists for; pure-random gaussians have no neighbor structure and any
