@@ -58,7 +58,11 @@ _ELEMENT = re.compile(
 
 @dataclass
 class ParsedQuery:
-    """Structured form of one query string."""
+    """Structured form of one query string. Signed fuzzy/wildcard atoms
+    keep their modifier semantics (round-5 ADVICE — previously ``-quer*``
+    silently excluded the literal term 'quer' and ``+fuzz~1`` lost its
+    MUST): a required fuzzy/wildcard is ONE clause satisfied by any of
+    its expansions; a negated one excludes every expanded term."""
 
     score_terms: list[str] = field(default_factory=list)   # plain scoring
     fuzzy: list[tuple[str, int]] = field(default_factory=list)
@@ -67,11 +71,22 @@ class ParsedQuery:
     must_not: list[str] = field(default_factory=list)
     phrases: list[str] = field(default_factory=list)       # required
     not_phrases: list[str] = field(default_factory=list)
+    must_fuzzy: list[tuple[str, int]] = field(default_factory=list)
+    not_fuzzy: list[tuple[str, int]] = field(default_factory=list)
+    must_wildcards: list[str] = field(default_factory=list)
+    not_wildcards: list[str] = field(default_factory=list)
+
+    @property
+    def n_required(self) -> int:
+        """Required clause count (the scorer's m_map target)."""
+        return len(self.must) + len(self.must_fuzzy) + len(self.must_wildcards)
 
     @property
     def has_match_constraints(self) -> bool:
         return bool(
             self.must or self.must_not or self.phrases or self.not_phrases
+            or self.must_fuzzy or self.not_fuzzy
+            or self.must_wildcards or self.not_wildcards
         )
 
 
@@ -94,14 +109,21 @@ def parse_query(text: str) -> ParsedQuery:
                 q.score_terms.extend(toks)
             continue
         fm = re.fullmatch(r"(?P<t>[^~\s]+)~(?P<k>\d+)", atom)
-        if fm and sign != "-":
+        if fm:
+            kk = int(fm.group("k"))
+            dest = {
+                "": q.fuzzy, "+": q.must_fuzzy, "-": q.not_fuzzy,
+            }[sign]
             for t in tokenize_text(fm.group("t")):
-                q.fuzzy.append((t, int(fm.group("k"))))
+                dest.append((t, kk))
             continue
-        if "*" in atom and sign != "-":
+        if "*" in atom:
             pat = atom.lower()
             if set(pat) - {"*"}:
-                q.wildcards.append(pat)
+                {
+                    "": q.wildcards, "+": q.must_wildcards,
+                    "-": q.not_wildcards,
+                }[sign].append(pat)
             continue
         toks = tokenize_text(atom)
         if sign == "-":
@@ -175,6 +197,7 @@ def search_batch(
     strategy: str = "taat",
     distribute: str | None = None,
     broadcast_filter: bool = True,
+    max_clauses: int | None = None,
 ) -> DataFrame:
     """Batched ranked search: query_id = position in ``queries``. All
     PHRASE-free queries fuse into ONE scoring job (their role-typed
@@ -194,16 +217,17 @@ def search_batch(
             part = search(
                 spark, index_dir, text, k=k, strategy=strategy,
                 distribute=distribute, broadcast_filter=broadcast_filter,
+                max_clauses=max_clauses,
             ).withColumn("query_id", F.lit(qid).cast("long")).select(
                 "query_id", "doc_id", "score", "rank"
             )
             out_parts.append(part)
             continue
-        rows = _clause_rows(spark, index_dir, q, qid)
+        rows = _clause_rows(spark, index_dir, q, qid, max_clauses)
         if not any(role != 2 for _, _, role, _ in rows):
             continue
         fused_rows.extend(rows)
-        m_map[qid] = len(q.must)
+        m_map[qid] = q.n_required
     if fused_rows:
         qterms = spark.createDataFrame(
             fused_rows, "query_id long, clause int, role int, term string"
@@ -223,56 +247,111 @@ def search_batch(
     return out
 
 
+def _expand_fuzzy_pairs(
+    spark: SparkSession, index_dir: str, pairs: list[tuple[str, int]]
+) -> dict[tuple[str, int], list[str]]:
+    """(term, k) → matched vocabulary terms, driver path when the vocab
+    fits the cap, one distributed expansion otherwise."""
+    from dts.index_build import load_meta
+    from dts.score_index import DRIVER_EXPAND_VOCAB_CAP, _driver_vocab
+
+    uniq = sorted(set(pairs))
+    if not uniq:
+        return {}
+    meta = load_meta(index_dir)
+    if meta.get("vocab_size", 0) <= DRIVER_EXPAND_VOCAB_CAP:
+        from dts.fuzzy import expand_fuzzy_local
+
+        return expand_fuzzy_local(uniq, _driver_vocab(spark, index_dir, meta))
+    from dts.fuzzy import expand_fuzzy_terms
+    from dts.score_index import load_index
+
+    idx = load_index(spark, index_dir)
+    fz = spark.createDataFrame(
+        [(i, 0, t, kk) for i, (t, kk) in enumerate(uniq)],
+        "query_id long, clause int, qterm string, fuzzy_k int",
+    )
+    out: dict[tuple[str, int], list[str]] = {p: [] for p in uniq}
+    for r in expand_fuzzy_terms(
+        fz, idx["term_stats"].select("term"), idx.get("trigrams")
+    ).collect():
+        out[uniq[int(r["query_id"])]].append(r["term"])
+    return out
+
+
+def _expand_wildcard_pats(
+    spark: SparkSession, index_dir: str, pats: list[str], max_clauses: int
+) -> dict[str, list[str]]:
+    """pattern → matched vocabulary terms, ONE expansion call for all of a
+    query's patterns. A pattern expanding wider than ``max_clauses``
+    raises TooManyClauses — inside a composed boolean query there is no
+    constant-score fallback to switch to (Lucene's QueryParser throws the
+    same way)."""
+    from dts.wildcard import TooManyClauses, expand_wildcard_terms
+
+    uniq = sorted(set(pats))
+    if not uniq:
+        return {}
+    wq = spark.createDataFrame(
+        list(enumerate(uniq)), "wq_id long, pattern string"
+    )
+    out: dict[str, list[str]] = {p: [] for p in uniq}
+    for r in expand_wildcard_terms(spark, index_dir, wq).collect():
+        out[uniq[int(r["wq_id"])]].append(r["term"])
+    over = {p: len(ts) for p, ts in out.items() if len(ts) > max_clauses}
+    if over:
+        raise TooManyClauses(
+            f"wildcard expansion exceeds max_clauses={max_clauses} inside "
+            f"a query string for patterns {over}; narrow the pattern, "
+            "raise max_clauses, or use wildcard_match_docs"
+        )
+    return out
+
+
 def _clause_rows(
-    spark: SparkSession, index_dir: str, q: ParsedQuery, qid: int
+    spark: SparkSession,
+    index_dir: str,
+    q: ParsedQuery,
+    qid: int,
+    max_clauses: int | None = None,
 ) -> list[tuple[int, int, int, str]]:
     """Role-typed clause rows for one parsed query (shared by search and
-    search_batch): bare/fuzzy/wildcard expansions role 0, +tokens role 1
-    (one clause each), -tokens role 2."""
-    from dts.score_index import DRIVER_EXPAND_VOCAB_CAP, _driver_vocab
-    from dts.index_build import load_meta
-    from dts.wildcard import expand_wildcard_terms
+    search_batch): bare atoms and OPTIONAL fuzzy/wildcard expansions are
+    role 0; ``+`` atoms are role 1 (one clause each — a required
+    fuzzy/wildcard is ONE clause satisfied by any of its expansions);
+    ``-`` atoms are role 2 (negated fuzzy/wildcards exclude every
+    expansion). Required-clause count = q.n_required (m_map)."""
+    from dts.wildcard import MAX_CLAUSES
 
+    if max_clauses is None:
+        max_clauses = MAX_CLAUSES
     rows: list[tuple[int, int, int, str]] = [
         (qid, -1, 0, t) for t in q.score_terms
     ]
     rows.extend((qid, ci, 1, t) for ci, t in enumerate(q.must))
     rows.extend((qid, -2, 2, t) for t in sorted(set(q.must_not)))
-    if q.fuzzy:
-        meta = load_meta(index_dir)
-        if meta.get("vocab_size", 0) <= DRIVER_EXPAND_VOCAB_CAP:
-            from dts.fuzzy import expand_fuzzy_local
-
-            exp = expand_fuzzy_local(
-                sorted(set(q.fuzzy)), _driver_vocab(spark, index_dir, meta)
-            )
-            for t, kk in q.fuzzy:
-                rows.extend((qid, -1, 0, et) for et in exp[(t, kk)])
-        else:
-            from dts.fuzzy import expand_fuzzy_terms
-            from dts.score_index import load_index
-
-            idx = load_index(spark, index_dir)
-            fz = spark.createDataFrame(
-                [(0, i, t, kk) for i, (t, kk) in enumerate(q.fuzzy)],
-                "query_id long, clause int, qterm string, fuzzy_k int",
-            )
-            rows.extend(
-                (qid, -1, 0, r["term"])
-                for r in expand_fuzzy_terms(
-                    fz, idx["term_stats"].select("term"), idx.get("trigrams")
-                ).collect()
-            )
-    if q.wildcards:
-        wq = spark.createDataFrame(
-            list(enumerate(q.wildcards)), "wq_id long, pattern string"
-        )
-        rows.extend(
-            (qid, -1, 0, r["term"])
-            for r in expand_wildcard_terms(spark, index_dir, wq)
-            .select("term")
-            .collect()
-        )
+    fuzzy_exp = _expand_fuzzy_pairs(
+        spark, index_dir, q.fuzzy + q.must_fuzzy + q.not_fuzzy
+    )
+    for t, kk in q.fuzzy:
+        rows.extend((qid, -1, 0, et) for et in fuzzy_exp[(t, kk)])
+    next_clause = len(q.must)
+    for t, kk in q.must_fuzzy:
+        rows.extend((qid, next_clause, 1, et) for et in fuzzy_exp[(t, kk)])
+        next_clause += 1
+    for t, kk in q.not_fuzzy:
+        rows.extend((qid, -2, 2, et) for et in sorted(set(fuzzy_exp[(t, kk)])))
+    wild_exp = _expand_wildcard_pats(
+        spark, index_dir,
+        q.wildcards + q.must_wildcards + q.not_wildcards, max_clauses,
+    )
+    for pat in q.wildcards:
+        rows.extend((qid, -1, 0, et) for et in wild_exp[pat])
+    for pat in q.must_wildcards:
+        rows.extend((qid, next_clause, 1, et) for et in wild_exp[pat])
+        next_clause += 1
+    for pat in q.not_wildcards:
+        rows.extend((qid, -2, 2, et) for et in sorted(set(wild_exp[pat])))
     return rows
 
 
@@ -284,13 +363,14 @@ def search(
     strategy: str = "taat",
     distribute: str | None = None,
     broadcast_filter: bool = True,
+    max_clauses: int | None = None,
 ) -> DataFrame:
     """One-call ranked search for a Lucene-style query string. Returns the
     engine-standard (query_id, doc_id, score, rank) with query_id = 0."""
     from dts.score_index import TOPK_SCHEMA, score_expanded_terms
 
     q = parse_query(query)
-    rows = _clause_rows(spark, index_dir, q, 0)
+    rows = _clause_rows(spark, index_dir, q, 0, max_clauses)
     if not any(role != 2 for _, _, role, _ in rows):
         return spark.createDataFrame([], TOPK_SCHEMA)
     qterms = spark.createDataFrame(
@@ -304,5 +384,5 @@ def search(
         spark, index_dir, qterms, n_queries=1, k=k, strategy=strategy,
         distribute=distribute, doc_filter=doc_filter,
         broadcast_filter=broadcast_filter,
-        mode="mixed", m_map={0: len(q.must)},
+        mode="mixed", m_map={0: q.n_required},
     )

@@ -42,6 +42,60 @@ from dts.score_index import (
     score_expanded_terms,
 )
 
+# Lucene's IndexSearcher.maxClauseCount default: a scored multi-term
+# rewrite wider than this either errors (TooManyClauses) or auto-switches
+# to the constant-score rewrite, depending on ``on_too_many``. Without a
+# budget, a wide pattern silently becomes a ~4,000-term scored rewrite
+# (measured 26 s at 480k docs) — and vocabulary grows with the corpus, so
+# at 100× the width is unbounded (round-4 verdict #2).
+MAX_CLAUSES = 1024
+
+
+class TooManyClauses(ValueError):
+    """A pattern expanded to more scored clauses than ``max_clauses``
+    (Lucene BooleanQuery.TooManyClauses parity). Remedies: raise
+    ``max_clauses``, narrow the pattern, or use the constant-score
+    surface (wildcard_match_docs / regex_match_docs — or pass
+    ``on_too_many='constant'`` to auto-switch)."""
+
+
+def _clause_counts(expanded: DataFrame, id_col: str) -> dict[int, int]:
+    """Per-query expansion width — one client-sized agg (a LocalRelation
+    no-op on the driver-expansion path, one pruned dictionary-leg agg on
+    the distributed path)."""
+    return {
+        int(r[id_col]): int(r["n"])
+        for r in expanded.groupBy(id_col).agg(F.count("*").alias("n")).collect()
+    }
+
+
+def _constant_score_topk(
+    spark: SparkSession,
+    index_dir: str,
+    expanded: DataFrame,
+    k: int,
+    max_isin_terms: int,
+) -> DataFrame:
+    """Lucene CONSTANT_SCORE rewrite as a top-k frame: every matching doc
+    scores 1.0; the k lowest doc_ids per query are returned (index order,
+    Lucene's tie-break for equal scores). Input: (wq_id, term)."""
+    from pyspark.sql import Window
+
+    docs = _match_docs_from_expansion(
+        spark, index_dir, expanded, terms=None, max_isin_terms=max_isin_terms
+    )
+    w = Window.partitionBy("wq_id").orderBy(F.col("doc_id").asc())
+    return (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("wq_id").alias("query_id"),
+            "doc_id",
+            F.lit(1.0).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
 
 def _prefix_upper(prefix: str) -> str | None:
     """Smallest string greater than every string with this prefix: bump
@@ -341,6 +395,74 @@ def regex_match_counts(
     )
 
 
+def _budgeted_scored_rewrite(
+    spark: SparkSession,
+    index_dir: str,
+    expanded: DataFrame,
+    terms: list[str] | None,
+    n_queries: int,
+    k: int,
+    strategy: str,
+    distribute: str | None,
+    max_isin_terms: int,
+    max_clauses: int,
+    on_too_many: str,
+) -> DataFrame:
+    """Shared scored-rewrite tail with the Lucene clause budget. Input
+    ``expanded`` = (wq_id, term). Queries whose expansion exceeds
+    ``max_clauses`` either raise TooManyClauses (on_too_many='error') or
+    take the constant-score rewrite (on_too_many='constant', the default
+    — Lucene's MultiTermQuery default rewrite is constant-score for
+    exactly this reason); the rest score normally, in one job."""
+    if n_queries == 0:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    counts = _clause_counts(expanded, "wq_id")
+    over = sorted(q for q, n in counts.items() if n > max_clauses)
+    if not over:
+        return score_expanded_terms(
+            spark, index_dir,
+            expanded.select(F.col("wq_id").alias("query_id"), "term"),
+            n_queries, k=k, strategy=strategy, distribute=distribute,
+            max_isin_terms=max_isin_terms, all_terms=terms,
+        )
+    if on_too_many == "error":
+        widths = {q: counts[q] for q in over}
+        raise TooManyClauses(
+            f"scored rewrite exceeds max_clauses={max_clauses} for "
+            f"queries {widths}; narrow the pattern, raise max_clauses, or "
+            "use the constant-score surface (wildcard_match_docs / "
+            "regex_match_docs, or on_too_many='constant')"
+        )
+    parts = [
+        _constant_score_topk(
+            spark, index_dir, expanded.filter(F.col("wq_id").isin(over)),
+            k, max_isin_terms,
+        )
+    ]
+    under = expanded.filter(~F.col("wq_id").isin(over))
+    n_under = len([q for q in counts if q not in set(over)])
+    if n_under:
+        under_terms = None
+        if terms is not None:
+            # Client-sized by construction: every under-budget query holds
+            # ≤ max_clauses terms.
+            under_terms = sorted(
+                {r["term"] for r in under.select("term").distinct().collect()}
+            )
+        parts.append(
+            score_expanded_terms(
+                spark, index_dir,
+                under.select(F.col("wq_id").alias("query_id"), "term"),
+                n_under, k=k, strategy=strategy, distribute=distribute,
+                max_isin_terms=max_isin_terms, all_terms=under_terms,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def bm25_topk_regex(
     spark: SparkSession,
     index_dir: str,
@@ -349,19 +471,20 @@ def bm25_topk_regex(
     strategy: str = "taat",
     distribute: str | None = None,
     max_isin_terms: int = MAX_ISIN_TERMS,
+    max_clauses: int = MAX_CLAUSES,
+    on_too_many: str = "constant",
 ) -> DataFrame:
     """Top-k BM25 where each regex scores as the disjunction of its
     matched terms (Lucene RegexpQuery → BooleanQuery rewrite; each term's
-    own idf once). Returns (query_id, doc_id, score, rank)."""
+    own idf once). Returns (query_id, doc_id, score, rank). Expansions
+    wider than ``max_clauses`` follow ``on_too_many`` ('constant' =
+    Lucene's constant-score rewrite, 'error' = TooManyClauses)."""
     expanded, terms = expand_regex_terms(spark, index_dir, patterns)
-    expanded = expanded.select(F.col("rq_id").alias("query_id"), "term")
-    n_queries = patterns.count()
-    if n_queries == 0:
-        return spark.createDataFrame([], TOPK_SCHEMA)
-    return score_expanded_terms(
-        spark, index_dir, expanded, n_queries, k=k, strategy=strategy,
-        distribute=distribute, max_isin_terms=max_isin_terms,
-        all_terms=terms,
+    return _budgeted_scored_rewrite(
+        spark, index_dir,
+        expanded.select(F.col("rq_id").alias("wq_id"), "term"), terms,
+        patterns.count(), k, strategy, distribute, max_isin_terms,
+        max_clauses, on_too_many,
     )
 
 
@@ -516,6 +639,8 @@ def bm25_topk_wildcard(
     strategy: str = "taat",
     distribute: str | None = None,
     max_isin_terms: int = MAX_ISIN_TERMS,
+    max_clauses: int = MAX_CLAUSES,
+    on_too_many: str = "constant",
 ) -> DataFrame:
     """Top-k BM25 where each pattern scores as the disjunction of its
     matched terms (each term's own idf, once — Lucene BooleanQuery
@@ -523,14 +648,12 @@ def bm25_topk_wildcard(
     wq_id. A pattern matching more terms than ``max_isin_terms`` falls
     back to the broadcast-semi-join plan automatically. On driver-sized
     vocabularies the whole expansion is local, so the scoring job is the
-    FIRST Spark job issued — same latency shape as the fuzzy path."""
+    FIRST Spark job issued — same latency shape as the fuzzy path.
+    Expansions wider than ``max_clauses`` follow ``on_too_many``
+    ('constant' = Lucene's constant-score rewrite, 'error' =
+    TooManyClauses)."""
     expanded, terms = _expand(spark, index_dir, patterns)
-    expanded = expanded.select(F.col("wq_id").alias("query_id"), "term")
-    n_queries = patterns.count()
-    if n_queries == 0:
-        return spark.createDataFrame([], TOPK_SCHEMA)
-    return score_expanded_terms(
-        spark, index_dir, expanded, n_queries, k=k, strategy=strategy,
-        distribute=distribute, max_isin_terms=max_isin_terms,
-        all_terms=terms,
+    return _budgeted_scored_rewrite(
+        spark, index_dir, expanded, terms, patterns.count(), k, strategy,
+        distribute, max_isin_terms, max_clauses, on_too_many,
     )

@@ -183,3 +183,80 @@ def test_search_fuzzy_and_empty(spark, p_index, corpus_pd, oracle):
         assert list(got["doc_id"].astype(int)) == [d for _, d, _ in want]
     assert search(spark, p_index, "", k=10).count() == 0
     assert search(spark, p_index, "-only negative? no:", k=10).count() == 0
+
+
+def test_parse_signed_fuzzy_and_wildcard_structure():
+    """Round-5 ADVICE: '-quer*' excludes the wildcard EXPANSION (not the
+    literal 'quer'); '+fuzz~1' keeps MUST semantics; '-fuzz~1' excludes
+    the fuzzy expansion."""
+    q = parse_query("+fuzz~1 -quer* +wild* -miss~2 base")
+    assert q.must_fuzzy == [("fuzz", 1)]
+    assert q.not_wildcards == ["quer*"]
+    assert q.must_wildcards == ["wild*"]
+    assert q.not_fuzzy == [("miss", 2)]
+    assert q.score_terms == ["base"]
+    assert q.must == [] and q.must_not == []
+    assert q.n_required == 2
+
+
+def test_search_negated_wildcard_excludes_expansion(
+    spark, p_index, corpus_pd, oracle
+):
+    toks0 = tokenize_text(corpus_pd["content"].iloc[0])
+    toks7 = tokenize_text(corpus_pd["content"].iloc[7])
+    t = toks0[0]
+    prefix = toks7[0][:2]
+    got = search(spark, p_index, f"{t} -{prefix}*", k=10).toPandas()
+    excluded_terms = set(oracle.wildcard_expand(f"{prefix}*"))
+    eligible = {
+        int(d)
+        for d, txt in zip(corpus_pd["doc_id"], corpus_pd["content"])
+        if not (excluded_terms & set(tokenize_text(txt)))
+    }
+    want = _ranked(oracle, [t], eligible)
+    got = got.sort_values("rank")
+    assert list(got["doc_id"].astype(int)) == [d for d, _ in want]
+    assert np.array_equal(
+        got["score"].to_numpy(), np.array([s for _, s in want])
+    )
+
+
+def test_search_required_fuzzy_is_must(spark, p_index, corpus_pd, oracle):
+    """'+term~1' requires ≥1 expansion term in the doc; all expansions
+    score (one clause satisfied by any of them)."""
+    toks = tokenize_text(corpus_pd["content"].iloc[4])
+    t = toks[0]
+    fz = (t[:-1] + "x") if len(t) > 3 else (t + "x")
+    exp = sorted(oracle.expand_term(fz, 1))
+    if not exp:
+        fz, exp = t, sorted(oracle.expand_term(t, 1))
+    assert exp
+    base = tokenize_text(corpus_pd["content"].iloc[11])[0]
+    got = search(spark, p_index, f"{base} +{fz}~1", k=10).toPandas()
+    eligible = {
+        int(d)
+        for d, txt in zip(corpus_pd["doc_id"], corpus_pd["content"])
+        if set(exp) & set(tokenize_text(txt))
+    }
+    want = _ranked(oracle, [base] + exp, eligible)
+    got = got.sort_values("rank")
+    assert list(got["doc_id"].astype(int)) == [d for d, _ in want]
+    assert np.array_equal(
+        got["score"].to_numpy(), np.array([s for _, s in want])
+    )
+
+
+def test_search_required_wildcard_is_must(spark, p_index, corpus_pd, oracle):
+    toks3 = tokenize_text(corpus_pd["content"].iloc[3])
+    prefix = toks3[0][:2]
+    base = tokenize_text(corpus_pd["content"].iloc[0])[0]
+    got = search(spark, p_index, f"{base} +{prefix}*", k=10).toPandas()
+    exp = set(oracle.wildcard_expand(f"{prefix}*"))
+    eligible = {
+        int(d)
+        for d, txt in zip(corpus_pd["doc_id"], corpus_pd["content"])
+        if exp & set(tokenize_text(txt))
+    }
+    want = _ranked(oracle, [base] + sorted(exp), eligible)
+    got = got.sort_values("rank")
+    assert list(got["doc_id"].astype(int)) == [d for d, _ in want]

@@ -78,8 +78,12 @@ def test_topk_vs_oracle(spark, wc_index, oracle, distribute):
     pats = spark.createDataFrame(
         list(enumerate(PATTERNS)), "wq_id long, pattern string"
     )
+    # max_clauses lifted: the '*' pattern expands to the whole vocabulary,
+    # and this test pins the SCORED rewrite semantics (budget behavior has
+    # its own tests below).
     got = bm25_topk_wildcard(
-        spark, wc_index, pats, k=10, distribute=distribute
+        spark, wc_index, pats, k=10, distribute=distribute,
+        max_clauses=10**9,
     ).toPandas()
     for i, p in enumerate(PATTERNS):
         want = oracle.score_terms(oracle.wildcard_expand(p), topk=10)
@@ -243,3 +247,62 @@ def test_match_docs_vs_oracle(spark, wc_index, oracle):
         for t in oracle.wildcard_expand(p):
             want |= set(oracle.tf[t])
         assert by_q.get(i, set()) == want, p
+
+
+def test_clause_budget_error_mode(spark, wc_index):
+    """Round-5 verdict #2: on_too_many='error' raises a
+    TooManyClauses-style error naming the constant-score remedy."""
+    import pytest
+
+    from dts.wildcard import TooManyClauses, bm25_topk_regex
+
+    pats = spark.createDataFrame(
+        [(0, "de*")], "wq_id long, pattern string"
+    )
+    with pytest.raises(TooManyClauses, match="wildcard_match_docs"):
+        bm25_topk_wildcard(
+            spark, wc_index, pats, k=10, max_clauses=1, on_too_many="error"
+        ).collect()
+    rpats = spark.createDataFrame([(0, "de.*")], "rq_id long, pattern string")
+    with pytest.raises(TooManyClauses, match="regex_match_docs"):
+        bm25_topk_regex(
+            spark, wc_index, rpats, k=10, max_clauses=1, on_too_many="error"
+        ).collect()
+
+
+def test_clause_budget_constant_score_autoswitch(spark, wc_index, oracle):
+    """Default on_too_many='constant': an over-budget pattern returns the
+    constant-score rewrite (score 1.0, k lowest doc_ids — Lucene's
+    equal-score tie-break) while under-budget patterns in the SAME batch
+    keep exact scored-rewrite results."""
+    wide, narrow = "*", "def"
+    pats = spark.createDataFrame(
+        [(0, wide), (1, narrow)], "wq_id long, pattern string"
+    )
+    got = bm25_topk_wildcard(
+        spark, wc_index, pats, k=10, max_clauses=64
+    ).toPandas()
+    g0 = got[got["query_id"] == 0].sort_values("rank")
+    want_docs = set()
+    for t in oracle.wildcard_expand(wide):
+        want_docs |= set(oracle.tf[t])
+    assert list(g0["doc_id"].astype(int)) == sorted(want_docs)[:10]
+    assert (g0["score"] == 1.0).all()
+    g1 = got[got["query_id"] == 1].sort_values("rank")
+    want = oracle.score_terms(oracle.wildcard_expand(narrow), topk=10)
+    assert list(g1["doc_id"].astype(int)) == [d for _, d, _ in want]
+    assert np.allclose(
+        g1["score"].to_numpy(), [s for *_, s in want], rtol=0, atol=0
+    )
+
+
+def test_parser_wildcard_budget_raises(spark, wc_index):
+    """Inside a composed query string there is no constant-score fallback
+    — a too-wide wildcard raises (Lucene QueryParser parity)."""
+    import pytest
+
+    from dts.parser import search
+    from dts.wildcard import TooManyClauses
+
+    with pytest.raises(TooManyClauses, match="max_clauses"):
+        search(spark, wc_index, "def d*", max_clauses=1).collect()
