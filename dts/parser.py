@@ -48,9 +48,10 @@ from pyspark.sql import functions as F
 from dts.tokenizer import tokenize_text
 
 _ELEMENT = re.compile(
-    r"""(?P<sign>[+-]?)            # optional modifier
-        (?:"(?P<phrase>[^"]*)"     # quoted phrase
-         | (?P<atom>\S+))          # or a bare atom
+    r"""(?P<sign>[+-]?)                    # optional modifier
+        (?:(?P<field>[A-Za-z_][\w.]*):)?   # optional field scope
+        (?:"(?P<phrase>[^"]*)"             # quoted phrase
+         | (?P<atom>\S+))                  # or a bare atom
     """,
     re.VERBOSE,
 )
@@ -75,6 +76,10 @@ class ParsedQuery:
     not_fuzzy: list[tuple[str, int]] = field(default_factory=list)
     must_wildcards: list[str] = field(default_factory=list)
     not_wildcards: list[str] = field(default_factory=list)
+    # field name → sub-query for clauses scoped with ``field:`` (only
+    # populated when parse_query is given the known-field set; clauses
+    # scoped to the default field land on the top-level object).
+    fielded: dict[str, "ParsedQuery"] = field(default_factory=dict)
 
     @property
     def n_required(self) -> int:
@@ -90,48 +95,78 @@ class ParsedQuery:
         )
 
 
-def parse_query(text: str) -> ParsedQuery:
+def _add_element(
+    q: ParsedQuery, sign: str, phrase: str | None, atom: str | None
+) -> None:
+    """Classify one query element into ``q``'s buckets."""
+    if phrase is not None:
+        toks = tokenize_text(phrase)
+        if not toks:
+            return
+        joined = " ".join(toks)
+        if sign == "-":
+            q.not_phrases.append(joined)
+        else:
+            q.phrases.append(joined)
+            q.score_terms.extend(toks)
+        return
+    fm = re.fullmatch(r"(?P<t>[^~\s]+)~(?P<k>\d+)", atom)
+    if fm:
+        kk = int(fm.group("k"))
+        dest = {"": q.fuzzy, "+": q.must_fuzzy, "-": q.not_fuzzy}[sign]
+        for t in tokenize_text(fm.group("t")):
+            dest.append((t, kk))
+        return
+    if "*" in atom:
+        pat = atom.lower()
+        if set(pat) - {"*"}:
+            {
+                "": q.wildcards, "+": q.must_wildcards,
+                "-": q.not_wildcards,
+            }[sign].append(pat)
+        return
+    toks = tokenize_text(atom)
+    if sign == "-":
+        q.must_not.extend(toks)
+    elif sign == "+":
+        q.must.extend(toks)
+    else:
+        q.score_terms.extend(toks)
+
+
+def parse_query(
+    text: str,
+    fields: set[str] | dict | None = None,
+    default_field: str | None = None,
+) -> ParsedQuery:
     """Parse one query string into its operator components. Atoms run
     through the shared engine tokenizer, so ``Fast-Join`` splits exactly
-    as the index did at build time."""
+    as the index did at build time.
+
+    ``fields`` (round-5, Lucene QueryParser parity): the known field
+    names. A ``field:`` prefix on any atom or quoted phrase — including
+    signed and fuzzy/wildcard atoms (``+path:util``, ``-lang:py*``,
+    ``title:"b tree"``) — routes that element into
+    ``q.fielded[field]`` (or onto the top-level query when field ==
+    ``default_field``). A prefix naming an UNKNOWN field is not a scope:
+    the element is parsed as if unscoped (the atom keeps its literal
+    ``field:rest`` text through the tokenizer, which splits on ':' —
+    identical to the fields=None behavior)."""
     q = ParsedQuery()
     for m in _ELEMENT.finditer(text or ""):
-        sign, phrase, atom = m.group("sign"), m.group("phrase"), m.group("atom")
-        if phrase is not None:
-            toks = tokenize_text(phrase)
-            if not toks:
-                continue
-            joined = " ".join(toks)
-            if sign == "-":
-                q.not_phrases.append(joined)
-            else:
-                q.phrases.append(joined)
-                q.score_terms.extend(toks)
-            continue
-        fm = re.fullmatch(r"(?P<t>[^~\s]+)~(?P<k>\d+)", atom)
-        if fm:
-            kk = int(fm.group("k"))
-            dest = {
-                "": q.fuzzy, "+": q.must_fuzzy, "-": q.not_fuzzy,
-            }[sign]
-            for t in tokenize_text(fm.group("t")):
-                dest.append((t, kk))
-            continue
-        if "*" in atom:
-            pat = atom.lower()
-            if set(pat) - {"*"}:
-                {
-                    "": q.wildcards, "+": q.must_wildcards,
-                    "-": q.not_wildcards,
-                }[sign].append(pat)
-            continue
-        toks = tokenize_text(atom)
-        if sign == "-":
-            q.must_not.extend(toks)
-        elif sign == "+":
-            q.must.extend(toks)
-        else:
-            q.score_terms.extend(toks)
+        sign, f_name, phrase, atom = (
+            m.group("sign"), m.group("field"), m.group("phrase"),
+            m.group("atom"),
+        )
+        if f_name is not None and (fields is None or f_name not in fields):
+            # Unknown field prefix: restore the literal element.
+            if atom is not None:
+                atom = f"{f_name}:{atom}"
+            f_name = None
+        target = q
+        if f_name is not None and f_name != default_field:
+            target = q.fielded.setdefault(f_name, ParsedQuery())
+        _add_element(target, sign, phrase, atom)
     return q
 
 
@@ -353,6 +388,191 @@ def _clause_rows(
     for pat in q.not_wildcards:
         rows.extend((qid, -2, 2, et) for et in sorted(set(wild_exp[pat])))
     return rows
+
+
+def search_fields(
+    spark: SparkSession,
+    mf_dir: str,
+    queries: str | list[str],
+    k: int = 10,
+    strategy: str = "taat",
+    default_field: str | None = None,
+    max_clauses: int | None = None,
+) -> DataFrame:
+    """One-call ranked search over a MULTIFIELD index with the full
+    query-string grammar (round-5 verdict #3 — one grammar, one call,
+    Lucene QueryParser parity): ``path:util +parse "b tree" -lang:py*``
+    routes each scoped element (bare / ``+`` / ``-`` / phrase / fuzzy /
+    wildcard) to its field's sub-index, defaults the rest, and ranks by
+    score(q, d) = Σ_field boost_f · BM25_f(scoring clauses of f, d) over
+    docs satisfying EVERY required clause (in its field), NO excluded
+    clause, and every (field-scoped) phrase constraint.
+
+    Plan shape: ONE flags-candidates job per touched field
+    (shard_candidates_mixed — full per-(query, shard) candidates with
+    req/excl flags, bounded groups), a hash-agg combine per (query,
+    shard, doc) enforcing the cross-field boolean algebra, phrase
+    allow/deny joins (one phrase_match_counts per field with phrase
+    constraints, ALL queries' phrases in one call), then shard-local
+    top-k windows + the tiny global merge — the bounded multifield-merge
+    shape throughout; queries fuse, nothing is per-query.
+
+    Returns the engine-standard (query_id, doc_id, score, rank) with
+    query_id = position in ``queries``."""
+    from pyspark.sql import Window
+
+    from dts.index_build import load_meta
+    from dts.multifield import load_multifield_meta
+    from dts.score_index import (
+        ROUND_RANK,
+        TOPK_SCHEMA,
+        scoring_shards,
+        shard_candidates_mixed,
+        topk_merge_global,
+    )
+
+    if isinstance(queries, str):
+        queries = [queries]
+    meta = load_multifield_meta(mf_dir)
+    fields: dict[str, float] = meta["fields"]
+    if default_field is None:
+        default_field = (
+            "content" if "content" in fields else next(iter(sorted(fields)))
+        )
+    per_field_rows: dict[str, list[tuple[int, int, int, str]]] = {}
+    m_total: dict[int, int] = {}
+    ph_req: list[tuple[int, str, str]] = []   # (query_id, field, phrase)
+    ph_neg: list[tuple[int, str, str]] = []
+    for qid, text in enumerate(queries):
+        pq = parse_query(text, fields=fields, default_field=default_field)
+        parts = {default_field: pq, **pq.fielded}
+        m_total[qid] = 0
+        for f_name, part in parts.items():
+            rows = _clause_rows(
+                spark, f"{mf_dir}/field={f_name}", part, qid, max_clauses
+            )
+            if rows:
+                per_field_rows.setdefault(f_name, []).extend(rows)
+            # Required clauses count toward the target even when their
+            # expansion is empty — no doc can then reach it, which is
+            # exactly Lucene's +nonexistent ⇒ no results.
+            m_total[qid] += part.n_required
+            ph_req.extend((qid, f_name, p) for p in part.phrases)
+            ph_neg.extend((qid, f_name, p) for p in part.not_phrases)
+    if not per_field_rows:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+
+    sub_metas = {f: load_meta(f"{mf_dir}/field={f}") for f in per_field_rows}
+    bucket_sizes = {m["bucket_size"] for m in sub_metas.values()}
+    assert len(bucket_sizes) == 1, (
+        f"multifield sub-indexes disagree on bucket_size: {bucket_sizes}"
+    )
+    any_meta = next(iter(sub_metas.values()))
+    n_shards = scoring_shards(any_meta, spark.sparkContext.defaultParallelism)
+
+    cands = []
+    for f_name, rows in sorted(per_field_rows.items()):
+        qterms = spark.createDataFrame(
+            rows, "query_id long, clause int, role int, term string"
+        )
+        all_terms = sorted({t for *_, t in rows})
+        c = shard_candidates_mixed(
+            spark, f"{mf_dir}/field={f_name}", qterms, n_shards,
+            all_terms=all_terms,
+        )
+        cands.append(
+            c.select(
+                "query_id", "shard", "doc_id",
+                (F.col("score") * F.lit(fields[f_name])).alias("score"),
+                "req", "excl",
+            )
+        )
+    union = cands[0]
+    for c in cands[1:]:
+        union = union.unionByName(c)
+    total = union.groupBy("query_id", "shard", "doc_id").agg(
+        F.sum("score").alias("score"),
+        F.sum("req").alias("req"),
+        F.max("excl").alias("excl"),
+    )
+    req_df = spark.createDataFrame(
+        [(q, m) for q, m in m_total.items()], "query_id long, m int"
+    )
+    total = total.join(F.broadcast(req_df), "query_id").filter(
+        (F.col("excl") == 0) & (F.col("req") == F.col("m"))
+    )
+
+    def _phrase_docs(rows: list[tuple[int, str, str]]) -> DataFrame:
+        """(query_id, phrase_id, doc_id) for every phrase constraint —
+        one phrase_match_counts call per field, all queries fused."""
+        from dts.phrase import phrase_match_counts
+
+        by_field: dict[str, list[tuple[int, int, str]]] = {}
+        for pid, (qid, f_name, ph) in enumerate(rows):
+            by_field.setdefault(f_name, []).append((pid, qid, ph))
+        parts = []
+        for f_name, prows in sorted(by_field.items()):
+            ph_df = spark.createDataFrame(
+                [(pid, ph) for pid, _, ph in prows],
+                "phrase_id long, text string",
+            )
+            pm = phrase_match_counts(
+                spark, f"{mf_dir}/field={f_name}", ph_df
+            ).select("phrase_id", "doc_id")
+            qmap = spark.createDataFrame(
+                [(pid, qid) for pid, qid, _ in prows],
+                "phrase_id long, query_id long",
+            )
+            parts.append(pm.join(F.broadcast(qmap), "phrase_id"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    if ph_req:
+        np_df = spark.createDataFrame(
+            [
+                (q, sum(1 for qq, *_ in ph_req if qq == q))
+                for q in {qq for qq, *_ in ph_req}
+            ],
+            "query_id long, np_target int",
+        )
+        allow_ok = (
+            _phrase_docs(ph_req)
+            .groupBy("query_id", "doc_id")
+            .agg(F.countDistinct("phrase_id").alias("np"))
+            .join(F.broadcast(np_df), "query_id")
+            .filter(F.col("np") == F.col("np_target"))
+            .select("query_id", "doc_id", F.lit(1).alias("_ph"))
+        )
+        total = (
+            total.join(allow_ok, ["query_id", "doc_id"], "left")
+            .join(F.broadcast(np_df), "query_id", "left")
+            .filter(F.col("np_target").isNull() | F.col("_ph").isNotNull())
+            .drop("_ph", "np_target")
+        )
+    if ph_neg:
+        deny = (
+            _phrase_docs(ph_neg)
+            .select("query_id", "doc_id")
+            .distinct()
+            .withColumn("_neg", F.lit(1))
+        )
+        total = total.join(
+            deny, ["query_id", "doc_id"], "left"
+        ).filter(F.col("_neg").isNull()).drop("_neg")
+
+    w_local = Window.partitionBy("query_id", "shard").orderBy(
+        F.round(F.col("score"), ROUND_RANK).desc(), F.col("doc_id").asc()
+    )
+    local = (
+        total.withColumn("r", F.row_number().over(w_local))
+        .filter(F.col("r") <= k)
+        .select("query_id", "doc_id", "score")
+    )
+    return topk_merge_global(local, k).select(
+        "query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank")
+    )
 
 
 def search(

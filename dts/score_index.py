@@ -267,9 +267,17 @@ def _scorer_fn(
                 d, tf, dl = decode_postings(p)
                 docs_parts.append(d)
                 contrib_parts.append(w * bm25_impact(tf, dl, avgdl))
-            empty = pd.DataFrame(
-                columns=["query_id", "doc_id", "score", "rank"]
-            ).astype({"query_id": "int64", "doc_id": "int64", "score": "float64", "rank": "int32"})
+            if mode == "mixed_flags":
+                empty = pd.DataFrame(
+                    columns=["query_id", "doc_id", "score", "req", "excl"]
+                ).astype({
+                    "query_id": "int64", "doc_id": "int64",
+                    "score": "float64", "req": "int32", "excl": "int32",
+                })
+            else:
+                empty = pd.DataFrame(
+                    columns=["query_id", "doc_id", "score", "rank"]
+                ).astype({"query_id": "int64", "doc_id": "int64", "score": "float64", "rank": "int32"})
             if not docs_parts:
                 return empty
             def _clause_sets(idxs_by_clause):
@@ -377,6 +385,52 @@ def _scorer_fn(
                 if not len(uniq):
                     return empty
                 acc = _accumulate_over(uniq, row_mask=score_mask)
+            elif mode == "mixed_flags":
+                # Candidate stage of the CROSS-FIELD boolean algebra
+                # (round-5 unified multifield search): emit EVERY doc that
+                # any clause touches — scoring rows accumulate, role-1
+                # membership is COUNTED per doc (req), role-2 membership
+                # flagged (excl) — and let the per-(query, shard, doc)
+                # combine downstream enforce Σreq == total required and
+                # excl == 0 across fields. No filtering here: a doc's
+                # required match may live in another FIELD's candidate
+                # rows; only its shard is fixed (shared doc_id space and
+                # bucket geometry).
+                role_vals = pdf["role"].to_numpy()
+                clause_vals = pdf["clause"].to_numpy()
+                score_mask = role_vals != 2
+                uniq = np.unique(np.concatenate(docs_parts))
+                acc = _accumulate_over(uniq, row_mask=score_mask)
+                req = np.zeros(len(uniq), dtype=np.int32)
+                for cl in np.unique(clause_vals[role_vals == 1]):
+                    s = _clause_sets(
+                        [np.flatnonzero((clause_vals == cl) & (role_vals == 1))]
+                    )[0]
+                    if len(s):
+                        pos = np.minimum(np.searchsorted(s, uniq), len(s) - 1)
+                        req += (s[pos] == uniq).astype(np.int32)
+                excl = np.zeros(len(uniq), dtype=np.int32)
+                neg_idx = np.flatnonzero(role_vals == 2)
+                if len(neg_idx):
+                    nd = np.unique(
+                        np.concatenate([docs_parts[i] for i in neg_idx])
+                    )
+                    pos = np.minimum(np.searchsorted(nd, uniq), len(nd) - 1)
+                    excl = (nd[pos] == uniq).astype(np.int32)
+                if deleted is not None:
+                    live = ~np.isin(uniq, deleted, assume_unique=True)
+                    uniq, acc, req, excl = (
+                        uniq[live], acc[live], req[live], excl[live]
+                    )
+                return pd.DataFrame(
+                    {
+                        "query_id": np.full(len(uniq), query_id, dtype=np.int64),
+                        "doc_id": uniq.astype(np.int64),
+                        "score": acc,
+                        "req": req,
+                        "excl": excl,
+                    }
+                )
             else:
                 uniq = np.unique(np.concatenate(docs_parts))
                 acc = np.zeros(len(uniq), dtype=np.float64)
@@ -877,6 +931,72 @@ def bm25_shard_candidates(
             yield out
 
     return src.mapInPandas(score_partition, SHARD_CAND_SCHEMA).drop("rank")
+
+
+SHARD_FLAGS_SCHEMA = (
+    "query_id long, shard int, doc_id long, score double, req int, excl int"
+)
+
+
+def shard_candidates_mixed(
+    spark: SparkSession,
+    index_dir: str,
+    qterms: DataFrame,
+    n_shards: int,
+    all_terms: list[str] | None = None,
+    max_isin_terms: int = MAX_ISIN_TERMS,
+) -> DataFrame:
+    """FULL per-shard candidates WITH boolean flags for role-typed clause
+    rows (query_id, clause, role, term): (query_id, shard, doc_id, score,
+    req, excl) where score sums the role≠2 contributions, req counts the
+    doc's matched role-1 clauses and excl flags role-2 membership. The
+    cross-FIELD combine (dts.parser.search_fields) unions these per field,
+    hash-aggregates per (query, shard, doc) and enforces Σreq == total
+    required ∧ excl == 0 — the whole MUST/MUST_NOT algebra in the same
+    one-candidates-job-per-field shape as the bounded multifield merge.
+    Same shard mapping contract as bm25_shard_candidates."""
+    idx = load_index(spark, index_dir)
+    meta = idx["meta"]
+    scan = idx["postings"].select(*POSTING_SCORE_COLS)
+    if all_terms is not None:
+        if not all_terms:
+            return spark.createDataFrame([], SHARD_FLAGS_SCHEMA)
+        postings = term_filter(scan, all_terms, max_isin_terms)
+        stats = term_filter(
+            idx["term_stats"], all_terms, max_isin_terms
+        ).select("term", "df")
+    else:
+        postings, stats, _ = _filter_by_qterms(
+            idx, scan, qterms, max_isin_terms
+        )
+    if postings is None:
+        return spark.createDataFrame([], SHARD_FLAGS_SCHEMA)
+    joined = postings.join(F.broadcast(stats), "term").join(
+        F.broadcast(qterms), "term"
+    )
+    if has_deletes(index_dir):
+        joined = join_deletes(joined, spark, index_dir, meta)
+    joined = joined.withColumn(
+        "shard", F.pmod(F.col("bucket"), F.lit(n_shards)).cast("int")
+    )
+    scorer = _scorer_fn(
+        meta["n_docs"], meta["avgdl"], 2**62, "taat", meta["block_size"],
+        meta.get("codec", "varint"), mode="mixed_flags",
+    )
+    n_parts = max(1, 2 * spark.sparkContext.defaultParallelism)
+    src = joined.repartition(n_parts, "query_id", "shard")
+
+    def score_partition(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        for (_, sh), g in pdf.groupby(["query_id", "shard"], sort=False):
+            out = scorer(g)
+            out.insert(1, "shard", np.int32(sh))
+            yield out
+
+    return src.mapInPandas(score_partition, SHARD_FLAGS_SCHEMA)
 
 
 _RESULT_CACHE: dict[tuple, list] = {}

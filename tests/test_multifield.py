@@ -117,3 +117,158 @@ def test_multifield_auto_distribute_and_empty(spark, mf_index, corpus_pd):
         spark.createDataFrame([], "query_id long, text string"), k=5,
     )
     assert empty.count() == 0
+
+
+# ---- round-5: unified grammar over multifield (search_fields) ----------
+
+
+@pytest.fixture(scope="module")
+def mfp_index(spark, docs_sdf, tmp_path_factory):
+    """Positional multifield index (field-scoped phrases need positions)."""
+    d = str(tmp_path_factory.mktemp("mfp"))
+    build_multifield_index(
+        spark, docs_sdf, d, FIELDS, bucket_size=64, block_size=16,
+        positions=True,
+    )
+    return d
+
+
+def _expect_mf(mf_oracles, scoring, eligible=None, k=10):
+    """Reference ranking: Σ_field boost·BM25_f over ``scoring`` (field →
+    term list), restricted to ``eligible`` doc ids."""
+    total: dict[int, float] = {}
+    for f_name, terms in scoring.items():
+        if not terms:
+            continue
+        for _, doc, s in mf_oracles[f_name].score_terms(terms, topk=10**9):
+            total[doc] = total.get(doc, 0.0) + FIELDS[f_name] * s
+    items = [
+        (d, s) for d, s in total.items()
+        if eligible is None or d in eligible
+    ]
+    return sorted(items, key=lambda kv: (-round(kv[1], 9), kv[0]))[:k]
+
+
+def _field_toksets(corpus_pd, col):
+    return {
+        int(d): set(tokenize_text(t))
+        for d, t in zip(corpus_pd["doc_id"], corpus_pd[col])
+    }
+
+
+def test_search_fields_plain_equals_multifield(spark, mfp_index, corpus_pd):
+    """Unmodified routed queries through the unified grammar must be
+    rank-identical to bm25_topk_multifield's manual composition."""
+    from dts.parser import search_fields
+
+    cases = _mf_cases(corpus_pd)
+    got = (
+        search_fields(spark, mfp_index, [t for _, t in cases], k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    q = spark.createDataFrame(cases, "query_id long, text string")
+    ref = (
+        bm25_topk_multifield(spark, mfp_index, q, k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got[["query_id", "doc_id", "rank"]].values.tolist() == (
+        ref[["query_id", "doc_id", "rank"]].values.tolist()
+    )
+    assert np.allclose(got["score"], ref["score"], rtol=0, atol=0)
+
+
+def test_search_fields_must_and_not(spark, mfp_index, corpus_pd, mf_oracles):
+    """The verdict's example shape: 'path:util +parse' — scoped scoring +
+    cross-field MUST; plus a field-scoped exclusion."""
+    from dts.parser import search_fields
+
+    ctoks = tokenize_text(corpus_pd["content"].iloc[0])
+    ptoks = tokenize_text(corpus_pd["path"].iloc[4])
+    c_sets = _field_toksets(corpus_pd, "content")
+    p_sets = _field_toksets(corpus_pd, "path")
+
+    q1 = f"path:{ptoks[0]} +{ctoks[1]}"
+    q2 = f"{ctoks[0]} -path:{ptoks[0]}"
+    q3 = f"{ctoks[0]} +path:{ptoks[0]}"
+    got = (
+        search_fields(spark, mfp_index, [q1, q2, q3], k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+    )
+    want1 = _expect_mf(
+        mf_oracles,
+        {"path": [ptoks[0]], "content": [ctoks[1]]},
+        {d for d, s in c_sets.items() if ctoks[1] in s},
+    )
+    want2 = _expect_mf(
+        mf_oracles,
+        {"content": [ctoks[0]]},
+        {d for d, s in p_sets.items() if ptoks[0] not in s},
+    )
+    want3 = _expect_mf(
+        mf_oracles,
+        {"content": [ctoks[0]], "path": [ptoks[0]]},
+        {d for d, s in p_sets.items() if ptoks[0] in s},
+    )
+    for qid, want in [(0, want1), (1, want2), (2, want3)]:
+        g = got[got["query_id"] == qid]
+        assert list(g["doc_id"].astype(int)) == [d for d, _ in want], qid
+        assert np.array_equal(
+            g["score"].to_numpy(), np.array([s for _, s in want])
+        ), qid
+
+
+def test_search_fields_scoped_phrase_and_wildcard(
+    spark, mfp_index, corpus_pd, mf_oracles
+):
+    from dts.oracle import phrase_count
+    from dts.parser import search_fields
+
+    ctoks = tokenize_text(corpus_pd["content"].iloc[0])
+    ptoks = tokenize_text(corpus_pd["path"].iloc[4])
+    phrase = f"{ptoks[0]} {ptoks[1]}"
+    q1 = f'{ctoks[0]} path:"{phrase}"'
+    prefix = ptoks[0][:2]
+    q2 = f"{ctoks[0]} path:{prefix}*"
+    got = (
+        search_fields(spark, mfp_index, [q1, q2], k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+    )
+    eligible1 = {
+        int(d)
+        for d, t in zip(corpus_pd["doc_id"], corpus_pd["path"])
+        if phrase_count(t, phrase.split(" ")) > 0
+    }
+    want1 = _expect_mf(
+        mf_oracles,
+        {"content": [ctoks[0]], "path": [ptoks[0], ptoks[1]]},
+        eligible1,
+    )
+    g1 = got[got["query_id"] == 0]
+    assert list(g1["doc_id"].astype(int)) == [d for d, _ in want1]
+    assert np.array_equal(
+        g1["score"].to_numpy(), np.array([s for _, s in want1])
+    )
+    exp = sorted(mf_oracles["path"].wildcard_expand(f"{prefix}*"))
+    want2 = _expect_mf(
+        mf_oracles, {"content": [ctoks[0]], "path": exp}
+    )
+    g2 = got[got["query_id"] == 1]
+    assert list(g2["doc_id"].astype(int)) == [d for d, _ in want2]
+
+
+def test_search_fields_required_missing_term_kills_query(
+    spark, mfp_index, corpus_pd
+):
+    from dts.parser import search_fields
+
+    ctoks = tokenize_text(corpus_pd["content"].iloc[0])
+    out = search_fields(
+        spark, mfp_index, [f"{ctoks[0]} +path:zzqqnothere"], k=10
+    )
+    assert out.count() == 0
