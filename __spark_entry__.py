@@ -427,6 +427,43 @@ def _mf_routed() -> dict[str, list[tuple[int, str]]]:
     return out
 
 
+# Round-5 unified-grammar probe (dts.parser.search_fields): field-scoped
+# atoms with +/- modifiers and a quoted phrase over the same two-field
+# index; text is the default field.
+SF_QUERIES = [
+    (0, "fast join"),
+    (1, "fast +join"),
+    (2, "fast -source:src3"),
+    (3, "source:src1 +fast"),
+    (4, 'data "fast join"'),
+]
+
+
+def _sf_routed():
+    """Per-field routed clause lists for the unified-grammar probe,
+    derived from the SAME parser the engine uses (probe and oracle stay
+    in lockstep): field → scoring / MUST / MUST_NOT (query_id, term)
+    rows, plus (query_id, phrase) constraints on the text field."""
+    from dts.parser import parse_query
+
+    score: dict[str, list] = {"text": [], "source": []}
+    must: dict[str, list] = {"text": [], "source": []}
+    nots: dict[str, list] = {"text": [], "source": []}
+    phrases: list[tuple[int, str]] = []
+    for qid, text in SF_QUERIES:
+        pq = parse_query(text, fields=MF_BOOSTS, default_field="text")
+        for f_name, part in {"text": pq, **pq.fielded}.items():
+            score[f_name].extend(
+                (qid, t) for t in part.score_terms + part.must
+            )
+            must[f_name].extend((qid, t) for t in part.must)
+            nots[f_name].extend((qid, t) for t in part.must_not)
+            for ph in part.phrases:
+                assert f_name == "text", "oracle phrases are text-field"
+                phrases.append((qid, ph))
+    return score, must, nots, phrases
+
+
 DELETE_PRED_MOD = 7  # tombstone doc_id % 7 == 3 in the deletion probes
 DELETE_PRED_REM = 3
 # Substring patterns for the snippet probe (incl. a cross-token pattern
@@ -586,6 +623,33 @@ def _q_multifield_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r6") <= 10)
         .select("query_id", "doc_id", F.col("r6").alias("rank"))
     )
+
+
+def _q_search_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 unified grammar over a multifield index
+    (dts.parser.search_fields): field-scoped atoms with +/- modifiers
+    and a quoted phrase — one flags-candidates job per field
+    (shard_candidates_mixed), cross-field MUST/MUST_NOT enforced in the
+    hash-agg combine, fused phrase allow join, weighted per-field BM25
+    sum, round-6 re-rank."""
+    import tempfile
+
+    from dts.io import driver_documents_as_source
+    from dts.multifield import build_multifield_index
+    from dts.parser import search_fields
+
+    docs = driver_documents_as_source(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
+    ).withColumnRenamed("content", "text")
+    d = tempfile.mkdtemp(prefix="dts_sf_idx_")
+    build_multifield_index(
+        spark, docs, d, MF_BOOSTS, bucket_size=256, positions=True
+    )
+    full = search_fields(
+        spark, d, [t for _, t in SF_QUERIES], k=10**6,
+        default_field="text",
+    )
+    return _rerank6_top10(full)
 
 
 def _q_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1065,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_lang": _q_facet_lang,
         "dup_clusters": _q_dup_clusters,
         "multifield_topk": _q_multifield_topk,
+        "search_fields": _q_search_fields,
         # training-data pipeline operators
         "exact_dup": _q_exact_dup,
         "minhash_bands": _q_minhash_bands,
@@ -1618,8 +1683,9 @@ SELECT q_id, vec_id, cos6, rank::INTEGER AS rank FROM (
     # BM25F-lite per-field statistics), weighted union-sum, round-6 rank.
     routed = _mf_routed()
 
-    def _mf_cte(col: str, a: str, boost: float) -> str:
-        vals = ", ".join(f"({i}, '{t}')" for i, t in routed[a]) or "(NULL, NULL)"
+    def _mf_cte(col: str, a: str, boost: float, rows=None) -> str:
+        rows = routed[a] if rows is None else rows
+        vals = ", ".join(f"({i}, '{t}')" for i, t in rows) or "(NULL, NULL)"
         return f"""
 tok_{a} AS (SELECT doc_id, unnest(regexp_extract_all(lower(coalesce({col}, '')), '{TOK}')) AS term FROM documents),
 tf_{a} AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok_{a} GROUP BY 1, 2),
@@ -1653,6 +1719,72 @@ SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
     FROM (SELECT * FROM scored_text UNION ALL SELECT * FROM scored_source)
     GROUP BY 1, 2
   )
+) WHERE rank <= 10
+"""
+    # Unified grammar over the same two-field index (round 5): the scored
+    # CTEs reuse _mf_cte with the parser-derived routing; eligibility =
+    # every MUST term present (in its field), no MUST_NOT term present,
+    # and the quoted phrase present as a token bigram (probe queries carry
+    # at most one phrase per query, text field).
+    sf_score, sf_must, sf_not, sf_ph = _sf_routed()
+
+    def _vals2(rows):
+        return ", ".join(f"({i}, '{t}')" for i, t in rows) or "(NULL, NULL)"
+
+    extra["search_fields"] = f"""
+WITH {_mf_cte("text", "text", MF_BOOSTS["text"], sf_score["text"])},
+{_mf_cte("source", "source", MF_BOOSTS["source"], sf_score["source"])},
+mt(query_id, term) AS (VALUES {_vals2(sf_must["text"])}),
+ms(query_id, term) AS (VALUES {_vals2(sf_must["source"])}),
+nt(query_id, term) AS (VALUES {_vals2(sf_not["text"])}),
+ns(query_id, term) AS (VALUES {_vals2(sf_not["source"])}),
+ph(query_id, phrase) AS (VALUES {_vals2(sf_ph)}),
+mtot AS (SELECT query_id, count(*)::BIGINT AS m FROM (
+  SELECT query_id, 't:' || term AS c FROM mt WHERE term IS NOT NULL
+  UNION ALL SELECT query_id, 's:' || term FROM ms WHERE term IS NOT NULL
+) GROUP BY 1),
+msat AS (SELECT query_id, doc_id, count(DISTINCT c)::BIGINT AS p FROM (
+  SELECT mt.query_id, tf_text.doc_id, 't:' || mt.term AS c
+  FROM mt JOIN tf_text ON tf_text.term = mt.term
+  UNION ALL
+  SELECT ms.query_id, tf_source.doc_id, 's:' || ms.term
+  FROM ms JOIN tf_source ON tf_source.term = ms.term
+) GROUP BY 1, 2),
+ex AS (SELECT DISTINCT query_id, doc_id FROM (
+  SELECT nt.query_id, tf_text.doc_id FROM nt JOIN tf_text ON tf_text.term = nt.term
+  UNION ALL
+  SELECT ns.query_id, tf_source.doc_id FROM ns JOIN tf_source ON tf_source.term = ns.term
+)),
+ttoks AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '{TOK}') AS toks FROM documents),
+phsat AS (
+  SELECT DISTINCT ph.query_id, t.doc_id, 1 AS pok FROM ph, ttoks t
+  WHERE ph.phrase IS NOT NULL AND list_contains(
+    list_transform(range(0, len(t.toks) - 1), i -> t.toks[i+1] || ' ' || t.toks[i+2]),
+    ph.phrase)
+),
+phq AS (SELECT DISTINCT query_id, 1 AS hasph FROM ph WHERE phrase IS NOT NULL),
+combined AS (
+  SELECT query_id, doc_id, round(sum(score), 6) AS score6
+  FROM (SELECT * FROM scored_text UNION ALL SELECT * FROM scored_source)
+  GROUP BY 1, 2
+),
+elig AS (
+  SELECT c.query_id, c.doc_id, c.score6
+  FROM combined c
+  LEFT JOIN mtot USING (query_id)
+  LEFT JOIN msat ON msat.query_id = c.query_id AND msat.doc_id = c.doc_id
+  LEFT JOIN (SELECT query_id, doc_id, 1 AS x FROM ex) e
+    ON e.query_id = c.query_id AND e.doc_id = c.doc_id
+  LEFT JOIN phq ON phq.query_id = c.query_id
+  LEFT JOIN phsat ps ON ps.query_id = c.query_id AND ps.doc_id = c.doc_id
+  WHERE coalesce(mtot.m, 0) = coalesce(msat.p, 0)
+    AND e.x IS NULL
+    AND (phq.hasph IS NULL OR ps.pok = 1)
+)
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
+  FROM elig
 ) WHERE rank <= 10
 """
     # Conjunctive mode: eligibility = doc carries every distinct query
