@@ -427,6 +427,13 @@ def _mf_routed() -> dict[str, list[tuple[int, str]]]:
     return out
 
 
+# Round-5 scored-phrase probe (phrase_mode='scored' — Lucene PhraseQuery
+# parity): the phrase scores as ONE clause (tf = per-doc phrase
+# frequency, df = docs containing the phrase); query 2 mixes a scoring
+# term with a phrase.
+PHRASE_SCORED_QUERIES = ['"fast join"', '"customer order"', 'data "fast join"']
+
+
 # Round-5 unified-grammar probe (dts.parser.search_fields): field-scoped
 # atoms with +/- modifiers and a quoted phrase over the same two-field
 # index; text is the default field.
@@ -454,7 +461,8 @@ def _sf_routed():
         pq = parse_query(text, fields=MF_BOOSTS, default_field="text")
         for f_name, part in {"text": pq, **pq.fielded}.items():
             score[f_name].extend(
-                (qid, t) for t in part.score_terms + part.must
+                (qid, t)
+                for t in part.score_terms + part.phrase_terms + part.must
             )
             must[f_name].extend((qid, t) for t in part.must)
             nots[f_name].extend((qid, t) for t in part.must_not)
@@ -622,6 +630,33 @@ def _q_multifield_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         full.withColumn("r6", F.row_number().over(w))
         .filter(F.col("r6") <= 10)
         .select("query_id", "doc_id", F.col("r6").alias("rank"))
+    )
+
+
+def _q_phrase_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 phrase-frequency scoring (dts.parser search_batch
+    phrase_mode='scored'): quoted phrases score as units — one clause
+    with tf = phrase occurrences (positional intersection) and df =
+    docs containing the phrase, exact BM25 formula (spec
+    dts.oracle.phrase_bm25_score); phrase words do NOT individually
+    score. Oracle recounts phrases on the token stream and replays the
+    formula."""
+    from pyspark.sql import Window as W
+
+    from dts.parser import search_batch
+
+    full = search_batch(
+        spark, _pos_index(spark, sf_dir), PHRASE_SCORED_QUERIES,
+        k=10**6, phrase_mode="scored",
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), F.col("doc_id").asc()
+    )
+    return (
+        full.withColumn("score6", F.round("score", 6))
+        .withColumn("r6", F.row_number().over(w))
+        .filter(F.col("r6") <= 10)
+        .select("query_id", "doc_id", "score6", F.col("r6").alias("rank"))
     )
 
 
@@ -1130,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "multifield_topk": _q_multifield_topk,
         "search_fields": _q_search_fields,
+        "phrase_scored": _q_phrase_scored,
         # training-data pipeline operators
         "exact_dup": _q_exact_dup,
         "minhash_bands": _q_minhash_bands,
@@ -1719,6 +1755,60 @@ SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
     FROM (SELECT * FROM scored_text UNION ALL SELECT * FROM scored_source)
     GROUP BY 1, 2
   )
+) WHERE rank <= 10
+"""
+    # Scored phrases (round 5): recount each phrase on the token stream
+    # (start offsets j with toks[j+i] = term_i for all i), df = docs with
+    # count > 0, then the exact BM25 formula; query 2 adds its term score.
+    def _pc_select(qid: int, phrase: str) -> str:
+        terms = phrase.split(" ")
+        m = len(terms)
+        cond = " AND ".join(
+            f"toks[j + {i}] = '{t}'" for i, t in enumerate(terms)
+        )
+        return f"""
+SELECT {qid}::BIGINT AS query_id, doc_id,
+       len(list_filter(range(1, len(toks) - {m} + 2), j -> {cond}))::BIGINT AS cnt
+FROM t WHERE len(toks) >= {m}"""
+
+    extra["phrase_scored"] = f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+pc AS ({_pc_select(0, "fast join")}
+UNION ALL {_pc_select(1, "customer order")}
+UNION ALL {_pc_select(2, "fast join")}),
+pcpos AS (SELECT * FROM pc WHERE cnt > 0),
+pdf AS (SELECT query_id, count(*)::BIGINT AS df FROM pcpos GROUP BY 1),
+ps AS (
+  SELECT p.query_id, p.doc_id,
+         ln(1 + (stats.n_docs - pdf.df + 0.5) / (pdf.df + 0.5))
+         * p.cnt * ({K1} + 1.0)
+         / (p.cnt + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS pscore
+  FROM pcpos p JOIN pdf USING (query_id) JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+ts AS (
+  SELECT 2::BIGINT AS query_id, tf.doc_id,
+         ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * tf.tf * ({K1} + 1.0)
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS tscore
+  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term = 'data'
+),
+total AS (
+  SELECT ps.query_id, ps.doc_id,
+         round(ps.pscore + coalesce(ts.tscore, 0.0), 6) AS score6
+  FROM ps LEFT JOIN ts
+    ON ts.query_id = ps.query_id AND ts.doc_id = ps.doc_id
+)
+SELECT query_id, doc_id, score6, rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
+  FROM total
 ) WHERE rank <= 10
 """
     # Unified grammar over the same two-field index (round 5): the scored

@@ -172,9 +172,17 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
+        # Single-job fixpoint check (round-5 verdict #9): both edge sets
+        # are distinct, so the symmetric difference is the null-padded
+        # rows of one full outer join — one action per round instead of
+        # two exceptAll jobs.
         changed = (
-            new_edges.exceptAll(edges).count()
-            + edges.exceptAll(new_edges).count()
+            new_edges.withColumn("_n", F.lit(1))
+            .join(
+                edges.withColumn("_o", F.lit(1)), ["u", "v"], "full_outer"
+            )
+            .filter(F.col("_n").isNull() | F.col("_o").isNull())
+            .count()
         )
         edges = new_edges
         if changed == 0:

@@ -16,12 +16,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Auto mode broadcasts the match side only when a bounded count proves it
+# hit-sized; above this many rows the join falls back to a shuffle.
+BROADCAST_HITS_CAP = 1_000_000
+
+
 def facet_counts(
     matches: DataFrame,
     docs: DataFrame,
     field: str,
     key: str,
-    broadcast_matches: bool = True,
+    broadcast_matches: bool | None = None,
     pushdown_hits: bool = False,
 ) -> DataFrame:
     """(key, field, n): how many matched docs of each ``key`` (query id
@@ -30,7 +35,13 @@ def facet_counts(
     ``broadcast_matches``: hit lists from top-k / boolean / phrase
     outputs are query-sized — broadcasting them turns the join into a
     map-side lookup over the (doc_id, field) projection. Set False for
-    corpus-scale match sets (falls back to a shuffle join).
+    corpus-scale match sets (falls back to a shuffle join). ``None``
+    (default — round-5 verdict #8, safe-by-default): top-k-shaped
+    frames (a ``rank`` column) broadcast outright; anything else pays
+    one bounded ``limit(cap+1).count()`` probe and broadcasts only when
+    provably under BROADCAST_HITS_CAP — a head-term boolean query's
+    corpus-scale hit set now takes the shuffle join without the caller
+    having to know.
 
     ``pushdown_hits``: for CLIENT-sized hit lists (top-k pages), collect
     the distinct doc_ids and filter the docs scan with an IN-list — the
@@ -45,6 +56,11 @@ def facet_counts(
     if pushdown_hits:
         ids = sorted({int(r["doc_id"]) for r in m.select("doc_id").distinct().collect()})
         side = side.where(F.col("doc_id").isin(ids)) if ids else side.limit(0)
+    if broadcast_matches is None:
+        broadcast_matches = (
+            "rank" in matches.columns
+            or m.limit(BROADCAST_HITS_CAP + 1).count() <= BROADCAST_HITS_CAP
+        )
     if broadcast_matches:
         m = F.broadcast(m)
     return (

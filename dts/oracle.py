@@ -216,6 +216,18 @@ def byte_match_count_bytes(text: str, pattern: str, k: int) -> int:
     )
 
 
+def phrase_bm25_score(
+    n_docs: int, avgdl: float, df: int, tf: int, dl: int
+) -> float:
+    """Lucene PhraseQuery clause score — the spec for
+    dts.phrase.phrase_bm25_scores and search(phrase_mode='scored'): the
+    phrase is ONE clause whose tf is the per-doc phrase frequency
+    (phrase_count) and whose df is the number of docs containing the
+    phrase; idf and impact are the exact term-BM25 formulas."""
+    w = idf(n_docs, df)
+    return w * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
 def phrase_count(text: str, phrase_terms: list[str]) -> int:
     """Occurrences of the token phrase (consecutive tokens; overlaps count)
     — the position-level spec for dts.phrase (analogue of the reference's

@@ -44,16 +44,16 @@ def _decode_row(row, block_size: int, codec: str = "varint"):
         block_size=block_size,
         codec=codec,
     )
-    docs, tfs, _ = decode_postings(p)
+    docs, tfs, dls = decode_postings(p)
     pos_flat, bounds = decode_positions(bytes(row["pos_blob"]), tfs)
-    return docs, pos_flat, bounds
+    return docs, pos_flat, bounds, dls
 
 
 def _concat_runs(rows: pd.DataFrame, block_size: int, codec: str = "varint"):
     """Decode and concatenate a slot's posting rows (multiple rows appear
     after incremental merges; runs cover disjoint ascending doc ranges, so
     ordering by first doc yields globally ascending docs). Returns
-    (docs, flat_positions, bounds[n_docs+1])."""
+    (docs, flat_positions, bounds[n_docs+1], dls)."""
     decs = sorted(
         (_decode_row(r, block_size, codec) for _, r in rows.iterrows()),
         key=lambda t: t[0][0] if len(t[0]) else -1,
@@ -65,18 +65,24 @@ def _concat_runs(rows: pd.DataFrame, block_size: int, codec: str = "varint"):
     bounds = np.concatenate(
         ([0], np.concatenate([b[1:] + o for b, o in zip(bnds, offs)]))
     )
-    return docs, flat, bounds
+    dls = np.concatenate([d[3] for d in decs])
+    return docs, flat, bounds, dls
 
 
-def _matcher_fn(block_size: int, codec: str = "varint"):
+def _matcher_fn(block_size: int, codec: str = "varint", with_dl: bool = False):
+    """``with_dl``: additionally emit each matched doc's length (decoded
+    from the same posting rows — no doc_stats join), the denominator input
+    of the phrase-frequency BM25 impact."""
+
     def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "phrase_id": np.zeros(0, dtype=np.int64),
-                "doc_id": np.zeros(0, dtype=np.int64),
-                "n_matches": np.zeros(0, dtype=np.int64),
-            }
-        )
+        cols = {
+            "phrase_id": np.zeros(0, dtype=np.int64),
+            "doc_id": np.zeros(0, dtype=np.int64),
+            "n_matches": np.zeros(0, dtype=np.int64),
+        }
+        if with_dl:
+            cols["dl"] = np.zeros(0, dtype=np.int64)
+        empty = pd.DataFrame(cols)
         phrase_id = int(pdf["phrase_id"].iloc[0])
         m = int(pdf["m"].iloc[0])
         if pdf["i"].nunique() != m:
@@ -86,10 +92,15 @@ def _matcher_fn(block_size: int, codec: str = "varint"):
         # run order — runs cover disjoint ascending doc ranges.
         slot_docs: list[np.ndarray] = []
         slot_pos: list[tuple[np.ndarray, np.ndarray]] = []
+        slot0_dls: np.ndarray | None = None
         for i in range(m):
-            docs, flat, bounds = _concat_runs(pdf[pdf["i"] == i], block_size, codec)
+            docs, flat, bounds, dls = _concat_runs(
+                pdf[pdf["i"] == i], block_size, codec
+            )
             slot_docs.append(docs)
             slot_pos.append((flat, bounds))
+            if i == 0:
+                slot0_dls = dls
         # Vectorized intersection over the WHOLE group (no per-doc Python):
         # pack each slot's occurrences as key = doc * P + (pos - i); a
         # phrase occurrence at start p in doc d is exactly one key present
@@ -118,13 +129,17 @@ def _matcher_fn(block_size: int, codec: str = "varint"):
             if len(keys) == 0:
                 return empty
         docs_out, counts = np.unique(keys // P, return_counts=True)
-        return pd.DataFrame(
-            {
-                "phrase_id": np.full(len(docs_out), phrase_id, dtype=np.int64),
-                "doc_id": docs_out.astype(np.int64),
-                "n_matches": counts.astype(np.int64),
-            }
-        )
+        out = {
+            "phrase_id": np.full(len(docs_out), phrase_id, dtype=np.int64),
+            "doc_id": docs_out.astype(np.int64),
+            "n_matches": counts.astype(np.int64),
+        }
+        if with_dl:
+            # docs_out ⊆ slot-0 docs (every match contains term 0), and
+            # slot-0 docs are ascending unique within the group.
+            pos = np.searchsorted(slot_docs[0], docs_out)
+            out["dl"] = slot0_dls[pos].astype(np.int64)
+        return pd.DataFrame(out)
 
     return match_group
 
@@ -141,8 +156,8 @@ def _prox_matcher_fn(block_size: int, slop: int, codec: str = "varint"):
         pair_id = int(pdf["pair_id"].iloc[0])
         if pdf["i"].nunique() != 2:
             return empty
-        da, fa, ba = _concat_runs(pdf[pdf["i"] == 0], block_size, codec)
-        db, fb, bb = _concat_runs(pdf[pdf["i"] == 1], block_size, codec)
+        da, fa, ba, _ = _concat_runs(pdf[pdf["i"] == 0], block_size, codec)
+        db, fb, bb, _ = _concat_runs(pdf[pdf["i"] == 1], block_size, codec)
         if not len(fa) or not len(fb):
             return empty
         # Packed keys: doc * P + pos; P leaves headroom for p + slop so a
@@ -217,13 +232,15 @@ def phrase_match_counts(
     index_dir: str,
     phrases: DataFrame,
     max_isin_terms: int = MAX_ISIN_TERMS,
+    with_dl: bool = False,
 ) -> DataFrame:
     """(phrase_id, doc_id, n_matches) for docs containing each phrase as
     consecutive tokens (≥1 occurrence; overlaps all count).
 
     ``phrases`` needs (phrase_id, text); text is tokenized with the shared
     engine tokenizer. Requires a positional index (build_index
-    positions=True)."""
+    positions=True). ``with_dl`` adds each doc's token length (decoded
+    from the same posting rows) — the phrase-frequency BM25 input."""
     idx = load_index(spark, index_dir)
     meta = idx["meta"]
     if not meta.get("positions"):
@@ -234,13 +251,14 @@ def phrase_match_counts(
     # Phrase batches are query-sized (broadcast below anyway): tokenize on
     # the driver with the SAME shared tokenizer — one tiny collect instead
     # of a python-UDF stage + distinct shuffle.
+    schema = PHRASE_SCHEMA + (", dl long" if with_dl else "")
     qt_rows = []
     for r in phrases.select("phrase_id", "text").collect():
         toks = tokenize_text(r["text"])
         for i, term in enumerate(toks):
             qt_rows.append((int(r["phrase_id"]), len(toks), i, term))
     if not qt_rows:
-        return spark.createDataFrame([], PHRASE_SCHEMA)
+        return spark.createDataFrame([], schema)
     qt = spark.createDataFrame(
         qt_rows, "phrase_id long, m int, i int, term string"
     )
@@ -249,7 +267,57 @@ def phrase_match_counts(
         F.broadcast(qt), "term"
     )
     out = postings.groupBy("phrase_id", "bucket").applyInPandas(
-        _matcher_fn(meta["block_size"], meta.get("codec", "varint")),
-        PHRASE_SCHEMA,
+        _matcher_fn(meta["block_size"], meta.get("codec", "varint"), with_dl),
+        schema,
     )
     return mask_deleted_rows(out, spark, index_dir, meta)
+
+
+def phrase_bm25_scores(
+    spark: SparkSession,
+    index_dir: str,
+    phrases: DataFrame,
+    max_isin_terms: int = MAX_ISIN_TERMS,
+) -> DataFrame:
+    """(phrase_id, doc_id, n_matches, pscore): Lucene PhraseQuery scoring
+    — the phrase is ONE clause whose tf is the per-doc phrase frequency
+    and whose df is the number of docs containing the phrase; idf and
+    impact are the exact term-BM25 formulas over full-corpus stats
+    (spec: dts.oracle.phrase_bm25_score, shared constants K1/B).
+
+    Plan: the positional match job (phrase_match_counts with_dl=True —
+    dl decoded from the same posting rows, no doc_stats join), a tiny
+    per-phrase df agg broadcast back, then one JVM expression. The match
+    subtree appears twice in the plan (df agg + score join); Spark's
+    exchange reuse shares the shuffle."""
+    from dts.score import B, K1
+
+    meta = load_index(spark, index_dir)["meta"]
+    pm = phrase_match_counts(
+        spark, index_dir, phrases, max_isin_terms, with_dl=True
+    )
+    dfreq = pm.groupBy("phrase_id").agg(F.count("*").alias("df"))
+    n_docs, avgdl = float(meta["n_docs"]), float(meta["avgdl"])
+    return pm.join(F.broadcast(dfreq), "phrase_id").select(
+        "phrase_id",
+        "doc_id",
+        "n_matches",
+        (
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (
+                F.col("n_matches").cast("double") * F.lit(K1 + 1.0)
+                / (
+                    F.col("n_matches").cast("double")
+                    + F.lit(K1)
+                    * (
+                        F.lit(1.0 - B)
+                        + F.lit(B) * F.col("dl").cast("double") / F.lit(avgdl)
+                    )
+                )
+            )
+        ).alias("pscore"),
+    )

@@ -174,6 +174,7 @@ def _scorer_fn(
     codec: str = "varint",
     mode: str = "or",
     m_map: dict[int, int] | None = None,
+    filter_qids: set[int] | None = None,
 ):
     """Tombstones arrive COLOCATED on the posting rows as a ``_del_ids``
     column (dts.delete.join_deletes — per-bucket sorted arrays, joined by
@@ -215,9 +216,14 @@ def _scorer_fn(
             deleted = arr if len(arr) else None
         # ALLOW-list (filter context): unlike tombstones, an empty
         # reassembly means NOTHING in this group's buckets is eligible.
+        # In a fused batch with PER-QUERY filters (``filter_qids``), only
+        # the queries that actually carry a filter context read the
+        # column — the rest see all-null _keep_ids, which must mean
+        # "unfiltered", not "nothing eligible".
         allowed = (
             _bucket_ids(pdf, "_keep_ids")
             if "_keep_ids" in pdf.columns
+            and (filter_qids is None or query_id in filter_qids)
             else None
         )
         # Ascending (term, bucket): fixes the accumulation order AND makes
@@ -590,14 +596,25 @@ def _ids_by_bucket(
     ids_df: DataFrame, bucket_size: int, alias: str
 ) -> DataFrame:
     """(bucket, sorted id array) from a doc_id DataFrame — the colocation
-    shape shared by tombstones (deny) and filter contexts (allow)."""
+    shape shared by tombstones (deny) and filter contexts (allow). When
+    ``ids_df`` carries a ``query_id`` column the arrays are PER-QUERY
+    ((query_id, bucket) keyed — round-5: fused batches where each query
+    has its own filter context, e.g. per-query phrase constraints)."""
+    keys = (
+        ["query_id", "bucket"] if "query_id" in ids_df.columns else ["bucket"]
+    )
+    cols = (
+        [F.col("query_id").cast("long"), F.col("doc_id").cast("long")]
+        if "query_id" in ids_df.columns
+        else [F.col("doc_id").cast("long")]
+    )
     return (
-        ids_df.select(F.col("doc_id").cast("long"))
+        ids_df.select(*cols)
         .distinct()
         .withColumn(
             "bucket", (F.col("doc_id") / F.lit(bucket_size)).cast("long")
         )
-        .groupBy("bucket")
+        .groupBy(*keys)
         .agg(F.sort_array(F.collect_set("doc_id")).alias(alias))
     )
 
@@ -617,11 +634,15 @@ def _score_filtered(
     m_map: dict[int, int] | None = None,
     doc_filter: DataFrame | None = None,
     broadcast_filter: bool = True,
+    filter_qids: set[int] | None = None,
 ) -> DataFrame:
     """Shared scoring tail: join filtered postings with broadcast stats +
     query terms, attach colocated tombstones (when ``index_dir`` has a
     deletes directory) and the optional ALLOW-list filter context, pick
-    the distribution mode, run the per-group scorer."""
+    the distribution mode, run the per-group scorer. A ``doc_filter``
+    carrying a ``query_id`` column is PER-QUERY (joined on (query_id,
+    bucket)); ``filter_qids`` must then name the filtered queries so the
+    rest of the fused batch stays unfiltered."""
     joined = postings.join(F.broadcast(stats), "term").join(
         F.broadcast(qterms), "term"
     )
@@ -629,15 +650,20 @@ def _score_filtered(
         joined = join_deletes(joined, spark, index_dir, meta)
     if doc_filter is not None:
         kb = _ids_by_bucket(doc_filter, meta["bucket_size"], "_keep_ids")
+        fkeys = (
+            ["query_id", "bucket"]
+            if "query_id" in doc_filter.columns
+            else ["bucket"]
+        )
         if broadcast_filter:
             kb = F.broadcast(kb)
-        joined = joined.join(kb, "bucket", "left")
+        joined = joined.join(kb, fkeys, "left")
     n_buckets = -(-meta["n_docs"] // meta["bucket_size"])
     if distribute is None:
         distribute = auto_distribute(n_queries, n_buckets, meta["n_docs"])
     scorer = _scorer_fn(
         meta["n_docs"], meta["avgdl"], k, strategy, meta["block_size"],
-        meta.get("codec", "varint"), mode, m_map,
+        meta.get("codec", "varint"), mode, m_map, filter_qids,
     )
     if distribute == "bucket":
         # Cap group count: per-group applyInPandas overhead is real, so
@@ -674,6 +700,7 @@ def score_expanded_terms(
     broadcast_filter: bool = True,
     mode: str = "or",
     m_map: dict[int, int] | None = None,
+    filter_qids: set[int] | None = None,
 ) -> DataFrame:
     """BM25 top-k for explicit (query_id, term) rows — the multi-term
     rewrite entry point (wildcard/prefix expansion, external synonym sets,
@@ -717,6 +744,7 @@ def score_expanded_terms(
         spark, idx["meta"], postings, stats, qterms, n_queries, k,
         strategy, distribute, index_dir, mode, m_map,
         doc_filter=doc_filter, broadcast_filter=broadcast_filter,
+        filter_qids=filter_qids,
     )
 
 

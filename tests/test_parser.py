@@ -14,7 +14,8 @@ from dts.tokenizer import tokenize_text
 
 def test_parse_query_structure():
     q = parse_query('fast +join -slow "table scan" quer* fuzz~1 -"bad pair"')
-    assert q.score_terms == ["fast", "table", "scan"]
+    assert q.score_terms == ["fast"]
+    assert q.phrase_terms == ["table", "scan"]
     assert q.must == ["join"]
     assert q.must_not == ["slow"]
     assert q.phrases == ["table scan"]
@@ -260,3 +261,132 @@ def test_search_required_wildcard_is_must(spark, p_index, corpus_pd, oracle):
     want = _ranked(oracle, [base] + sorted(exp), eligible)
     got = got.sort_values("rank")
     assert list(got["doc_id"].astype(int)) == [d for d, _ in want]
+
+
+def test_search_scored_phrase_only(spark, p_index, corpus_pd):
+    """phrase_mode='scored' (Lucene PhraseQuery): the phrase scores as
+    ONE clause — tf = per-doc phrase frequency, df = docs containing the
+    phrase — via the shared oracle formula; words do NOT score
+    individually."""
+    from dts.oracle import phrase_bm25_score, phrase_count
+
+    toks3 = tokenize_text(corpus_pd["content"].iloc[3])
+    phrase = f"{toks3[1]} {toks3[2]}"
+    got = (
+        search(spark, p_index, f'"{phrase}"', k=10, phrase_mode="scored")
+        .toPandas()
+        .sort_values("rank")
+    )
+    n_docs = len(corpus_pd)
+    dls = {
+        int(d): len(tokenize_text(t))
+        for d, t in zip(corpus_pd["doc_id"], corpus_pd["content"])
+    }
+    avgdl = float(np.mean(list(dls.values())))
+    tfs = {
+        int(d): phrase_count(t, phrase.split(" "))
+        for d, t in zip(corpus_pd["doc_id"], corpus_pd["content"])
+    }
+    tfs = {d: c for d, c in tfs.items() if c > 0}
+    df = len(tfs)
+    want = sorted(
+        (
+            (d, phrase_bm25_score(n_docs, avgdl, df, c, dls[d]))
+            for d, c in tfs.items()
+        ),
+        key=lambda kv: (-round(kv[1], 9), kv[0]),
+    )[:10]
+    assert list(got["doc_id"].astype(int)) == [d for d, _ in want]
+    assert np.allclose(
+        got["score"].to_numpy(), [s for _, s in want], rtol=0, atol=1e-12
+    )
+
+
+def test_search_scored_phrase_plus_terms(spark, p_index, corpus_pd, oracle):
+    """Mixed scored query: term BM25 + phrase-unit impact, ranked after
+    the combine; eligibility = phrase docs (filter part unchanged)."""
+    from dts.oracle import phrase_bm25_score, phrase_count
+
+    toks3 = tokenize_text(corpus_pd["content"].iloc[3])
+    base = tokenize_text(corpus_pd["content"].iloc[0])[0]
+    phrase = f"{toks3[1]} {toks3[2]}"
+    got = (
+        search(
+            spark, p_index, f'{base} "{phrase}"', k=10, phrase_mode="scored"
+        )
+        .toPandas()
+        .sort_values("rank")
+    )
+    n_docs = len(corpus_pd)
+    dls = {
+        int(d): len(tokenize_text(t))
+        for d, t in zip(corpus_pd["doc_id"], corpus_pd["content"])
+    }
+    avgdl = float(np.mean(list(dls.values())))
+    tfs = {
+        int(d): phrase_count(t, phrase.split(" "))
+        for d, t in zip(corpus_pd["doc_id"], corpus_pd["content"])
+        if phrase_count(t, phrase.split(" ")) > 0
+    }
+    df = len(tfs)
+    term_scores = {
+        d: s for _, d, s in oracle.score_terms([base], topk=10**9)
+    }
+    want = sorted(
+        (
+            (
+                d,
+                term_scores.get(d, 0.0)
+                + phrase_bm25_score(n_docs, avgdl, df, c, dls[d]),
+            )
+            for d, c in tfs.items()
+        ),
+        key=lambda kv: (-round(kv[1], 9), kv[0]),
+    )[:10]
+    assert list(got["doc_id"].astype(int)) == [d for d, _ in want]
+    assert np.allclose(
+        got["score"].to_numpy(), [s for _, s in want], rtol=0, atol=1e-12
+    )
+
+
+def test_search_batch_phrases_fused_one_positional_job(
+    spark, p_index, corpus_pd
+):
+    """Round-5 verdict #5: a batch mixing phrase-free, required-phrase and
+    negated-phrase queries fuses — results equal per-query search, and the
+    phrase constraints resolve through ONE phrase_match_counts table."""
+    from dts.parser import search_batch
+
+    toks0 = tokenize_text(corpus_pd["content"].iloc[0])
+    toks3 = tokenize_text(corpus_pd["content"].iloc[3])
+    toks7 = tokenize_text(corpus_pd["content"].iloc[7])
+    qs = [
+        f"{toks0[0]} {toks0[1]}",
+        f'{toks0[0]} "{toks3[1]} {toks3[2]}"',
+        f'{toks0[0]} -"{toks7[0]} {toks7[1]}"',
+        f'"{toks3[1]} {toks3[2]}" +{toks0[0]}',
+    ]
+    import pandas as pd
+
+    for mode in ("filter", "scored"):
+        batch = (
+            search_batch(spark, p_index, qs, k=10, phrase_mode=mode)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        singles = []
+        for i, s in enumerate(qs):
+            one = search(spark, p_index, s, k=10, phrase_mode=mode).toPandas()
+            one["query_id"] = i
+            singles.append(one)
+        want = (
+            pd.concat(singles, ignore_index=True)
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        cols = ["query_id", "doc_id", "rank"]
+        assert batch[cols].values.tolist() == want[cols].values.tolist(), mode
+        assert np.allclose(
+            batch["score"], want["score"], rtol=0, atol=0
+        ), mode
