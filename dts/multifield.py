@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from dts.index_build import build_index, load_meta
 from dts.score_index import (
+    MAX_ISIN_TERMS,
     ROUND_RANK,
     TOPK_SCHEMA,
     bm25_shard_candidates,
@@ -41,6 +42,227 @@ from dts.score_index import (
     scoring_shards,
     topk_merge_global,
 )
+
+
+def _fused_scorer(field_stats: dict, k: int, strategy: str):
+    """Per-(query, shard) kernel scoring ALL fields in one pass — the
+    round-5 fused path: no full-candidate emission, no cross-field agg
+    stage; the group emits its local top-k directly (exact: a doc's whole
+    multi-field score lives in its one bucket shard because sub-indexes
+    share doc_ids and bucket geometry).
+
+    - ``taat``: per-field accumulation in ascending (term, bucket) order,
+      per-field tombstone masking, then Σ_field boost·acc in sorted field
+      order — bit-identical to the candidates+hash-agg path for ≤2 fields
+      (two-addend IEEE754 sums commute), rank-identical always.
+    - ``bmw``: one block-max WAND walk over ALL fields' cursors — weight
+      = boost·idf, per-cursor avgdl and tombstones (dts.wand round-5
+      extension); the skipping the candidates path structurally cannot do
+      (it must emit every candidate). Rank-identical at the round-9 key.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from dts.codec import PackedPostings, decode_postings
+    from dts.score import B, K1
+    from dts.wand import bmw_topk
+
+    def _bucket_ids(g: pd.DataFrame, col: str):
+        per: dict[int, np.ndarray] = {}
+        for b, a in zip(g["bucket"], g[col]):
+            if a is not None and int(b) not in per:
+                arr = np.asarray(a, dtype=np.int64)
+                if len(arr):
+                    per[int(b)] = arr
+        if not per:
+            return None
+        return np.concatenate([per[b] for b in sorted(per)])
+
+    def _pack(g: pd.DataFrame, i: int, st: dict) -> PackedPostings:
+        return PackedPostings(
+            n=int(g["n"].iat[i]),
+            doc_blob=bytes(g["doc_blob"].iat[i]),
+            tf_blob=bytes(g["tf_blob"].iat[i]),
+            dl_blob=bytes(g["dl_blob"].iat[i]),
+            block_last_doc=np.asarray(g["block_last_doc"].iat[i], dtype=np.int64),
+            block_max_impact=np.asarray(g["block_max_impact"].iat[i], dtype=np.float64),
+            doc_offs=np.asarray(g["doc_offs"].iat[i], dtype=np.int32),
+            tf_offs=np.asarray(g["tf_offs"].iat[i], dtype=np.int32),
+            dl_offs=np.asarray(g["dl_offs"].iat[i], dtype=np.int32),
+            block_size=st["block_size"],
+            codec=st["codec"],
+        )
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        query_id = int(pdf["query_id"].iloc[0])
+        if strategy == "bmw":
+            packs = []
+            for f_name in sorted(field_stats):
+                g = pdf[pdf["field"] == f_name]
+                if not len(g):
+                    continue
+                st = field_stats[f_name]
+                g = g.sort_values(["term", "bucket"], kind="mergesort")
+                dead = (
+                    _bucket_ids(g, "_del_ids")
+                    if "_del_ids" in g.columns
+                    else None
+                )
+                dfv = g["df"].to_numpy(np.float64)
+                idf = np.log(1.0 + (st["n_docs"] - dfv + 0.5) / (dfv + 0.5))
+                for i in range(len(g)):
+                    packs.append(
+                        (
+                            f"{f_name}:{g['term'].iat[i]}",
+                            st["boost"] * float(idf[i]),
+                            _pack(g, i, st),
+                            st["avgdl"],
+                            dead,
+                        )
+                    )
+            ranked = bmw_topk(packs, k, avgdl=0.0)
+            docs_out = np.array([d for d, _ in ranked], dtype=np.int64)
+            scores_out = np.array([s for _, s in ranked], dtype=np.float64)
+        else:
+            parts = []
+            for f_name in sorted(field_stats):
+                g = pdf[pdf["field"] == f_name]
+                if not len(g):
+                    continue
+                st = field_stats[f_name]
+                g = g.sort_values(["term", "bucket"], kind="mergesort")
+                dfv = g["df"].to_numpy(np.float64)
+                idf = np.log(1.0 + (st["n_docs"] - dfv + 0.5) / (dfv + 0.5))
+                docs_parts, contrib_parts = [], []
+                for i in range(len(g)):
+                    d, tf, dl = decode_postings(_pack(g, i, st))
+                    docs_parts.append(d)
+                    impact = (
+                        tf * (K1 + 1.0)
+                        / (tf + K1 * (1.0 - B + B * dl / st["avgdl"]))
+                    )
+                    contrib_parts.append(float(idf[i]) * impact)
+                if not docs_parts:
+                    continue
+                uniq_f = np.unique(np.concatenate(docs_parts))
+                acc_f = np.zeros(len(uniq_f), dtype=np.float64)
+                for d, c in zip(docs_parts, contrib_parts):
+                    acc_f[np.searchsorted(uniq_f, d)] += c
+                dead = (
+                    _bucket_ids(g, "_del_ids")
+                    if "_del_ids" in g.columns
+                    else None
+                )
+                if dead is not None:
+                    live = ~np.isin(uniq_f, dead, assume_unique=True)
+                    uniq_f, acc_f = uniq_f[live], acc_f[live]
+                if len(uniq_f):
+                    parts.append((uniq_f, st["boost"] * acc_f))
+            if not parts:
+                return pd.DataFrame(
+                    columns=["query_id", "doc_id", "score"]
+                ).astype(
+                    {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+                )
+            union = parts[0][0]
+            for u, _ in parts[1:]:
+                union = np.union1d(union, u)
+            total = np.zeros(len(union), dtype=np.float64)
+            for u, a in parts:
+                total[np.searchsorted(union, u)] += a
+            key = np.round(total, ROUND_RANK)
+            order = np.lexsort((union, -key))[:k]
+            docs_out = union[order].astype(np.int64)
+            scores_out = total[order]
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(docs_out), query_id, dtype=np.int64),
+                "doc_id": docs_out,
+                "score": scores_out,
+            }
+        )
+
+    return score_group
+
+
+def _fused_bucket_topk(
+    spark: SparkSession,
+    out_dir: str,
+    per_field: dict[str, list[tuple[int, str, int]]],
+    fields: dict[str, float],
+    sub_metas: dict[str, dict],
+    k: int,
+    strategy: str,
+    n_shards: int,
+) -> DataFrame:
+    """One mapInPandas pass per (query, shard) over the UNION of every
+    field's pruned posting rows — emits k rows per group instead of the
+    full candidate set, and skips the cross-field hash-agg entirely."""
+    import pandas as pd
+
+    from dts.delete import has_deletes, join_deletes
+    from dts.score_index import _prepare_query_scan, load_index
+
+    field_stats: dict[str, dict] = {}
+    legs = []
+    for f_name, qrows in sorted(per_field.items()):
+        sub_dir = f"{out_dir}/field={f_name}"
+        idx = load_index(spark, sub_dir)
+        meta = sub_metas[f_name]
+        field_stats[f_name] = {
+            "n_docs": float(meta["n_docs"]),
+            "avgdl": float(meta["avgdl"]),
+            "boost": float(fields[f_name]),
+            "block_size": meta["block_size"],
+            "codec": meta.get("codec", "varint"),
+        }
+        sub_q = spark.createDataFrame(
+            qrows, "query_id long, text string, fuzzy_k int"
+        )
+        prep = _prepare_query_scan(
+            spark, idx, sub_dir, sub_q, MAX_ISIN_TERMS, need_count=False
+        )
+        if prep is None:
+            continue
+        postings, stats, qterms, _, _ = prep
+        joined = postings.join(F.broadcast(stats), "term").join(
+            F.broadcast(qterms), "term"
+        )
+        if has_deletes(sub_dir):
+            joined = join_deletes(joined, spark, sub_dir, meta)
+        else:
+            joined = joined.withColumn(
+                "_del_ids", F.lit(None).cast("array<bigint>")
+            )
+        legs.append(joined.withColumn("field", F.lit(f_name)))
+    if not legs:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    union = legs[0]
+    for leg in legs[1:]:
+        union = union.unionByName(leg)
+    union = union.withColumn(
+        "shard", F.pmod(F.col("bucket"), F.lit(n_shards)).cast("int")
+    )
+    scorer = _fused_scorer(field_stats, k, strategy)
+    n_parts = max(1, 2 * spark.sparkContext.defaultParallelism)
+    src = union.repartition(n_parts, "query_id", "shard")
+
+    def score_partition(batches):
+        import numpy as np  # noqa: F401
+
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        for _, g in pdf.groupby(["query_id", "shard"], sort=False):
+            yield scorer(g)
+
+    local = src.mapInPandas(
+        score_partition, "query_id long, doc_id long, score double"
+    )
+    return topk_merge_global(local, k).select(
+        "query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank")
+    )
 
 
 def build_multifield_index(
@@ -154,7 +376,26 @@ def bm25_topk_multifield(
     any_meta = next(iter(sub_metas.values()))
     n_buckets = -(-any_meta["n_docs"] // any_meta["bucket_size"])
     if distribute is None:
-        distribute = "bucket" if n_buckets >= 32 else "query"
+        distribute = "fused" if n_buckets >= 32 else "query"
+
+    if distribute == "fused":
+        # Round-5 (verdict #6 / ROADMAP #4): score every field in ONE
+        # kernel per (query, shard) — k rows out per group instead of the
+        # full candidate set, no cross-field agg stage, and with
+        # strategy='bmw' a single block-max WAND walk across all fields'
+        # cursors (per-cursor boost·idf weight, avgdl, tombstones).
+        if strategy == "bmw":
+            for f_name, m in sub_metas.items():
+                if not m.get("bmw_safe", True):
+                    raise ValueError(
+                        f"bmw strategy unavailable: sub-index field="
+                        f"{f_name} has stale block maxima; use 'taat' or "
+                        "compact"
+                    )
+        return _fused_bucket_topk(
+            spark, out_dir, per_field, fields, sub_metas, k, strategy,
+            scoring_shards(any_meta, spark.sparkContext.defaultParallelism),
+        )
 
     if distribute == "bucket":
         n_shards = scoring_shards(

@@ -29,10 +29,23 @@ ROUND_RANK = 9
 class _Cursor:
     __slots__ = (
         "term", "idf", "p", "n_blocks", "bi", "docs", "tfs", "dls",
-        "pos", "ub",
+        "pos", "ub", "avgdl", "dead",
     )
 
-    def __init__(self, term: str, idf: float, p: PackedPostings):
+    def __init__(
+        self,
+        term: str,
+        idf: float,
+        p: PackedPostings,
+        avgdl: float | None = None,
+        dead: np.ndarray | None = None,
+    ):
+        # ``avgdl`` / ``dead`` override the query-global values per cursor
+        # — the fused MULTIFIELD path (round 5): each field's cursors
+        # carry their own sub-index statistics and tombstones (weight
+        # already folds in the field boost: w = boost · idf).
+        self.avgdl = avgdl
+        self.dead = dead if dead is not None and len(dead) else None
         self.term = term
         self.idf = idf
         self.p = p
@@ -113,7 +126,9 @@ def bmw_topk(
     if allowed is not None and not len(allowed):
         return []
     cursors = [
-        _Cursor(t, w, p) for t, w, p in term_postings if p.n > 0
+        _Cursor(tp[0], tp[1], tp[2], *tp[3:])
+        for tp in term_postings
+        if tp[2].n > 0
     ]
     cursors = [c for c in cursors if not c.exhausted()]
     heap: list[tuple[float, int]] = []  # (round9 score, -doc_id), min-heap
@@ -158,17 +173,28 @@ def bmw_topk(
             block_ub = sum(c.block_ub() for c in contributors)
             if not is_excluded and block_ub >= th - eps:
                 # Score fully — ascending term order for bit-identity.
+                # Per-cursor tombstones (fused multifield): a doc deleted
+                # in ONE field only loses that field's contribution; a doc
+                # with no live contributor is never emitted.
                 contributors.sort(key=lambda c: c.term)
                 s = 0.0
+                any_live = False
                 for c in contributors:
+                    if c.dead is not None:
+                        di = int(np.searchsorted(c.dead, pivot_doc))
+                        if di < len(c.dead) and c.dead[di] == pivot_doc:
+                            continue
+                    any_live = True
                     s += c.idf * _impact(
-                        float(c.tfs[c.pos]), float(c.dls[c.pos]), avgdl, k1, b
+                        float(c.tfs[c.pos]), float(c.dls[c.pos]),
+                        c.avgdl if c.avgdl is not None else avgdl, k1, b,
                     )
                 key = (round(s, ROUND_RANK), -pivot_doc)
-                if len(heap) < k:
-                    heapq.heappush(heap, (key[0], key[1], pivot_doc, s))
-                elif (key[0], key[1]) > (heap[0][0], heap[0][1]):
-                    heapq.heapreplace(heap, (key[0], key[1], pivot_doc, s))
+                if any_live:
+                    if len(heap) < k:
+                        heapq.heappush(heap, (key[0], key[1], pivot_doc, s))
+                    elif (key[0], key[1]) > (heap[0][0], heap[0][1]):
+                        heapq.heapreplace(heap, (key[0], key[1], pivot_doc, s))
             for c in contributors:
                 c.advance()
         else:

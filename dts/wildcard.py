@@ -82,8 +82,12 @@ def _constant_score_topk(
     from pyspark.sql import Window
 
     docs = _match_docs_from_expansion(
-        spark, index_dir, expanded, terms=None, max_isin_terms=max_isin_terms
+        spark, index_dir, expanded, terms=None, max_isin_terms=max_isin_terms,
+        per_group_limit=k,
     )
+    # per_group_limit=k: each (query, bucket-shard) group emits only its
+    # k smallest doc_ids (docs decode bucket-ordered), so this window
+    # ranks k×shards rows — not the full corpus-scale hit set.
     w = Window.partitionBy("wq_id").orderBy(F.col("doc_id").asc())
     return (
         docs.withColumn("rank", F.row_number().over(w))
@@ -561,9 +565,14 @@ def _match_docs_from_expansion(
     expanded: DataFrame,
     terms: list[str] | None,
     max_isin_terms: int = MAX_ISIN_TERMS,
+    per_group_limit: int | None = None,
 ) -> DataFrame:
     """Shared constant-score tail: (wq_id, term) expansion → distinct
-    (wq_id, doc_id) via per-(query, bucket-shard) decode+union."""
+    (wq_id, doc_id) via per-(query, bucket-shard) decode+union.
+    ``per_group_limit``: emit only each group's N smallest doc_ids —
+    exact for a global smallest-N merge (groups cover disjoint doc
+    ranges), the top-k early-termination the scored kernel gets from its
+    heap."""
     import numpy as np
     import pandas as pd
 
@@ -609,6 +618,8 @@ def _match_docs_from_expansion(
             )
             parts.append(decode_postings(p)[0])
         docs = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+        if per_group_limit is not None:
+            docs = docs[:per_group_limit]
         return pd.DataFrame(
             {
                 "wq_id": np.full(len(docs), wq_id, dtype=np.int64),
