@@ -18,6 +18,10 @@ Prints ONE JSON line: {"metric", "value" (total sec), "unit": "sec",
   filtered_batch40 40 queries through a 1/3-corpus filter context — round 4
   mlt_batch8       8-seed more-like-this (term vectors from postings)
   suggest_batch8   8 misspelled inputs → did-you-mean ranking
+  parser_phrase8   8 fused query strings with quoted phrases — round 5
+  phrase_scored8   same batch, Lucene PhraseQuery-scored phrases
+  mf_build         2-field multifield index build (text + source)
+  search_fields16  16 field-scoped query strings (fused one-pass kernel)
   delete_compact   tombstone 1% of docs + compaction re-encode
 
 The N-vs-4N scaling evidence lives in scripts/scaling_bench.py → BENCH/.
@@ -213,6 +217,51 @@ def main() -> None:
     stage(
         "suggest_batch8",
         lambda: suggest_terms(spark, idx_dir, sug, max_k=2, n=5).count(),
+    )
+
+    # Round-5 stages: fused phrase batches through the query-string parser
+    # (filter + PhraseQuery-scored modes — one positional job + one
+    # scoring job per batch), and the unified multifield grammar over a
+    # 2-field index (fused one-pass kernel).
+    from dts.multifield import build_multifield_index
+    from dts.parser import search_batch, search_fields
+
+    phrase_qs = [
+        f'{vocab[(i * 7) % len(vocab)]} +{vocab[(i * 7 + 1) % len(vocab)]} '
+        f'"{phrases[i % len(phrases)][1]}"'
+        for i in range(8)
+    ]
+    stage(
+        "parser_phrase8",
+        lambda: search_batch(spark, pos_idx_dir, phrase_qs, k=10).count(),
+    )
+    stage(
+        "phrase_scored8",
+        lambda: search_batch(
+            spark, pos_idx_dir, phrase_qs, k=10, phrase_mode="scored"
+        ).count(),
+    )
+    mf_dir = tempfile.mkdtemp(prefix="dts_bench_mf_")
+    stage(
+        "mf_build",
+        lambda: build_multifield_index(
+            spark,
+            d.select("doc_id", F.col("text"), "source"),
+            mf_dir,
+            {"text": 1.0, "source": 0.5},
+            bucket_size=2048,
+        ),
+    )
+    mf_qs = [
+        f"source:src{i % 10} +{vocab[(i * 5) % len(vocab)]} "
+        f"{vocab[(i * 13 + 1) % len(vocab)]}"
+        for i in range(16)
+    ]
+    stage(
+        "search_fields16",
+        lambda: search_fields(
+            spark, mf_dir, mf_qs, k=10, default_field="text"
+        ).count(),
     )
 
     def _delete_compact() -> None:
