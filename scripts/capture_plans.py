@@ -285,6 +285,67 @@ def main() -> None:
         )
     )
 
+    sections.append(
+        (
+            "Multifield FUSED kernel (round 5, final AQE plan)",
+            "One mapInPandas pass per (query, bucket-shard) over the UNION "
+            "of every field's pruned posting rows — k rows out per group; "
+            "the per-field full-candidate emission and the cross-field hash "
+            "agg of the round-4 plan are gone. The only aggregation left "
+            "after the kernel is the tiny k×shards global merge window.",
+            plan_of(
+                bm25_topk_multifield(spark, mf_dir, mfq, k=5, distribute="fused"),
+                executed=True,
+            ),
+        )
+    )
+    from dts.parser import search_fields
+
+    sections.append(
+        (
+            "Unified field-scoped query string (round 5, search_fields)",
+            "Cross-field MUST through the flags-candidates stage: one "
+            "mapInPandas job per field emitting (score, req, excl) per doc, "
+            "a hash agg per (query, shard, doc) enforcing the boolean "
+            "algebra, shard-local top-k windows, global merge. No per-clause "
+            "doc-set jobs anywhere in the plan.",
+            plan_of(
+                search_fields(
+                    spark, mf_dir, ["path:doc +fast scan"], k=5,
+                    default_field="content",
+                ),
+                executed=True,
+            ),
+        )
+    )
+    import numpy as np
+
+    from dts.similarity import _ivf_centroids, ivf_assign_udf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    crows = _ivf_centroids(e, 8, "ivf").collect()
+    assigned = e.withColumn(
+        "c_id",
+        ivf_assign_udf(
+            np.array([r["c_id"] for r in crows], dtype=np.int64),
+            np.array([r["c"] for r in crows], dtype=np.float64),
+        )(F.col("v")),
+    )
+    sections.append(
+        (
+            "Map-side IVF assignment (round 5)",
+            "Assignment is one pandas UDF (ArrowEvalPython) directly over "
+            "the embeddings scan — no crossJoin row expansion, no Window, "
+            "no Exchange (the round-4 plan shuffled n_vectors × n_centroids "
+            "rows through a per-vector row_number sort).",
+            plan_of(assigned),
+        )
+    )
+
     with open(f"{REPO}/PLANS.md", "w") as f:
         f.write("# PLANS — captured physical plans of the hot paths\n\n")
         f.write(
