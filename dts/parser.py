@@ -188,32 +188,36 @@ def search_batch(
 ) -> DataFrame:
     """Batched ranked search: query_id = position in ``queries``.
 
-    EVERYTHING fuses (round-5 verdict #5 — no more per-query fallback
-    for phrase queries): all queries' role-typed clause rows share one
-    qterms table and per-query m_map; ALL phrase constraints across the
-    batch resolve in ONE positional job (phrase_match_counts takes a
-    multi-row phrase table), per-query allow/deny sets reach the scorer
-    as a (query_id, bucket)-keyed filter context; negative-phrase-only
-    queries anchor on their scoring terms' candidate union via ONE
-    wildcard_match_docs call. A phrase-free batch costs one Spark job;
-    a phrase-carrying batch costs one positional job + one scoring job.
+    EVERYTHING fuses into ONE scoring job (round-5): all queries'
+    role-typed clause rows share one qterms table and per-query m_map,
+    and every phrase constraint across the batch becomes a SYNTHETIC
+    CLAUSE ROW (dts.phrase.phrase_syn_rows): one positional job resolves
+    all phrases, the matches are reshaped into per-(phrase, bucket)
+    doc/tf/dl arrays and unioned with the real posting rows, and the
+    scoring kernel enforces the phrase algebra through the same clause
+    intersection it already runs for ``+term`` — a required phrase is one
+    more role-1 clause (m_map counts it), an excluded phrase one more
+    role-2 doc set. No allow-list join, no anchor job, no re-rank stage:
+    a phrase-free batch costs one Spark job; a phrase-carrying batch one
+    positional job feeding the one scoring job.
 
     ``phrase_mode``:
     - ``"filter"`` (default, the round-4 documented semantic): a quoted
-      phrase is a match REQUIREMENT; its words score individually.
+      phrase is a match REQUIREMENT; its words score individually (the
+      phrase's synthetic row is membership-only — zero contribution).
+      Identical ranked set to the pre-fusion allow-list: every
+      phrase-matching doc contains the phrase's words, which are scoring
+      clauses here, so clause intersection and allow-masking agree.
     - ``"scored"`` (Lucene PhraseQuery parity, round-5 verdict #4): the
-      phrase scores AS A UNIT — one clause with tf = per-doc phrase
-      frequency and df = docs containing the phrase, the exact BM25
-      formula (spec dts.oracle.phrase_bm25_score) — and its words do NOT
-      individually score; the match requirement is unchanged. Queries
-      with required phrases re-rank after adding the phrase impacts
-      (full candidates over the phrase-filtered doc set, which the
-      phrase constraint already bounds)."""
-    from dts.score_index import (
-        ROUND_RANK,
-        TOPK_SCHEMA,
-        score_expanded_terms,
-    )
+      phrase scores AS A UNIT — its synthetic row carries tf = per-doc
+      phrase frequency and df = docs containing the phrase, the exact
+      BM25 formula (spec dts.oracle.phrase_bm25_score) — and its words
+      do NOT individually score; the match requirement is unchanged.
+      Phrase-only-matching docs stay eligible exactly when the query has
+      no other required clause (the intersection is then the phrase's
+      own doc set)."""
+    from dts.phrase import phrase_syn_rows
+    from dts.score_index import TOPK_SCHEMA, score_expanded_terms
 
     if phrase_mode not in ("filter", "scored"):
         raise ValueError(f"unknown phrase_mode {phrase_mode!r}")
@@ -221,6 +225,10 @@ def search_batch(
     parsed = [parse_query(t) for t in queries]
     rows_by_q: dict[int, list[tuple[int, int, int, str]]] = {}
     m_map: dict[int, int] = {}
+    # (phrase_id, query_id, clause, role, scored, text): phrase clause ids
+    # start at q.n_required — after the required term/fuzzy/wildcard
+    # clauses, never colliding.
+    ph_meta: list[tuple[int, int, int, int, int, str]] = []
     for qid, q in enumerate(parsed):
         rows = _clause_rows(
             spark, index_dir, q, qid, max_clauses,
@@ -232,247 +240,31 @@ def search_batch(
             if not (scored_phrases and q.phrases):
                 continue
         rows_by_q[qid] = rows
-        m_map[qid] = q.n_required
+        m_map[qid] = q.n_required + len(q.phrases)
+        next_clause = q.n_required
+        for ph in q.phrases:
+            ph_meta.append(
+                (len(ph_meta), qid, next_clause, 1,
+                 1 if scored_phrases else 0, ph)
+            )
+            next_clause += 1
+        for ph in q.not_phrases:
+            ph_meta.append((len(ph_meta), qid, -2, 2, 0, ph))
     if not rows_by_q:
         return spark.createDataFrame([], TOPK_SCHEMA)
-
-    # ---- fused phrase resolution: ONE positional job for the batch ----
-    req_ph = [
-        (qid, ph)
-        for qid, q in enumerate(parsed)
-        if qid in rows_by_q
-        for ph in q.phrases
-    ]
-    neg_ph = [
-        (qid, ph)
-        for qid, q in enumerate(parsed)
-        if qid in rows_by_q
-        for ph in q.not_phrases
-    ]
-    allow = None            # (query_id, doc_id) per-query filter context
-    filter_qids: set[int] = set()
-    req_matches = None      # (query_id, phrase_id, doc_id[, n, dl]) + dfreq
-    dfreq = None
-    if req_ph or neg_ph:
-        all_ph = req_ph + neg_ph
-        ph_df = spark.createDataFrame(
-            [(pid, ph) for pid, (_, ph) in enumerate(all_ph)],
-            "phrase_id long, text string",
-        )
-        from dts.phrase import phrase_match_counts
-
-        pm = phrase_match_counts(
-            spark, index_dir, ph_df, with_dl=scored_phrases
-        )
-        req_ids = list(range(len(req_ph)))
-        neg_ids = list(range(len(req_ph), len(all_ph)))
-        qmap = spark.createDataFrame(
-            [(pid, qid) for pid, (qid, _) in enumerate(all_ph)],
-            "phrase_id long, query_id long",
-        )
-        parts = []
-        req_qids = {qid for qid, _ in req_ph}
-        if req_ids:
-            req_matches = pm.filter(
-                F.col("phrase_id").isin(req_ids)
-            ).join(F.broadcast(qmap), "phrase_id")
-            if scored_phrases:
-                # df per phrase over ALL matching docs (full-corpus
-                # Lucene docFreq), computed once from the same match rows.
-                dfreq = pm.filter(F.col("phrase_id").isin(req_ids)).groupBy(
-                    "phrase_id"
-                ).agg(F.count("*").alias("df"))
-            np_df = spark.createDataFrame(
-                [
-                    (q, sum(1 for qq, _ in req_ph if qq == q))
-                    for q in req_qids
-                ],
-                "query_id long, np_target int",
-            )
-            parts.append(
-                req_matches.groupBy("query_id", "doc_id")
-                .agg(F.countDistinct("phrase_id").alias("np"))
-                .join(F.broadcast(np_df), "query_id")
-                .filter(F.col("np") == F.col("np_target"))
-                .select("query_id", "doc_id")
-            )
-            filter_qids |= req_qids
-        # Negative-phrase-only queries anchor on their scoring terms'
-        # candidate union — one fused constant-score job.
-        anchor_qids = sorted(
-            {qid for qid, _ in neg_ph} - req_qids
-        )
-        if anchor_qids:
-            from dts.wildcard import wildcard_match_docs
-
-            pat_rows = [
-                (qid, t)
-                for qid in anchor_qids
-                for t in sorted(
-                    {t for _, _, role, t in rows_by_q[qid] if role != 2}
-                )
-            ]
-            if pat_rows:
-                anchor = wildcard_match_docs(
-                    spark, index_dir,
-                    spark.createDataFrame(
-                        pat_rows, "wq_id long, pattern string"
-                    ),
-                ).select(F.col("wq_id").alias("query_id"), "doc_id")
-                parts.append(anchor)
-                filter_qids |= set(anchor_qids)
-        if parts:
-            allow = parts[0]
-            for p in parts[1:]:
-                allow = allow.unionByName(p)
-            if neg_ids:
-                neg_docs = (
-                    pm.filter(F.col("phrase_id").isin(neg_ids))
-                    .join(F.broadcast(qmap), "phrase_id")
-                    .select("query_id", "doc_id")
-                    .distinct()
-                )
-                allow = allow.join(
-                    neg_docs, ["query_id", "doc_id"], "left_anti"
-                )
-
-    # ---- scoring ----
-    def _score(qids: set[int], kk: int) -> DataFrame | None:
-        rows = [r for qid in sorted(qids) for r in rows_by_q[qid]]
-        if not rows:
-            return None
-        qterms = spark.createDataFrame(
-            rows, "query_id long, clause int, role int, term string"
-        )
-        dfilt = None
-        fq = filter_qids & qids
-        if allow is not None and fq:
-            dfilt = allow.filter(F.col("query_id").isin(sorted(fq)))
-        return score_expanded_terms(
-            spark, index_dir, qterms, n_queries=len(qids), k=kk,
-            strategy=strategy, distribute=distribute,
-            mode="mixed", m_map=m_map,
-            doc_filter=dfilt, broadcast_filter=broadcast_filter,
-            filter_qids=fq if dfilt is not None else None,
-        )
-
-    live = set(rows_by_q)
-    if not scored_phrases or req_matches is None:
-        out = _score(live, k)
-        return out if out is not None else spark.createDataFrame([], TOPK_SCHEMA)
-
-    # scored phrases: queries WITH required phrases need full candidates
-    # + a re-rank after adding the phrase-unit impacts; the rest keep
-    # their in-job top-k.
-    from dts.score import B, K1
-    from dts.score_index import load_index
-
-    meta = load_index(spark, index_dir)["meta"]
-    p_qids = {qid for qid, _ in req_ph}
-    out_parts = []
-    plain = _score(live - p_qids, k)
-    if plain is not None:
-        out_parts.append(plain)
-    # Per-(query, doc) phrase impact sum, allow-masked (deny phrases and
-    # cross-phrase conjunction already applied to ``allow``).
-    n_docs, avgdl = float(meta["n_docs"]), float(meta["avgdl"])
-    psc = (
-        req_matches.join(F.broadcast(dfreq), "phrase_id")
-        .join(allow, ["query_id", "doc_id"], "left_semi")
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum(
-                F.log(
-                    F.lit(1.0)
-                    + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                )
-                * (
-                    F.col("n_matches").cast("double") * F.lit(K1 + 1.0)
-                    / (
-                        F.col("n_matches").cast("double")
-                        + F.lit(K1)
-                        * (
-                            F.lit(1.0 - B)
-                            + F.lit(B)
-                            * F.col("dl").cast("double")
-                            / F.lit(avgdl)
-                        )
-                    )
-                )
-            ).alias("pscore")
-        )
+    syn = phrase_syn_rows(
+        spark, index_dir, ph_meta, with_dl=scored_phrases
     )
-    term_full = _score(p_qids, 2**62)
-    if term_full is not None:
-        term_full = term_full.drop("rank")
-    # Docs matching the phrase but NONE of the query's other scoring
-    # terms are still eligible when the query has no required TERM
-    # clause (m == 0) and no term exclusion hits them; with m > 0 the
-    # required-term intersection already bounds eligibility to term_full.
-    m_zero = {q for q in p_qids if m_map[q] == 0}
-    excl_terms = {
-        q: sorted({t for _, _, role, t in rows_by_q[q] if role == 2})
-        for q in m_zero
-    }
-    psc_only_qids = sorted(m_zero)
-    parts2 = []
-    if term_full is not None:
-        joined = term_full.join(
-            psc, ["query_id", "doc_id"], "left"
-        ).select(
-            "query_id", "doc_id",
-            (F.col("score") + F.coalesce("pscore", F.lit(0.0))).alias("score"),
-        )
-        parts2.append(joined)
-    if psc_only_qids:
-        extra = psc.filter(F.col("query_id").isin(psc_only_qids))
-        if term_full is not None:
-            extra = extra.join(
-                term_full.select("query_id", "doc_id"),
-                ["query_id", "doc_id"], "left_anti",
-            )
-        excl_rows = [
-            (q, t) for q in psc_only_qids for t in excl_terms[q]
-        ]
-        if excl_rows:
-            from dts.wildcard import wildcard_match_docs
-
-            ex_docs = wildcard_match_docs(
-                spark, index_dir,
-                spark.createDataFrame(excl_rows, "wq_id long, pattern string"),
-            ).select(F.col("wq_id").alias("query_id"), "doc_id")
-            extra = extra.join(
-                ex_docs, ["query_id", "doc_id"], "left_anti"
-            )
-        parts2.append(
-            extra.select(
-                "query_id", "doc_id", F.col("pscore").alias("score")
-            )
-        )
-    if parts2:
-        total = parts2[0]
-        for p in parts2[1:]:
-            total = total.unionByName(p)
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("query_id").orderBy(
-            F.round(F.col("score"), ROUND_RANK).desc(), F.col("doc_id").asc()
-        )
-        out_parts.append(
-            total.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(
-                "query_id", "doc_id", "score",
-                F.col("rank").cast("int").alias("rank"),
-            )
-        )
-    if not out_parts:
-        return spark.createDataFrame([], TOPK_SCHEMA)
-    out = out_parts[0]
-    for p in out_parts[1:]:
-        out = out.unionByName(p)
-    return out
+    rows = [r for qid in sorted(rows_by_q) for r in rows_by_q[qid]]
+    qterms = spark.createDataFrame(
+        rows, "query_id long, clause int, role int, term string"
+    )
+    return score_expanded_terms(
+        spark, index_dir, qterms, n_queries=len(rows_by_q), k=k,
+        strategy=strategy, distribute=distribute, mode="mixed",
+        m_map=m_map, broadcast_filter=broadcast_filter,
+        all_terms=sorted({t for *_, t in rows}), syn_rows=syn,
+    )
 
 
 def _expand_fuzzy_pairs(

@@ -273,6 +273,97 @@ def phrase_match_counts(
     return mask_deleted_rows(out, spark, index_dir, meta)
 
 
+def phrase_syn_rows(
+    spark: SparkSession,
+    index_dir: str,
+    ph_meta: list[tuple[int, int, int, int, int, str]],
+    with_dl: bool,
+    max_isin_terms: int = MAX_ISIN_TERMS,
+) -> DataFrame | None:
+    """Synthetic clause rows for the FUSED phrase path (round 5): resolve
+    every phrase constraint of a search batch in one positional job and
+    reshape the matches into rows the BM25 scoring kernel unions with the
+    real posting rows — (query_id, clause, role, term, bucket, n, df,
+    _syn_ids, _syn_tfs, _syn_dls), arrays per (phrase, bucket) so each
+    scoring group (query- or shard-keyed) reassembles exactly its own
+    buckets' phrase matches, like tombstones and filter contexts.
+
+    ``ph_meta``: (phrase_id, query_id, clause, role, scored, text) rows —
+    role 1 = required phrase clause (counts toward the query's m target),
+    role 2 = excluded; ``scored`` = 1 makes the phrase score as a unit
+    (tf = per-doc phrase count, df = docs containing the phrase — Lucene
+    PhraseQuery), 0 makes it membership-only (zero contribution).
+
+    The positional matcher output is consumed ONCE: per-bucket arrays come
+    from one groupBy and the phrase df from a window sum of the per-bucket
+    match counts over that same aggregate (the pre-fusion design re-ran
+    the positional intersection for the df aggregate and again for the
+    score join). Arrays are bounded by bucket_size docs. Term names carry
+    SYN_TERM_PREFIX so they sort after every real token (fixed
+    accumulation order, see dts.score_index)."""
+    from pyspark.sql import Window
+
+    from dts.score_index import SYN_TERM_PREFIX
+
+    if not ph_meta:
+        return None
+    meta = load_index(spark, index_dir)["meta"]
+    ph_df = spark.createDataFrame(
+        [(pid, text) for pid, _, _, _, _, text in ph_meta],
+        "phrase_id long, text string",
+    )
+    pm = phrase_match_counts(
+        spark, index_dir, ph_df, max_isin_terms, with_dl=with_dl
+    )
+    struct_cols = [F.col("doc_id"), F.col("n_matches")] + (
+        [F.col("dl")] if with_dl else []
+    )
+    agg = (
+        pm.withColumn(
+            "bucket",
+            (F.col("doc_id") / F.lit(meta["bucket_size"])).cast("long"),
+        )
+        .groupBy("phrase_id", "bucket")
+        .agg(F.sort_array(F.collect_list(F.struct(*struct_cols))).alias("s"))
+        .select(
+            "phrase_id",
+            "bucket",
+            F.transform("s", lambda x: x["doc_id"]).alias("_syn_ids"),
+            F.transform("s", lambda x: x["n_matches"]).alias("_tfs"),
+            (
+                F.transform("s", lambda x: x["dl"])
+                if with_dl
+                else F.lit(None).cast("array<bigint>")
+            ).alias("_dls"),
+            F.size("s").cast("long").alias("n"),
+        )
+        .withColumn("df", F.sum("n").over(Window.partitionBy("phrase_id")))
+    )
+    mdf = spark.createDataFrame(
+        [
+            (pid, qid, clause, role, scored, SYN_TERM_PREFIX + format(pid, "08d"))
+            for pid, qid, clause, role, scored, _ in ph_meta
+        ],
+        "phrase_id long, query_id long, clause int, role int, "
+        "scored int, term string",
+    )
+    return agg.join(F.broadcast(mdf), "phrase_id").select(
+        "query_id",
+        "clause",
+        "role",
+        "term",
+        "bucket",
+        "n",
+        F.when(F.col("scored") == 1, F.col("df"))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("df"),
+        "_syn_ids",
+        F.when(F.col("scored") == 1, F.col("_tfs")).alias("_syn_tfs"),
+        F.when(F.col("scored") == 1, F.col("_dls")).alias("_syn_dls"),
+    )
+
+
 def phrase_bm25_scores(
     spark: SparkSession,
     index_dir: str,

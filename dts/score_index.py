@@ -47,6 +47,12 @@ from dts.wand import bmw_topk
 
 ROUND_RANK = 9
 TOPK_SCHEMA = "query_id long, doc_id long, score double, rank int"
+# Synthetic clause rows (fused phrase constraints) carry term names under
+# this prefix so they sort AFTER every real vocabulary token: the kernel
+# accumulates in ascending (term, bucket) order, and phrase impacts must
+# add after all term impacts to keep score bits stable vs the pre-fusion
+# "term score + phrase score" addition order.
+SYN_TERM_PREFIX = "￿￿"
 # Above this many distinct expanded terms, an IN-list filter stops being a
 # pushdown win and starts being a plan-size bomb (a 10^5-term fuzzy batch
 # would inline 10^5 literals); fall back to a broadcast left-semi join.
@@ -234,27 +240,42 @@ def _scorer_fn(
             1.0 + (n_docs - pdf["df"].to_numpy(np.float64) + 0.5)
             / (pdf["df"].to_numpy(np.float64) + 0.5)
         )
-        packs = [
-            (
-                pdf["term"].iat[i],
-                float(idf[i]),
-                PackedPostings(
-                    n=int(pdf["n"].iat[i]),
-                    doc_blob=bytes(pdf["doc_blob"].iat[i]),
-                    tf_blob=bytes(pdf["tf_blob"].iat[i]),
-                    dl_blob=bytes(pdf["dl_blob"].iat[i]),
-                    block_last_doc=np.asarray(pdf["block_last_doc"].iat[i], dtype=np.int64),
-                    block_max_impact=np.asarray(pdf["block_max_impact"].iat[i], dtype=np.float64),
-                    doc_offs=np.asarray(pdf["doc_offs"].iat[i], dtype=np.int32),
-                    tf_offs=np.asarray(pdf["tf_offs"].iat[i], dtype=np.int32),
-                    dl_offs=np.asarray(pdf["dl_offs"].iat[i], dtype=np.int32),
-                    block_size=block_size,
-                    codec=codec,
-                ),
+        # Synthetic clause rows (round-5: scored/required phrases fused
+        # into THIS kernel): no posting blobs — the doc/tf/dl arrays are
+        # precomputed per (clause, bucket) and ride _syn_* columns. Their
+        # term names sort AFTER every real token (SYN_TERM_PREFIX), so the
+        # accumulation order is "all real terms, then phrases" — exactly
+        # the order the pre-fusion re-rank added the phrase impacts in.
+        has_syn = "_syn_ids" in pdf.columns
+        syn_row = (
+            pdf["doc_blob"].isna().to_numpy() if has_syn
+            else np.zeros(len(pdf), dtype=bool)
+        )
+
+        def _pack(i: int) -> PackedPostings:
+            return PackedPostings(
+                n=int(pdf["n"].iat[i]),
+                doc_blob=bytes(pdf["doc_blob"].iat[i]),
+                tf_blob=bytes(pdf["tf_blob"].iat[i]),
+                dl_blob=bytes(pdf["dl_blob"].iat[i]),
+                block_last_doc=np.asarray(pdf["block_last_doc"].iat[i], dtype=np.int64),
+                block_max_impact=np.asarray(pdf["block_max_impact"].iat[i], dtype=np.float64),
+                doc_offs=np.asarray(pdf["doc_offs"].iat[i], dtype=np.int32),
+                tf_offs=np.asarray(pdf["tf_offs"].iat[i], dtype=np.int32),
+                dl_offs=np.asarray(pdf["dl_offs"].iat[i], dtype=np.int32),
+                block_size=block_size,
+                codec=codec,
             )
-            for i in range(len(pdf))
-        ]
+
         if strategy == "bmw":
+            if syn_row.any():
+                raise ValueError(
+                    "synthetic clause rows require strategy='taat'"
+                )
+            packs = [
+                (pdf["term"].iat[i], float(idf[i]), _pack(i))
+                for i in range(len(pdf))
+            ]
             # Merge bucket rows per (term occurrence): group consecutive
             # rows with equal term into one logical list per DUPLICATE set.
             # Duplicates of a term each carry the full bucket set in order;
@@ -269,10 +290,27 @@ def _scorer_fn(
             scores_out = np.array([s for _, s in ranked], dtype=np.float64)
         else:
             docs_parts, contrib_parts = [], []
-            for _, w, p in packs:
-                d, tf, dl = decode_postings(p)
+            for i in range(len(pdf)):
+                if syn_row[i]:
+                    d = np.asarray(pdf["_syn_ids"].iat[i], dtype=np.int64)
+                    tfs = pdf["_syn_tfs"].iat[i]
+                    if tfs is None:
+                        # Filter-context phrase / deny clause: membership
+                        # only, zero scoring contribution.
+                        c = np.zeros(len(d), dtype=np.float64)
+                    else:
+                        c = float(idf[i]) * bm25_impact(
+                            np.asarray(tfs, dtype=np.int64),
+                            np.asarray(
+                                pdf["_syn_dls"].iat[i], dtype=np.int64
+                            ),
+                            avgdl,
+                        )
+                else:
+                    d, tf, dl = decode_postings(_pack(i))
+                    c = float(idf[i]) * bm25_impact(tf, dl, avgdl)
                 docs_parts.append(d)
-                contrib_parts.append(w * bm25_impact(tf, dl, avgdl))
+                contrib_parts.append(c)
             if mode == "mixed_flags":
                 empty = pd.DataFrame(
                     columns=["query_id", "doc_id", "score", "req", "excl"]
@@ -635,6 +673,7 @@ def _score_filtered(
     doc_filter: DataFrame | None = None,
     broadcast_filter: bool = True,
     filter_qids: set[int] | None = None,
+    syn_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Shared scoring tail: join filtered postings with broadcast stats +
     query terms, attach colocated tombstones (when ``index_dir`` has a
@@ -642,12 +681,20 @@ def _score_filtered(
     the distribution mode, run the per-group scorer. A ``doc_filter``
     carrying a ``query_id`` column is PER-QUERY (joined on (query_id,
     bucket)); ``filter_qids`` must then name the filtered queries so the
-    rest of the fused batch stays unfiltered."""
+    rest of the fused batch stays unfiltered. ``syn_rows``: synthetic
+    clause rows (dts.phrase.phrase_syn_rows — precomputed per-bucket
+    doc/tf/dl arrays, no posting blobs) unioned with the real posting
+    rows so phrase constraints resolve INSIDE the one scoring kernel."""
     joined = postings.join(F.broadcast(stats), "term").join(
         F.broadcast(qterms), "term"
     )
     if index_dir is not None and has_deletes(index_dir):
         joined = join_deletes(joined, spark, index_dir, meta)
+    if syn_rows is not None:
+        # After the tombstone join: phrase matches are already
+        # delete-masked by phrase_match_counts, and null _del_ids on the
+        # synthetic rows contribute nothing to the group reassembly.
+        joined = joined.unionByName(syn_rows, allowMissingColumns=True)
     if doc_filter is not None:
         kb = _ids_by_bucket(doc_filter, meta["bucket_size"], "_keep_ids")
         fkeys = (
@@ -701,6 +748,7 @@ def score_expanded_terms(
     mode: str = "or",
     m_map: dict[int, int] | None = None,
     filter_qids: set[int] | None = None,
+    syn_rows: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k for explicit (query_id, term) rows — the multi-term
     rewrite entry point (wildcard/prefix expansion, external synonym sets,
@@ -726,8 +774,10 @@ def score_expanded_terms(
         )
     scan = idx["postings"].select(*POSTING_SCORE_COLS)
     if all_terms is not None:
-        if not all_terms:
+        if not all_terms and syn_rows is None:
             return spark.createDataFrame([], TOPK_SCHEMA)
+        # With synthetic rows an empty term set still scores: the isin([])
+        # filter folds to an always-false LocalRelation scan.
         postings = term_filter(scan, all_terms, max_isin_terms)
         stats = term_filter(
             idx["term_stats"], all_terms, max_isin_terms
@@ -736,15 +786,22 @@ def score_expanded_terms(
         postings, stats, _ = _filter_by_qterms(
             idx, scan, qterms, max_isin_terms
         )
+        if postings is None and syn_rows is not None:
+            postings = term_filter(scan, [], max_isin_terms)
+            stats = idx["term_stats"].filter(F.lit(False)).select(
+                "term", "df"
+            )
     if postings is None:
         return spark.createDataFrame([], TOPK_SCHEMA)
     if mode == "mixed" and strategy != "taat":
         raise ValueError("mode='mixed' requires strategy='taat'")
+    if syn_rows is not None and strategy != "taat":
+        raise ValueError("syn_rows (fused phrases) require strategy='taat'")
     return _score_filtered(
         spark, idx["meta"], postings, stats, qterms, n_queries, k,
         strategy, distribute, index_dir, mode, m_map,
         doc_filter=doc_filter, broadcast_filter=broadcast_filter,
-        filter_qids=filter_qids,
+        filter_qids=filter_qids, syn_rows=syn_rows,
     )
 
 
