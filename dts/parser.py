@@ -405,11 +405,15 @@ def search_fields(
     Plan shape: ONE flags-candidates job per touched field
     (shard_candidates_mixed — full per-(query, shard) candidates with
     req/excl flags, bounded groups), a hash-agg combine per (query,
-    shard, doc) enforcing the cross-field boolean algebra, phrase
-    allow/deny joins (one phrase_match_counts per field with phrase
-    constraints, ALL queries' phrases in one call), then shard-local
-    top-k windows + the tiny global merge — the bounded multifield-merge
-    shape throughout; queries fuse, nothing is per-query.
+    shard, doc) enforcing the cross-field boolean algebra, then
+    shard-local top-k windows + the tiny global merge — the bounded
+    multifield-merge shape throughout; queries fuse, nothing is
+    per-query. Phrase constraints ride INSIDE their field's candidates
+    job as synthetic clause rows (dts.phrase.phrase_syn_rows — one
+    positional job per field with phrases, all queries fused): a
+    required phrase is one more req-counted clause (m_total counts it),
+    an excluded phrase one more excl flag — no post-combine allow/deny
+    joins at all.
 
     Returns the engine-standard (query_id, doc_id, score, rank) with
     query_id = position in ``queries``."""
@@ -435,8 +439,11 @@ def search_fields(
         )
     per_field_rows: dict[str, list[tuple[int, int, int, str]]] = {}
     m_total: dict[int, int] = {}
-    ph_req: list[tuple[int, str, str]] = []   # (query_id, field, phrase)
-    ph_neg: list[tuple[int, str, str]] = []
+    # field → (phrase_id, query_id, clause, role, scored, text) rows for
+    # phrase_syn_rows; phrase clause ids start at the query's required
+    # clause count WITHIN that field (per-field kernels count distinct
+    # matched clauses independently, the combine sums across fields).
+    ph_by_field: dict[str, list[tuple[int, int, int, int, int, str]]] = {}
     for qid, text in enumerate(queries):
         pq = parse_query(text, fields=fields, default_field=default_field)
         parts = {default_field: pq, **pq.fielded}
@@ -450,13 +457,22 @@ def search_fields(
             # Required clauses count toward the target even when their
             # expansion is empty — no doc can then reach it, which is
             # exactly Lucene's +nonexistent ⇒ no results.
-            m_total[qid] += part.n_required
-            ph_req.extend((qid, f_name, p) for p in part.phrases)
-            ph_neg.extend((qid, f_name, p) for p in part.not_phrases)
-    if not per_field_rows:
+            m_total[qid] += part.n_required + len(part.phrases)
+            next_clause = part.n_required
+            for ph in part.phrases:
+                fl = ph_by_field.setdefault(f_name, [])
+                fl.append((len(fl), qid, next_clause, 1, 0, ph))
+                next_clause += 1
+            for ph in part.not_phrases:
+                fl = ph_by_field.setdefault(f_name, [])
+                fl.append((len(fl), qid, -2, 2, 0, ph))
+    if not per_field_rows and not ph_by_field:
         return spark.createDataFrame([], TOPK_SCHEMA)
 
-    sub_metas = {f: load_meta(f"{mf_dir}/field={f}") for f in per_field_rows}
+    from dts.phrase import phrase_syn_rows
+
+    touched = sorted(set(per_field_rows) | set(ph_by_field))
+    sub_metas = {f: load_meta(f"{mf_dir}/field={f}") for f in touched}
     bucket_sizes = {m["bucket_size"] for m in sub_metas.values()}
     assert len(bucket_sizes) == 1, (
         f"multifield sub-indexes disagree on bucket_size: {bucket_sizes}"
@@ -465,14 +481,18 @@ def search_fields(
     n_shards = scoring_shards(any_meta, spark.sparkContext.defaultParallelism)
 
     cands = []
-    for f_name, rows in sorted(per_field_rows.items()):
+    for f_name in touched:
+        rows = per_field_rows.get(f_name, [])
         qterms = spark.createDataFrame(
             rows, "query_id long, clause int, role int, term string"
         )
-        all_terms = sorted({t for *_, t in rows})
+        syn = phrase_syn_rows(
+            spark, f"{mf_dir}/field={f_name}", ph_by_field.get(f_name, []),
+            with_dl=False,
+        )
         c = shard_candidates_mixed(
             spark, f"{mf_dir}/field={f_name}", qterms, n_shards,
-            all_terms=all_terms,
+            all_terms=sorted({t for *_, t in rows}), syn_rows=syn,
         )
         cands.append(
             c.select(
@@ -495,66 +515,6 @@ def search_fields(
     total = total.join(F.broadcast(req_df), "query_id").filter(
         (F.col("excl") == 0) & (F.col("req") == F.col("m"))
     )
-
-    def _phrase_docs(rows: list[tuple[int, str, str]]) -> DataFrame:
-        """(query_id, phrase_id, doc_id) for every phrase constraint —
-        one phrase_match_counts call per field, all queries fused."""
-        from dts.phrase import phrase_match_counts
-
-        by_field: dict[str, list[tuple[int, int, str]]] = {}
-        for pid, (qid, f_name, ph) in enumerate(rows):
-            by_field.setdefault(f_name, []).append((pid, qid, ph))
-        parts = []
-        for f_name, prows in sorted(by_field.items()):
-            ph_df = spark.createDataFrame(
-                [(pid, ph) for pid, _, ph in prows],
-                "phrase_id long, text string",
-            )
-            pm = phrase_match_counts(
-                spark, f"{mf_dir}/field={f_name}", ph_df
-            ).select("phrase_id", "doc_id")
-            qmap = spark.createDataFrame(
-                [(pid, qid) for pid, qid, _ in prows],
-                "phrase_id long, query_id long",
-            )
-            parts.append(pm.join(F.broadcast(qmap), "phrase_id"))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
-    if ph_req:
-        np_df = spark.createDataFrame(
-            [
-                (q, sum(1 for qq, *_ in ph_req if qq == q))
-                for q in {qq for qq, *_ in ph_req}
-            ],
-            "query_id long, np_target int",
-        )
-        allow_ok = (
-            _phrase_docs(ph_req)
-            .groupBy("query_id", "doc_id")
-            .agg(F.countDistinct("phrase_id").alias("np"))
-            .join(F.broadcast(np_df), "query_id")
-            .filter(F.col("np") == F.col("np_target"))
-            .select("query_id", "doc_id", F.lit(1).alias("_ph"))
-        )
-        total = (
-            total.join(allow_ok, ["query_id", "doc_id"], "left")
-            .join(F.broadcast(np_df), "query_id", "left")
-            .filter(F.col("np_target").isNull() | F.col("_ph").isNotNull())
-            .drop("_ph", "np_target")
-        )
-    if ph_neg:
-        deny = (
-            _phrase_docs(ph_neg)
-            .select("query_id", "doc_id")
-            .distinct()
-            .withColumn("_neg", F.lit(1))
-        )
-        total = total.join(
-            deny, ["query_id", "doc_id"], "left"
-        ).filter(F.col("_neg").isNull()).drop("_neg")
 
     w_local = Window.partitionBy("query_id", "shard").orderBy(
         F.round(F.col("score"), ROUND_RANK).desc(), F.col("doc_id").asc()

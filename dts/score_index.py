@@ -1030,6 +1030,7 @@ def shard_candidates_mixed(
     n_shards: int,
     all_terms: list[str] | None = None,
     max_isin_terms: int = MAX_ISIN_TERMS,
+    syn_rows: DataFrame | None = None,
 ) -> DataFrame:
     """FULL per-shard candidates WITH boolean flags for role-typed clause
     rows (query_id, clause, role, term): (query_id, shard, doc_id, score,
@@ -1039,12 +1040,15 @@ def shard_candidates_mixed(
     hash-aggregates per (query, shard, doc) and enforces Σreq == total
     required ∧ excl == 0 — the whole MUST/MUST_NOT algebra in the same
     one-candidates-job-per-field shape as the bounded multifield merge.
-    Same shard mapping contract as bm25_shard_candidates."""
+    ``syn_rows`` (dts.phrase.phrase_syn_rows): this field's phrase
+    constraints as synthetic clause rows — a required phrase req-counts,
+    an excluded one excl-flags, right inside this field's one candidates
+    job. Same shard mapping contract as bm25_shard_candidates."""
     idx = load_index(spark, index_dir)
     meta = idx["meta"]
     scan = idx["postings"].select(*POSTING_SCORE_COLS)
     if all_terms is not None:
-        if not all_terms:
+        if not all_terms and syn_rows is None:
             return spark.createDataFrame([], SHARD_FLAGS_SCHEMA)
         postings = term_filter(scan, all_terms, max_isin_terms)
         stats = term_filter(
@@ -1054,6 +1058,11 @@ def shard_candidates_mixed(
         postings, stats, _ = _filter_by_qterms(
             idx, scan, qterms, max_isin_terms
         )
+        if postings is None and syn_rows is not None:
+            postings = term_filter(scan, [], max_isin_terms)
+            stats = idx["term_stats"].filter(F.lit(False)).select(
+                "term", "df"
+            )
     if postings is None:
         return spark.createDataFrame([], SHARD_FLAGS_SCHEMA)
     joined = postings.join(F.broadcast(stats), "term").join(
@@ -1061,6 +1070,8 @@ def shard_candidates_mixed(
     )
     if has_deletes(index_dir):
         joined = join_deletes(joined, spark, index_dir, meta)
+    if syn_rows is not None:
+        joined = joined.unionByName(syn_rows, allowMissingColumns=True)
     joined = joined.withColumn(
         "shard", F.pmod(F.col("bucket"), F.lit(n_shards)).cast("int")
     )

@@ -67,6 +67,14 @@ def main() -> None:
             {"content": 1.0, "path": 2.0}, bucket_size=4096,
         )
         out["prep_build_mf"] = round(time.perf_counter() - t0, 2)
+    mf_pos_idx = f"{args.base}/mf_480_pos_idx"
+    if not os.path.exists(f"{mf_pos_idx}/meta.json"):
+        t0 = time.perf_counter()
+        build_multifield_index(
+            spark, corpus.select("doc_id", "content", "path"), mf_pos_idx,
+            {"content": 1.0, "path": 2.0}, bucket_size=4096, positions=True,
+        )
+        out["prep_build_mf_pos"] = round(time.perf_counter() - t0, 2)
 
     vocab = [
         r["term"]
@@ -143,6 +151,18 @@ def main() -> None:
     stage(
         "search_fields40",
         lambda: search_fields(spark, mf_idx, mf_qs, k=10).count(),
+    )
+    # Phrase-carrying field-scoped batch (positional 2-field index):
+    # phrases ride the per-field candidates jobs as synthetic clause
+    # rows — no post-combine allow/deny joins.
+    mf_ph_qs = [
+        f'+{vocab[(i * 5) % 400]} "{bigrams[i % len(bigrams)]}" '
+        f"path:{vocab[(i * 11) % 400]}"
+        for i in range(16)
+    ]
+    stage(
+        "search_fields16_phrase",
+        lambda: search_fields(spark, mf_pos_idx, mf_ph_qs, k=10).count(),
     )
 
     emb = spark.range(100_000).select(
