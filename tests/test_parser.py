@@ -390,3 +390,48 @@ def test_search_batch_phrases_fused_one_positional_job(
         assert np.allclose(
             batch["score"], want["score"], rtol=0, atol=0
         ), mode
+
+
+def test_search_batch_phrases_bucket_distribute_identical(
+    spark, p_index, corpus_pd
+):
+    """Synthetic phrase clause rows under distribute='bucket': the
+    per-(query, shard) kernels must see exactly their shards' phrase
+    arrays (same colocation contract as tombstones), making local top-k
+    exact — rank- and score-identical to distribute='query'. Small
+    indexes auto-pick 'query', so force both explicitly."""
+    import pandas as pd
+
+    from dts.parser import search_batch
+
+    toks0 = tokenize_text(corpus_pd["content"].iloc[0])
+    toks3 = tokenize_text(corpus_pd["content"].iloc[3])
+    toks7 = tokenize_text(corpus_pd["content"].iloc[7])
+    qs = [
+        f"{toks0[0]} {toks0[1]}",
+        f'{toks0[0]} "{toks3[1]} {toks3[2]}"',
+        f'{toks0[0]} -"{toks7[0]} {toks7[1]}"',
+        f'"{toks3[1]} {toks3[2]}" +{toks0[0]}',
+    ]
+    for mode in ("filter", "scored"):
+        frames = {
+            dist: (
+                search_batch(
+                    spark, p_index, qs, k=10, phrase_mode=mode,
+                    distribute=dist,
+                )
+                .toPandas()
+                .sort_values(["query_id", "rank"])
+                .reset_index(drop=True)
+            )
+            for dist in ("query", "bucket")
+        }
+        cols = ["query_id", "doc_id", "rank"]
+        assert (
+            frames["query"][cols].values.tolist()
+            == frames["bucket"][cols].values.tolist()
+        ), mode
+        assert np.allclose(
+            frames["query"]["score"], frames["bucket"]["score"],
+            rtol=0, atol=0,
+        ), mode
