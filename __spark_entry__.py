@@ -604,6 +604,30 @@ def _q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_facet_lang_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet counts answered by the INDEX ALONE (round-5 late: doc_meta
+    stored-fields sidecar, build_index(store_fields=['lang'])): the doc
+    side is the metadata projection persisted at build time — no join
+    back to the documents table at query time. Same boolean matches and
+    the same SQL oracle as facet_lang; only the metadata source moves
+    into the index."""
+    import tempfile
+
+    from dts.boolquery import boolean_match_docs
+    from dts.facet import facet_counts_indexed
+    from dts.index_build import build_index
+    from dts.io import driver_documents_as_source
+
+    docs = driver_documents_as_source(spark, sf_dir)  # carries lang
+    d = tempfile.mkdtemp(prefix="dts_sc_idx_")
+    build_index(spark, docs, d, bucket_size=256, store_fields=["lang"])
+    bq = spark.createDataFrame(
+        BOOL_QUERIES, "bq_id long, must string, must_not string"
+    )
+    matches = boolean_match_docs(spark, d, bq)
+    return facet_counts_indexed(spark, d, matches, "lang", key="bq_id")
+
+
 def _q_multifield_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field-scoped queries with boosts (dts.multifield): one sub-index
     per field sharing doc_ids, per-field BM25 (per-field stats — the
@@ -1162,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_snippets": _q_search_snippets,
         "bm25_topk_and": _q_bm25_topk_and,
         "facet_lang": _q_facet_lang,
+        "facet_lang_sidecar": _q_facet_lang_sidecar,
         "dup_clusters": _q_dup_clusters,
         "multifield_topk": _q_multifield_topk,
         "search_fields": _q_search_fields,
@@ -1939,6 +1964,9 @@ SELECT m.bq_id, d.lang, count(*)::BIGINT AS n
 FROM m JOIN documents d USING (doc_id)
 GROUP BY 1, 2
 """
+    # The sidecar probe answers from the index's doc_meta projection; the
+    # ground truth is the same documents-join facet.
+    extra["facet_lang_sidecar"] = extra["facet_lang"]
     # Tombstone phase: FULL-corpus stats (the scored CTE is unchanged),
     # deleted docs filtered out just before ranking — Lucene's live-docs
     # semantics, which the engine implements between delete and compact.

@@ -12,7 +12,7 @@ facet-value distribution itself).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -67,4 +67,38 @@ def facet_counts(
         side.join(m, "doc_id")
         .groupBy(key, field)
         .agg(F.count("*").alias("n"))
+    )
+
+
+def facet_counts_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    matches: DataFrame,
+    field: str,
+    key: str,
+    broadcast_matches: bool | None = None,
+    pushdown_hits: bool = False,
+) -> DataFrame:
+    """facet_counts over the index's OWN ``doc_meta`` sidecar
+    (build_index(store_fields=[...]) — Lucene stored-fields analogue):
+    the doc side is the (doc_id, metadata) projection persisted at build
+    time, doc_id-sorted for hit-list IN-list pushdown, so faceting never
+    joins back to the source table — at cluster scale the source may be
+    remote, re-partitioned since indexing, or retired; the index answers
+    alone. The sidecar tracks merges (appended rows) and
+    deletion-applying compaction (tombstoned rows dropped); pre-compaction
+    tombstones never surface because every match-producing surface of
+    the engine is already delete-masked."""
+    from dts.index_build import load_meta
+
+    fields = load_meta(index_dir).get("store_fields") or []
+    if field not in fields:
+        raise ValueError(
+            f"field {field!r} not stored in this index (store_fields="
+            f"{fields}); rebuild with build_index(store_fields=[...])"
+        )
+    side = spark.read.parquet(f"{index_dir}/doc_meta")
+    return facet_counts(
+        matches, side, field, key,
+        broadcast_matches=broadcast_matches, pushdown_hits=pushdown_hits,
     )

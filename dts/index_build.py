@@ -244,6 +244,7 @@ def build_index(
     strip_literals: bool = False,
     codec: str = "varint",
     extra_meta: dict | None = None,
+    store_fields: list[str] | None = None,
 ) -> dict:
     """Build + persist the full index. `docs` needs (doc_id, content).
 
@@ -253,6 +254,15 @@ def build_index(
     (pos_blob column) enabling phrase/proximity queries (dts.phrase) —
     opt-in, like Lucene index options: pure BM25 workloads skip the
     encode cost and the column bytes. Returns the meta dict.
+
+    ``store_fields`` (Lucene stored-fields analogue, metadata only):
+    persist a ``doc_meta`` sidecar — (doc_id, *store_fields) written
+    doc_id-sorted — so facet/metadata queries are self-contained on the
+    index: no join back to the source table at query time (which at
+    100 TB may be remote, re-partitioned, or gone). doc_id row-group
+    stats give hit-list IN-list pushdown. The sidecar follows index
+    mutations: merge appends the new docs' rows, deletion-applying
+    compaction drops tombstoned rows.
     """
     import time
 
@@ -300,6 +310,22 @@ def build_index(
         .write.mode("overwrite")
         .parquet(f"{out_dir}/doc_stats"),
     )
+    if store_fields:
+        missing = [c for c in store_fields if c not in docs.columns]
+        if missing:
+            raise ValueError(f"store_fields not in docs: {missing}")
+        # Column-pruned projection (content never read); doc_id-sorted so
+        # row-group min/max stats serve hit-list pushdown. The range
+        # repartition's sampling job touches only these narrow columns.
+        timed(
+            "doc_meta",
+            lambda: docs.select("doc_id", *store_fields)
+            .repartitionByRange(max(1, par // 4), "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/doc_meta"),
+        )
+        meta["store_fields"] = list(store_fields)
     # NOTE: no repartitionByRange here — RangePartitioner's sampling job
     # would recompute the whole encode a second time. Sorting WITHIN each
     # encode task's output by term gives parquet row-group min/max stats
@@ -554,6 +580,15 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         os.replace(tmp_ts, f"{index_dir}/term_stats")
         shutil.rmtree(f"{index_dir}/doc_stats")
         os.replace(tmp_ds, f"{index_dir}/doc_stats")
+        if os.path.isdir(f"{index_dir}/doc_meta"):
+            # Stored-fields sidecar follows the same physical-delete
+            # semantics as doc_stats.
+            tmp_dm = f"{index_dir}/doc_meta_new"
+            spark.read.parquet(f"{index_dir}/doc_meta").join(
+                dh, "doc_id", "left_anti"
+            ).write.mode("overwrite").parquet(tmp_dm)
+            shutil.rmtree(f"{index_dir}/doc_meta")
+            os.replace(tmp_dm, f"{index_dir}/doc_meta")
         meta.setdefault("next_doc_id", meta["n_docs"])  # pre-watermark indexes
         meta["n_docs"] -= n_live_deleted
         meta["total_tokens"] -= dl_deleted
@@ -786,6 +821,17 @@ def merge_index(
         write_reversed_terms(spark, index_dir)
 
     doc_stats(nd, tf).write.mode("append").parquet(f"{index_dir}/doc_stats")
+    sf = meta.get("store_fields")
+    if sf and os.path.isdir(f"{index_dir}/doc_meta"):
+        missing = [c for c in sf if c not in nd.columns]
+        if missing:
+            raise ValueError(
+                f"merge into an index with store_fields={sf}: new_docs "
+                f"lack {missing}"
+            )
+        nd.select("doc_id", *sf).write.mode("append").parquet(
+            f"{index_dir}/doc_meta"
+        )
 
     min_encode = min(meta.get("min_encode_avgdl", meta["avgdl"]), new_avgdl)
     meta.update(

@@ -7,6 +7,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from dts.facet import facet_counts
 from dts.index_build import build_index
 from dts.oracle import OracleIndex
@@ -146,3 +148,87 @@ def test_result_cache_hit_and_invalidation(spark, docs_sdf, corpus_pd, tmp_path)
     delete_docs(spark, d, [victim])
     after = bm25_topk_cached(spark, d, q, k=20).toPandas()
     assert victim not in set(after["doc_id"].astype(int))
+
+
+@pytest.fixture(scope="module")
+def sidecar_index(spark, docs_sdf, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sc_index"))
+    build_index(
+        spark, docs_sdf, d, bucket_size=64, block_size=16,
+        store_fields=["lang", "repo"],
+    )
+    return d
+
+
+def test_facet_sidecar_equals_source_join(
+    spark, sidecar_index, docs_sdf, corpus_pd
+):
+    """facet_counts_indexed over the doc_meta sidecar == facet_counts
+    joined against the source table, for both stored fields."""
+    from dts.facet import facet_counts_indexed
+
+    toks = tokenize_text(corpus_pd["content"].iloc[0])
+    q = spark.createDataFrame(
+        [(0, " ".join(toks[:1]), 0), (1, " ".join(toks[:2]), 0)],
+        "query_id long, text string, fuzzy_k int",
+    )
+    top = bm25_topk_indexed(spark, sidecar_index, q, k=25)
+    for field in ("lang", "repo"):
+        got = {
+            (int(r["query_id"]), r[field]): int(r["n"])
+            for r in facet_counts_indexed(
+                spark, sidecar_index, top, field, key="query_id"
+            ).collect()
+        }
+        want = {
+            (int(r["query_id"]), r[field]): int(r["n"])
+            for r in facet_counts(
+                top, docs_sdf, field, key="query_id"
+            ).collect()
+        }
+        assert got == want and len(got) > 0, field
+    with pytest.raises(ValueError, match="not stored"):
+        facet_counts_indexed(spark, sidecar_index, top, "path", key="query_id")
+
+
+def test_facet_sidecar_tracks_merge_and_compaction(
+    spark, docs_sdf, corpus_pd, tmp_path
+):
+    """The sidecar follows index mutations: merged docs' metadata rows
+    appear; deletion-applying compaction drops tombstoned rows."""
+    from dts.delete import delete_docs
+    from dts.facet import facet_counts_indexed
+    from dts.index_build import compact_index, merge_index
+
+    d = str(tmp_path / "sc_mut")
+    base = docs_sdf.filter(F.col("doc_id") < 150)
+    build_index(
+        spark, base, d, bucket_size=64, block_size=16, store_fields=["lang"]
+    )
+    extra = (
+        docs_sdf.filter(F.col("doc_id") >= 150)
+        .drop("doc_id")
+    )
+    merge_index(spark, d, extra)
+    n_docs = docs_sdf.count()
+    meta_ids = {
+        int(r["doc_id"])
+        for r in spark.read.parquet(f"{d}/doc_meta").select("doc_id").collect()
+    }
+    assert len(meta_ids) == n_docs
+    victims = sorted(meta_ids)[:10]
+    delete_docs(spark, d, victims)
+    compact_index(spark, d)
+    left = {
+        int(r["doc_id"])
+        for r in spark.read.parquet(f"{d}/doc_meta").select("doc_id").collect()
+    }
+    assert left == meta_ids - set(victims)
+    # and the facet surface still works end-to-end post-compaction
+    toks = tokenize_text(corpus_pd["content"].iloc[0])
+    q = spark.createDataFrame(
+        [(0, toks[0], 0)], "query_id long, text string, fuzzy_k int"
+    )
+    top = bm25_topk_indexed(spark, d, q, k=25)
+    out = facet_counts_indexed(spark, d, top, "lang", key="query_id")
+    assert out.count() > 0
