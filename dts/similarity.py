@@ -157,6 +157,76 @@ def lloyd_refine(
     return cent_mat
 
 
+def split_hot_cells(
+    e: DataFrame,
+    cent_ids: np.ndarray,
+    cent_mat: np.ndarray,
+    cap: int,
+    seed: str,
+    max_rounds: int = 3,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Balanced-cell refinement: any cell holding more than ``cap``
+    vectors is SPLIT — its centroid is replaced by two deterministic
+    member samples (smallest md5(seed:split:vec_id) within the cell, the
+    same sampled-subset rule as the global init, scoped per cell) and
+    everything reassigns; repeat until no cell exceeds the cap or
+    ``max_rounds``. Hot cells are the IVF failure mode on skewed
+    embeddings: one dense cluster swallows a constant fraction of the
+    corpus and every probe touching it degenerates toward brute force.
+    Splitting bounds the probe-time cell scan; centroid ids stay
+    vec_id-derived (samples exclude vectors already serving as
+    centroids, so ids never collide).
+
+    Cost per round: one map-side assignment pass + a tiny per-cell count
+    agg + a window over HOT cells' members only. The centroid count
+    grows by one per split — still ~√n-scale, still a broadcast."""
+    for _ in range(max_rounds):
+        assign = ivf_assign_udf(cent_ids, cent_mat)
+        a = e.select("vec_id", "v").withColumn("c_id", assign(F.col("v")))
+        counts = a.groupBy("c_id").agg(F.count("*").alias("n")).collect()
+        hot = sorted(int(r["c_id"]) for r in counts if int(r["n"]) > cap)
+        if not hot:
+            break
+        w = Window.partitionBy("c_id").orderBy("_h", "vec_id")
+        taken = {int(c) for c in cent_ids}
+        samples = (
+            a.filter(F.col("c_id").isin(hot))
+            .filter(~F.col("vec_id").isin(sorted(taken)))
+            .withColumn(
+                "_h",
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}:split:"),
+                        F.col("vec_id").cast("string"),
+                    )
+                ),
+            )
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 2)
+            .select("c_id", "vec_id", "v")
+            .collect()
+        )
+        by_cell: dict[int, list] = {}
+        for r in samples:
+            by_cell.setdefault(int(r["c_id"]), []).append(
+                (int(r["vec_id"]), np.asarray(r["v"], dtype=np.float64))
+            )
+        split = {c for c, s in by_cell.items() if len(s) >= 2}
+        if not split:
+            break  # hot cells too degenerate to split (duplicate vectors)
+        keep = [i for i, c in enumerate(cent_ids) if int(c) not in split]
+        new_ids = [int(c) for c in cent_ids[keep]]
+        new_vecs = [cent_mat[i] for i in keep]
+        for c in sorted(split):
+            for vid, vec in by_cell[c][:2]:
+                new_ids.append(vid)
+                new_vecs.append(vec)
+        order = np.argsort(np.asarray(new_ids, dtype=np.int64), kind="stable")
+        cent_ids = np.asarray(new_ids, dtype=np.int64)[order]
+        cent_mat = np.asarray(new_vecs, dtype=np.float64)[order]
+    return cent_ids, cent_mat
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -165,6 +235,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: str = "ivf",
     lloyd_iters: int = 0,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign every vector to its nearest centroid
     (cosine, round-6 tie-broken by centroid id), probe each query's
@@ -176,6 +247,10 @@ def ivf_topk(
     exact SQL oracle); ``lloyd_iters`` > 0 runs that many k-means
     refinement sweeps (lloyd_refine) for balanced cells / higher recall
     on clustered data, at one extra assignment pass per sweep.
+    ``max_cell_size`` then SPLITS any cell still above the cap
+    (split_hot_cells — skew insurance: bounds the probe-time scan of a
+    query that lands in a dense cluster). Exactness at
+    nprobe ≥ n_cells is preserved under any centroid set.
 
     Scale: the centroid table is the coarse quantizer — ~√n rows, held
     as a numpy matrix inside the assignment UDF on every executor (the
@@ -191,6 +266,10 @@ def ivf_topk(
     cent_mat = np.array([r["c"] for r in rows], dtype=np.float64)
     if lloyd_iters:
         cent_mat = lloyd_refine(e, cent_ids, cent_mat, lloyd_iters)
+    if max_cell_size is not None:
+        cent_ids, cent_mat = split_hot_cells(
+            e, cent_ids, cent_mat, max_cell_size, seed
+        )
     spark = emb.sparkSession
     cents = spark.createDataFrame(
         [

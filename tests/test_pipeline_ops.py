@@ -480,3 +480,60 @@ def test_revenue_probes_vs_hand_computed(spark, tmp_path):
         "CHARLIE": 6.93,
         "ALL": 114.68,
     }
+
+
+def test_ivf_split_hot_cells_bounds_and_exactness(spark):
+    """Round-5 late: max_cell_size splits hot cells — on skewed data
+    (one dense cluster holding most vectors) every post-split cell must
+    respect the cap, the procedure is deterministic, and probing all
+    cells remains exact."""
+    from dts.similarity import (
+        _as_double,
+        _ivf_centroids,
+        ivf_assign_udf,
+        ivf_topk,
+        split_hot_cells,
+    )
+
+    rng = np.random.RandomState(5)
+    # 160 of 200 vectors in ONE tight cluster, the rest spread out.
+    dense = rng.standard_normal(16)
+    vecs = np.vstack(
+        [
+            dense + 0.02 * rng.standard_normal((160, 16)),
+            rng.standard_normal((40, 16)),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    rows = _ivf_centroids(e, 8, "ivf").collect()
+    ids0 = np.array([r["c_id"] for r in rows], dtype=np.int64)
+    mat0 = np.array([r["c"] for r in rows], dtype=np.float64)
+    cap = 60
+    ids1, mat1 = split_hot_cells(e, ids0, mat0, cap, "ivf", max_rounds=6)
+    assert len(ids1) > len(ids0)  # something actually split
+    counts = (
+        e.withColumn("c_id", ivf_assign_udf(ids1, mat1)(F.col("v")))
+        .groupBy("c_id")
+        .count()
+        .collect()
+    )
+    assert max(int(r["count"]) for r in counts) <= cap
+    # deterministic
+    ids2, mat2 = split_hot_cells(e, ids0, mat0, cap, "ivf", max_rounds=6)
+    assert np.array_equal(ids1, ids2) and np.array_equal(mat1, mat2)
+
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i * 3]]) for i in range(4)],
+        "q_id long, qvec array<double>",
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=10).collect()
+    full = ivf_topk(
+        emb, queries, k=10, n_centroids=8, nprobe=10**6,
+        max_cell_size=cap,
+    ).collect()
+    key = lambda rows: sorted((r.q_id, r.rank, r.vec_id, r.cos6) for r in rows)  # noqa: E731
+    assert key(full) == key(exact)
