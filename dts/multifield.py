@@ -44,6 +44,31 @@ from dts.score_index import (
 )
 
 
+def _pack(g, i: int, st: dict):
+    """One posting row → PackedPostings with the owning field's geometry
+    (shared by the fused kernels; module-level so executor closures
+    resolve it by import)."""
+    import numpy as np
+
+    from dts.codec import PackedPostings
+
+    return PackedPostings(
+        n=int(g["n"].iat[i]),
+        doc_blob=bytes(g["doc_blob"].iat[i]),
+        tf_blob=bytes(g["tf_blob"].iat[i]),
+        dl_blob=bytes(g["dl_blob"].iat[i]),
+        block_last_doc=np.asarray(g["block_last_doc"].iat[i], dtype=np.int64),
+        block_max_impact=np.asarray(
+            g["block_max_impact"].iat[i], dtype=np.float64
+        ),
+        doc_offs=np.asarray(g["doc_offs"].iat[i], dtype=np.int32),
+        tf_offs=np.asarray(g["tf_offs"].iat[i], dtype=np.int32),
+        dl_offs=np.asarray(g["dl_offs"].iat[i], dtype=np.int32),
+        block_size=st["block_size"],
+        codec=st["codec"],
+    )
+
+
 def _fused_scorer(field_stats: dict, k: int, strategy: str):
     """Per-(query, shard) kernel scoring ALL fields in one pass — the
     round-5 fused path: no full-candidate emission, no cross-field agg
@@ -77,21 +102,6 @@ def _fused_scorer(field_stats: dict, k: int, strategy: str):
         if not per:
             return None
         return np.concatenate([per[b] for b in sorted(per)])
-
-    def _pack(g: pd.DataFrame, i: int, st: dict) -> PackedPostings:
-        return PackedPostings(
-            n=int(g["n"].iat[i]),
-            doc_blob=bytes(g["doc_blob"].iat[i]),
-            tf_blob=bytes(g["tf_blob"].iat[i]),
-            dl_blob=bytes(g["dl_blob"].iat[i]),
-            block_last_doc=np.asarray(g["block_last_doc"].iat[i], dtype=np.int64),
-            block_max_impact=np.asarray(g["block_max_impact"].iat[i], dtype=np.float64),
-            doc_offs=np.asarray(g["doc_offs"].iat[i], dtype=np.int32),
-            tf_offs=np.asarray(g["tf_offs"].iat[i], dtype=np.int32),
-            dl_offs=np.asarray(g["dl_offs"].iat[i], dtype=np.int32),
-            block_size=st["block_size"],
-            codec=st["codec"],
-        )
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = int(pdf["query_id"].iloc[0])
@@ -250,6 +260,254 @@ def _fused_bucket_topk(
     def score_partition(batches):
         import numpy as np  # noqa: F401
 
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        for _, g in pdf.groupby(["query_id", "shard"], sort=False):
+            yield scorer(g)
+
+    local = src.mapInPandas(
+        score_partition, "query_id long, doc_id long, score double"
+    )
+    return topk_merge_global(local, k).select(
+        "query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def _fused_flags_scorer(field_stats: dict, k: int, m_map: dict[int, int]):
+    """Per-(query, shard) kernel for the UNIFIED GRAMMAR over all fields
+    in one pass (round-5 late session): role-typed clause rows (and
+    phrase synthetic rows) from every field arrive in one group; the
+    kernel scores each field in the engine's fixed ascending
+    (term, bucket) order, counts required-clause membership and excluded
+    membership per doc ACROSS fields, enforces Σreq == m ∧ ¬excl, and
+    emits the local top-k — the whole cross-field MUST/MUST_NOT algebra
+    with no candidate emission, no hash-agg stage, no filter join and no
+    local window. Exact per group: sub-indexes share doc_ids and bucket
+    geometry, so a doc's entire cross-field evidence lives in its one
+    shard. Scores are bit-identical to the candidates+hash-agg path for
+    ≤2 fields (two-addend IEEE754 sums commute; per-field accumulation
+    order unchanged)."""
+    import numpy as np
+    import pandas as pd
+
+    from dts.codec import decode_postings
+    from dts.score import B, K1
+
+    empty = pd.DataFrame(columns=["query_id", "doc_id", "score"]).astype(
+        {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+    )
+
+    def _bucket_ids(g: pd.DataFrame, col: str):
+        per: dict[int, np.ndarray] = {}
+        for b, a in zip(g["bucket"], g[col]):
+            if a is not None and int(b) not in per:
+                arr = np.asarray(a, dtype=np.int64)
+                if len(arr):
+                    per[int(b)] = arr
+        if not per:
+            return None
+        return np.concatenate([per[b] for b in sorted(per)])
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        query_id = int(pdf["query_id"].iloc[0])
+        m = m_map.get(query_id, 0)
+        has_syn = "_syn_ids" in pdf.columns
+        # Per field: candidate docs (ANY clause), scoring accumulation,
+        # per-required-clause doc sets, excluded doc set — each masked by
+        # that field's tombstones, exactly the per-field mixed_flags
+        # kernel semantics.
+        f_parts = []   # (uniq_f, boost*acc_f)
+        req_sets: list[np.ndarray] = []  # one per (field, required clause)
+        excl_sets: list[np.ndarray] = []
+        for f_name in sorted(field_stats):
+            g = pdf[pdf["field"] == f_name]
+            if not len(g):
+                continue
+            st = field_stats[f_name]
+            g = g.sort_values(["term", "bucket"], kind="mergesort")
+            syn_row = (
+                g["doc_blob"].isna().to_numpy() if has_syn
+                else np.zeros(len(g), dtype=bool)
+            )
+            dfv = g["df"].to_numpy(np.float64)
+            idf = np.log(1.0 + (st["n_docs"] - dfv + 0.5) / (dfv + 0.5))
+            role_vals = g["role"].to_numpy()
+            clause_vals = g["clause"].to_numpy()
+            docs_parts, contribs = [], []
+            for i in range(len(g)):
+                if syn_row[i]:
+                    d = np.asarray(g["_syn_ids"].iat[i], dtype=np.int64)
+                    tfs = g["_syn_tfs"].iat[i]
+                    if tfs is None:
+                        c = np.zeros(len(d), dtype=np.float64)
+                    else:
+                        tf = np.asarray(tfs, dtype=np.float64)
+                        dl = np.asarray(g["_syn_dls"].iat[i], dtype=np.float64)
+                        c = float(idf[i]) * (
+                            tf * (K1 + 1.0)
+                            / (tf + K1 * (1.0 - B + B * dl / st["avgdl"]))
+                        )
+                else:
+                    d, tf, dl = decode_postings(_pack(g, i, st))
+                    c = float(idf[i]) * (
+                        tf * (K1 + 1.0)
+                        / (tf + K1 * (1.0 - B + B * dl / st["avgdl"]))
+                    )
+                docs_parts.append(d)
+                contribs.append(c)
+            if not docs_parts:
+                continue
+            uniq_f = np.unique(np.concatenate(docs_parts))
+            dead = (
+                _bucket_ids(g, "_del_ids") if "_del_ids" in g.columns
+                else None
+            )
+            if dead is not None:
+                uniq_f = uniq_f[~np.isin(uniq_f, dead, assume_unique=True)]
+            if not len(uniq_f):
+                continue
+            acc_f = np.zeros(len(uniq_f), dtype=np.float64)
+            for i, (d, c) in enumerate(zip(docs_parts, contribs)):
+                if role_vals[i] == 2:
+                    continue
+                pos = np.minimum(np.searchsorted(uniq_f, d), len(uniq_f) - 1)
+                valid = uniq_f[pos] == d
+                acc_f[pos[valid]] += c[valid]
+            f_parts.append((uniq_f, st["boost"] * acc_f))
+            terms_arr = g["term"].to_numpy()
+
+            def _live(s):
+                # req/excl membership must ignore THIS field's tombstones
+                # — the candidates path drops a deleted doc's rows before
+                # the combine, so its clause memberships never count.
+                if dead is None or not len(s):
+                    return s
+                return s[~np.isin(s, dead, assume_unique=True)]
+
+            for cl in np.unique(clause_vals[role_vals == 1]):
+                idxs = np.flatnonzero((clause_vals == cl) & (role_vals == 1))
+                rows_c = [docs_parts[i] for i in idxs]
+                if len(rows_c) == 1:
+                    s = rows_c[0]
+                elif len(set(terms_arr[idxs])) == 1:
+                    s = np.concatenate(rows_c)
+                else:
+                    s = np.unique(np.concatenate(rows_c))
+                s = _live(s)
+                if len(s):
+                    req_sets.append(s)
+            neg_idx = np.flatnonzero(role_vals == 2)
+            if len(neg_idx):
+                ex = _live(
+                    np.unique(np.concatenate([docs_parts[i] for i in neg_idx]))
+                )
+                if len(ex):
+                    excl_sets.append(ex)
+        if not f_parts:
+            return empty
+        union = f_parts[0][0]
+        for u, _ in f_parts[1:]:
+            union = np.union1d(union, u)
+        total = np.zeros(len(union), dtype=np.float64)
+        for u, a in f_parts:
+            total[np.searchsorted(union, u)] += a
+        req = np.zeros(len(union), dtype=np.int64)
+        for s in req_sets:
+            pos = np.minimum(np.searchsorted(s, union), len(s) - 1)
+            req += (s[pos] == union).astype(np.int64)
+        keep = req == m
+        for s in excl_sets:
+            pos = np.minimum(np.searchsorted(s, union), len(s) - 1)
+            keep &= s[pos] != union
+        union, total = union[keep], total[keep]
+        if not len(union):
+            return empty
+        key = np.round(total, ROUND_RANK)
+        order = np.lexsort((union, -key))[:k]
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(order), query_id, dtype=np.int64),
+                "doc_id": union[order].astype(np.int64),
+                "score": total[order],
+            }
+        )
+
+    return score_group
+
+
+def fused_flags_topk(
+    spark: SparkSession,
+    out_dir: str,
+    per_field_rows: dict[str, list[tuple[int, int, int, str]]],
+    syn_by_field: dict[str, DataFrame],
+    fields: dict[str, float],
+    sub_metas: dict[str, dict],
+    m_map: dict[int, int],
+    k: int,
+    n_shards: int,
+) -> DataFrame:
+    """One scoring job for the unified grammar over a multifield index:
+    union every field's pruned posting rows (clause/role columns riding
+    the broadcast qterms join, phrase synthetic rows unioned per field),
+    one mapInPandas pass per (query, shard) running _fused_flags_scorer,
+    then the tiny global top-k merge. Replaces per-field candidates +
+    hash-agg + filter + window for the dts.parser.search_fields path."""
+    import pandas as pd
+
+    from dts.delete import has_deletes, join_deletes
+    from dts.score_index import (
+        POSTING_SCORE_COLS,
+        load_index,
+        term_filter,
+    )
+
+    field_stats: dict[str, dict] = {}
+    legs = []
+    for f_name in sorted(set(per_field_rows) | set(syn_by_field)):
+        sub_dir = f"{out_dir}/field={f_name}"
+        idx = load_index(spark, sub_dir)
+        meta = sub_metas[f_name]
+        field_stats[f_name] = {
+            "n_docs": float(meta["n_docs"]),
+            "avgdl": float(meta["avgdl"]),
+            "boost": float(fields[f_name]),
+            "block_size": meta["block_size"],
+            "codec": meta.get("codec", "varint"),
+        }
+        rows = per_field_rows.get(f_name, [])
+        qterms = spark.createDataFrame(
+            rows, "query_id long, clause int, role int, term string"
+        )
+        scan = idx["postings"].select(*POSTING_SCORE_COLS)
+        postings = term_filter(scan, sorted({t for *_, t in rows}))
+        joined = postings.join(
+            F.broadcast(
+                term_filter(idx["term_stats"], sorted({t for *_, t in rows}))
+                .select("term", "df")
+            ),
+            "term",
+        ).join(F.broadcast(qterms), "term")
+        if has_deletes(sub_dir):
+            joined = join_deletes(joined, spark, sub_dir, meta)
+        syn = syn_by_field.get(f_name)
+        if syn is not None:
+            joined = joined.unionByName(syn, allowMissingColumns=True)
+        legs.append(joined.withColumn("field", F.lit(f_name)))
+    if not legs:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    union = legs[0]
+    for leg in legs[1:]:
+        union = union.unionByName(leg, allowMissingColumns=True)
+    union = union.withColumn(
+        "shard", F.pmod(F.col("bucket"), F.lit(n_shards)).cast("int")
+    )
+    scorer = _fused_flags_scorer(field_stats, k, m_map)
+    n_parts = max(1, 2 * spark.sparkContext.defaultParallelism)
+    src = union.repartition(n_parts, "query_id", "shard")
+
+    def score_partition(batches):
         pdfs = list(batches)
         if not pdfs:
             return

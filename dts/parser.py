@@ -392,6 +392,7 @@ def search_fields(
     strategy: str = "taat",
     default_field: str | None = None,
     max_clauses: int | None = None,
+    distribute: str | None = None,
 ) -> DataFrame:
     """One-call ranked search over a MULTIFIELD index with the full
     query-string grammar (round-5 verdict #3 — one grammar, one call,
@@ -402,18 +403,22 @@ def search_fields(
     docs satisfying EVERY required clause (in its field), NO excluded
     clause, and every (field-scoped) phrase constraint.
 
-    Plan shape: ONE flags-candidates job per touched field
-    (shard_candidates_mixed — full per-(query, shard) candidates with
-    req/excl flags, bounded groups), a hash-agg combine per (query,
-    shard, doc) enforcing the cross-field boolean algebra, then
-    shard-local top-k windows + the tiny global merge — the bounded
-    multifield-merge shape throughout; queries fuse, nothing is
-    per-query. Phrase constraints ride INSIDE their field's candidates
-    job as synthetic clause rows (dts.phrase.phrase_syn_rows — one
-    positional job per field with phrases, all queries fused): a
+    Plan shape (``distribute``): ``"fused"`` — the default on
+    many-bucket indexes — runs ONE scoring job: every field's pruned
+    posting rows (clause/role-tagged, plus phrase synthetic rows) union
+    into one mapInPandas pass per (query, shard)
+    (multifield.fused_flags_topk) whose kernel scores all fields,
+    enforces the cross-field Σreq == m ∧ ¬excl algebra, and emits k rows
+    per group — no candidate emission, no hash-agg stage, no filter
+    join, no local window. ``"candidates"`` (small indexes / the
+    cross-check path): one flags-candidates job per touched field
+    (shard_candidates_mixed), hash-agg combine per (query, shard, doc),
+    shard-local top-k windows + the tiny global merge. Both are
+    rank-identical (tested); phrase constraints ride INSIDE the scoring
+    rows either way as synthetic clause rows (dts.phrase.phrase_syn_rows
+    — one positional job per field with phrases, all queries fused): a
     required phrase is one more req-counted clause (m_total counts it),
-    an excluded phrase one more excl flag — no post-combine allow/deny
-    joins at all.
+    an excluded phrase one more excl flag.
 
     Returns the engine-standard (query_id, doc_id, score, rank) with
     query_id = position in ``queries``."""
@@ -479,6 +484,25 @@ def search_fields(
     )
     any_meta = next(iter(sub_metas.values()))
     n_shards = scoring_shards(any_meta, spark.sparkContext.defaultParallelism)
+    n_buckets = -(-any_meta["n_docs"] // any_meta["bucket_size"])
+    if distribute is None:
+        distribute = "fused" if n_buckets >= 32 else "candidates"
+
+    if distribute == "fused":
+        from dts.multifield import fused_flags_topk
+
+        syn_by_field = {}
+        for f_name in touched:
+            syn = phrase_syn_rows(
+                spark, f"{mf_dir}/field={f_name}",
+                ph_by_field.get(f_name, []), with_dl=False,
+            )
+            if syn is not None:
+                syn_by_field[f_name] = syn
+        return fused_flags_topk(
+            spark, mf_dir, per_field_rows, syn_by_field, fields,
+            sub_metas, m_total, k, n_shards,
+        )
 
     cands = []
     for f_name in touched:

@@ -318,3 +318,75 @@ def test_multifield_fused_respects_tombstones(spark, docs_sdf, corpus_pd, tmp_pa
             ref[["query_id", "doc_id", "rank"]].values.tolist()
         ), strat
         assert np.allclose(got["score"], ref["score"], rtol=0, atol=1e-9), strat
+
+
+def test_search_fields_fused_identical_to_candidates(
+    spark, mfp_index, corpus_pd
+):
+    """Round-5 late session: the one-job fused kernel for the unified
+    grammar (multifield.fused_flags_topk) must be rank-identical to the
+    per-field candidates + hash-agg path across every query shape —
+    scoped MUST/MUST_NOT, field-scoped phrases, wildcards, and a
+    required term whose expansion is empty."""
+    from dts.parser import search_fields
+
+    ctoks = tokenize_text(corpus_pd["content"].iloc[0])
+    ptoks = tokenize_text(corpus_pd["path"].iloc[4])
+    phrase = f"{ptoks[0]} {ptoks[1]}"
+    queries = [
+        f"{ctoks[0]} {ctoks[1]}",
+        f"path:{ptoks[0]} +{ctoks[1]}",
+        f"{ctoks[0]} -path:{ptoks[0]}",
+        f'{ctoks[0]} path:"{phrase}"',
+        f'+{ctoks[0]} -"{ctoks[1]} {ctoks[2]}" path:{ptoks[0][:2]}*',
+        f"{ctoks[0]} +path:zzqqnothere",
+    ]
+    a = (
+        search_fields(spark, mfp_index, queries, k=10, distribute="candidates")
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        search_fields(spark, mfp_index, queries, k=10, distribute="fused")
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert a[["query_id", "doc_id", "rank"]].values.tolist() == (
+        b[["query_id", "doc_id", "rank"]].values.tolist()
+    )
+    assert np.allclose(a["score"], b["score"], rtol=0, atol=1e-9)
+
+
+def test_search_fields_fused_respects_tombstones(
+    spark, docs_sdf, corpus_pd, tmp_path
+):
+    """Fused unified-grammar kernel over an index with per-field
+    tombstones: a doc deleted in ONE field loses that field's score AND
+    its clause memberships there (required/excluded sets mask dead docs
+    exactly like the candidates path)."""
+    from dts.delete import delete_docs
+    from dts.parser import search_fields
+
+    d = str(tmp_path / "mfp_del")
+    build_multifield_index(
+        spark, docs_sdf, d, FIELDS, bucket_size=64, block_size=16,
+        positions=True,
+    )
+    ctoks = tokenize_text(corpus_pd["content"].iloc[0])
+    ptoks = tokenize_text(corpus_pd["path"].iloc[4])
+    queries = [
+        f"{ctoks[0]} +path:{ptoks[0]}",
+        f"{ctoks[0]} -path:{ptoks[0]}",
+        f'{ctoks[0]} path:"{ptoks[0]} {ptoks[1]}"',
+    ]
+    delete_docs(spark, f"{d}/field=path", [0, 4, 8, 12])
+    a = (
+        search_fields(spark, d, queries, k=10, distribute="candidates")
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        search_fields(spark, d, queries, k=10, distribute="fused")
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert a[["query_id", "doc_id", "rank"]].values.tolist() == (
+        b[["query_id", "doc_id", "rank"]].values.tolist()
+    )
+    assert np.allclose(a["score"], b["score"], rtol=0, atol=1e-9)
