@@ -376,6 +376,104 @@ def _pos_index(spark: SparkSession, sf_dir: str) -> str:
     return _POS_IDX_CACHE[sf_dir]
 
 
+_DV_IDX_CACHE: dict[str, str] = {}
+
+
+def _dv_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index with the doc_meta stored-fields sidecar (lang, source,
+    n_chars) + positions — shared by the doc-values probes (range /
+    sort / collapse)."""
+    if sf_dir not in _DV_IDX_CACHE:
+        import tempfile
+
+        from dts.index_build import build_index
+        from dts.io import driver_documents_as_source
+
+        docs = driver_documents_as_source(spark, sf_dir).join(
+            _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+            "doc_id",
+        )
+        idx_dir = tempfile.mkdtemp(prefix="dts_dv_idx_")
+        build_index(
+            spark, docs, idx_dir, bucket_size=256, positions=True,
+            store_fields=["lang", "source", "n_chars"],
+        )
+        _DV_IDX_CACHE[sf_dir] = idx_dir
+    return _DV_IDX_CACHE[sf_dir]
+
+
+# Range-query probe rows: (query_id, scoring terms, range element in the
+# grammar, equivalent SQL predicate over the documents table). Covers
+# inclusive/exclusive/open endpoints, a negated range (NULL-field docs
+# stay INCLUDED under negation — Lucene semantics: a doc missing the
+# field never matches the range), a string-typed range, and an unranged
+# query in the same fused batch (the filter_qids gate).
+RANGE_QUERIES = [
+    (0, "fast join", "n_chars:[100 TO 300]",
+     "n_chars >= 100 AND n_chars <= 300"),
+    (1, "table scan", "n_chars:{150 TO *]", "n_chars > 150"),
+    (2, "customer order", "-n_chars:[200 TO 400]",
+     "n_chars IS NULL OR NOT (n_chars >= 200 AND n_chars <= 400)"),
+    (3, "data query", "lang:[en TO fr]", "lang >= 'en' AND lang <= 'fr'"),
+    (4, "fast join", "", "TRUE"),
+]
+SORT_FIELD = "n_chars"
+COLLAPSE_FIELD = "source"
+
+
+def _q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range queries over the stored-fields sidecar (dts.docvalues —
+    Lucene Term/NumericRangeQuery on doc values) fused into the parser's
+    one-job batch: each ranged query's allow-list is one pushed-down
+    sidecar scan riding the per-query (query_id, bucket) filter context;
+    scores keep full-corpus stats (filter context semantics)."""
+    from dts.parser import search_batch
+
+    qs = [f"{terms} {rng}".strip() for _, terms, rng, _ in RANGE_QUERIES]
+    return _rerank6_top10(
+        search_batch(spark, _dv_index(spark, sf_dir), qs, k=10**6)
+    )
+
+
+def _q_sort_by_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene Sort(SortField): boolean matches ordered by a stored field
+    value instead of relevance (dts.docvalues.sort_topk over the doc_meta
+    sidecar); ties break on doc_id ascending."""
+    from dts.boolquery import boolean_match_docs
+    from dts.docvalues import sort_topk
+
+    bq = spark.createDataFrame(
+        BOOL_QUERIES, "bq_id long, must string, must_not string"
+    )
+    matches = boolean_match_docs(spark, _dv_index(spark, sf_dir), bq)
+    return sort_topk(
+        spark, _dv_index(spark, sf_dir), matches, SORT_FIELD, k=10,
+        ascending=True, key="bq_id",
+    )
+
+
+def _q_collapse_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene field collapsing (grouping): best-scoring doc per distinct
+    ``source`` value, survivors re-ranked (dts.docvalues.collapse_topk —
+    partial+final hash agg over a comparable struct, so the shuffle
+    carries group cardinality, not candidate cardinality). Scores are
+    pre-rounded to 6 so best-of-group decisions are cross-engine stable
+    (the probe float policy)."""
+    from dts.docvalues import collapse_topk_indexed
+    from dts.score_index import bm25_topk_indexed
+
+    q = spark.createDataFrame(
+        [(i, t, 0) for i, t in PROBE_QUERIES],
+        "query_id long, text string, fuzzy_k int",
+    )
+    full = bm25_topk_indexed(
+        spark, _dv_index(spark, sf_dir), q, k=2**62
+    ).withColumn("score", F.round("score", 6))
+    return collapse_topk_indexed(
+        spark, _dv_index(spark, sf_dir), full, COLLAPSE_FIELD, k=10
+    ).select("query_id", COLLAPSE_FIELD, "doc_id", "rank")
+
+
 def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional index + phrase intersection (dts.phrase): per (phrase,
     doc), occurrences of the phrase as consecutive tokens — the indexed
@@ -1187,6 +1285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_and": _q_bm25_topk_and,
         "facet_lang": _q_facet_lang,
         "facet_lang_sidecar": _q_facet_lang_sidecar,
+        "range_search": _q_range_search,
+        "sort_by_meta": _q_sort_by_meta,
+        "collapse_source": _q_collapse_source,
         "dup_clusters": _q_dup_clusters,
         "multifield_topk": _q_multifield_topk,
         "search_fields": _q_search_fields,
@@ -2097,4 +2198,65 @@ SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
         "FROM documents",
         f"FROM documents WHERE doc_id % {DELETE_PRED_MOD} <> {DELETE_PRED_REM}",
     )
+    # Range filter context (doc-values sidecar): same scored CTE over the
+    # range queries' scoring terms; the range predicate replays as a plain
+    # WHERE over the documents metadata, applied just before ranking
+    # (full-corpus stats — filter context semantics).
+    rng_values = ", ".join(
+        f"({i}, '{terms}')" for i, terms, _, _ in RANGE_QUERIES
+    )
+    rng_allow = "\nUNION ALL\n".join(
+        f"SELECT {i}::BIGINT AS query_id, doc_id FROM documents WHERE {pred}"
+        for i, _, _, pred in RANGE_QUERIES
+    )
+    extra["range_search"] = _BM25_SQL_CTE.replace(
+        VALUES_QUERIES, rng_values
+    ) + f"""
+, allow AS ({rng_allow})
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
+  FROM scored JOIN allow USING (query_id, doc_id)
+) WHERE rank <= 10
+"""
+    # Sort-by-field: the boolean matches ordered by a metadata value
+    # (ties on doc_id ascending), not relevance.
+    extra["sort_by_meta"] = f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+bq(bq_id, must, must_not) AS (VALUES {", ".join(
+    "({}, [{}], {})".format(
+        i,
+        ",".join(f"'{w}'" for w in m.split()),
+        "[" + ",".join(f"'{w}'" for w in n.split()) + "]" if n else "[]::VARCHAR[]",
+    )
+    for i, m, n in BOOL_QUERIES
+)}),
+m AS (
+  SELECT bq_id::BIGINT AS bq_id, doc_id
+  FROM t CROSS JOIN bq
+  WHERE list_has_all(toks, must) AND NOT list_has_any(toks, must_not)
+)
+SELECT bq_id, doc_id, {SORT_FIELD}, rank::INTEGER AS rank FROM (
+  SELECT m.bq_id, m.doc_id, d.{SORT_FIELD},
+         row_number() OVER (PARTITION BY m.bq_id
+                            ORDER BY d.{SORT_FIELD} ASC, m.doc_id ASC) AS rank
+  FROM m JOIN documents d USING (doc_id)
+) WHERE rank <= 10
+"""
+    # Field collapsing: best round-6 hit per (query, source), survivors
+    # re-ranked.
+    extra["collapse_source"] = _BM25_SQL_CTE + f"""
+, best AS (
+  SELECT query_id, {COLLAPSE_FIELD}, doc_id, score6,
+         row_number() OVER (PARTITION BY query_id, {COLLAPSE_FIELD}
+                            ORDER BY score6 DESC, doc_id ASC) AS rn
+  FROM scored JOIN documents USING (doc_id)
+)
+SELECT query_id, {COLLAPSE_FIELD}, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, {COLLAPSE_FIELD}, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score6 DESC, doc_id ASC) AS rank
+  FROM best WHERE rn = 1
+) WHERE rank <= 10
+"""
     return {**base, **{k: v for k, v in extra.items() if v is not None}}

@@ -1,0 +1,228 @@
+"""Doc-values queries over the stored-fields sidecar: range filters,
+sort-by-field, field collapsing.
+
+Lucene keeps per-document metadata in columnar DocValues and answers
+three staples from it without touching postings: range queries
+(NumericRangeQuery / TermRangeQuery), sorting results by a field value
+(Sort / SortField), and field collapsing (grouping — one best hit per
+value of a field). This engine's analogue is the ``doc_meta`` sidecar
+written by ``build_index(store_fields=[...])`` (dts/index_build.py):
+a doc_id-sorted, column-pruned parquet projection that tracks merges and
+deletion-applying compaction.
+
+Scale notes (the reason these live on the sidecar, not the source table):
+
+- ``range_docs`` is ONE pushed-down scan of the sidecar — the range
+  predicate reaches the parquet reader (min/max row-group stats prune),
+  and only (doc_id, field) columns are read. The output is an allow-list
+  in the engine's standard filter-context shape, colocated per bucket by
+  the scoring join exactly like tombstones (dts/score_index.py
+  ``_ids_by_bucket``).
+- ``sort_topk`` is Catalyst's TakeOrderedAndProject: per-partition
+  top-k, then a k-sized merge — never a full sort of the match set.
+- ``collapse_topk`` is a partial+final hash aggregation (``max`` over a
+  comparable struct), so the per-group best hit reduces map-side; the
+  grouped cardinality (distinct field values), not the candidate count,
+  reaches the final exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dts.score_index import ROUND_RANK
+
+
+def sidecar(spark: SparkSession, index_dir: str, need: list[str]) -> DataFrame:
+    """The index's doc_meta projection, validated to carry ``need``."""
+    from dts.index_build import load_meta
+
+    stored = load_meta(index_dir).get("store_fields") or []
+    missing = [f for f in need if f not in stored]
+    if missing:
+        raise ValueError(
+            f"fields {missing} not stored in this index (store_fields="
+            f"{stored}); rebuild with build_index(store_fields=[...])"
+        )
+    return spark.read.parquet(f"{index_dir}/doc_meta")
+
+
+def _range_pred(side: DataFrame, rng: tuple) -> F.Column:
+    """Boolean column for one (field, lo, hi, lo_incl, hi_incl) range.
+    Endpoint literals are cast to the COLUMN's type (a numeric sidecar
+    field compares numerically — Lucene's typed-field semantics); a
+    ``None`` endpoint is open (Lucene ``[* TO x]``)."""
+    field, lo, hi, lo_incl, hi_incl = rng
+    col = F.col(field)
+    dt = side.schema[field].dataType
+    pred = col.isNotNull()
+    if lo is not None:
+        lov = F.lit(lo).cast(dt)
+        pred = pred & (col >= lov if lo_incl else col > lov)
+    if hi is not None:
+        hiv = F.lit(hi).cast(dt)
+        pred = pred & (col <= hiv if hi_incl else col < hiv)
+    return pred
+
+
+def range_docs(
+    spark: SparkSession,
+    index_dir: str,
+    field: str,
+    lo=None,
+    hi=None,
+    lo_incl: bool = True,
+    hi_incl: bool = True,
+) -> DataFrame:
+    """(doc_id) allow-list: docs whose stored ``field`` lies in the range
+    — Lucene TermRangeQuery / NumericRangeQuery on DocValues. Feed it to
+    ``bm25_topk_indexed(doc_filter=...)`` (filter context: masked before
+    top-k, full-corpus stats) or use it standalone as a match set. The
+    predicate pushes down to the sidecar parquet scan."""
+    side = sidecar(spark, index_dir, [field])
+    return side.filter(
+        _range_pred(side, (field, lo, hi, lo_incl, hi_incl))
+    ).select("doc_id")
+
+
+def range_filter_batch(
+    spark: SparkSession, index_dir: str, by_qid: dict[int, dict]
+) -> DataFrame:
+    """Per-query allow-lists for a FUSED search batch: ``by_qid`` maps
+    query_id → {"ranges": [...], "not_ranges": [...]} (tuples as in
+    ``_range_pred``). Returns (query_id, doc_id) — the shape
+    score_expanded_terms' per-query ``doc_filter`` expects (joined on
+    (query_id, bucket), gated by ``filter_qids``). A doc is allowed iff
+    it satisfies EVERY positive range and NO negated range. One pushed-
+    down sidecar scan per query; Spark unions them into one job."""
+    need = sorted(
+        {r[0] for v in by_qid.values() for r in v["ranges"] + v["not_ranges"]}
+    )
+    side = sidecar(spark, index_dir, need)
+    parts = []
+    for qid in sorted(by_qid):
+        pred = F.lit(True)
+        for rng in by_qid[qid]["ranges"]:
+            pred = pred & _range_pred(side, rng)
+        for rng in by_qid[qid]["not_ranges"]:
+            pred = pred & ~_range_pred(side, rng)
+        parts.append(
+            side.filter(pred).select(
+                F.lit(qid).cast("long").alias("query_id"), "doc_id"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def sort_topk(
+    spark: SparkSession,
+    index_dir: str,
+    matches: DataFrame,
+    field: str,
+    k: int = 10,
+    ascending: bool = True,
+    key: str = "query_id",
+) -> DataFrame:
+    """Lucene Sort(SortField(field)): the top-k MATCHING docs ordered by
+    a stored field's value instead of relevance. ``matches`` is any
+    doc-granular query output carrying (``key``, doc_id) — boolean
+    matches, phrase hits, a filter context. Ties break on doc_id
+    ascending (Lucene's implicit tie-break is likewise the doc order).
+
+    Returns (key, doc_id, <field>, rank). Plan: matches ⋈ sidecar on
+    doc_id, then a per-key window top-k — the window partitions by the
+    query key, so the sort is per-query and never global; at cluster
+    scale the matches side is the hit set and the join is the same
+    shuffle the engine's facet path pays."""
+    side = sidecar(spark, index_dir, [field])
+    from pyspark.sql import Window
+
+    order = [
+        F.col(field).asc() if ascending else F.col(field).desc(),
+        F.col("doc_id").asc(),
+    ]
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        matches.select(key, "doc_id")
+        .distinct()
+        .join(side.select("doc_id", field), "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(key, "doc_id", field, "rank")
+    )
+
+
+def collapse_topk(
+    candidates: DataFrame,
+    side: DataFrame,
+    field: str,
+    k: int = 10,
+    key: str = "query_id",
+) -> DataFrame:
+    """Lucene field collapsing (grouping): keep only the BEST-scoring doc
+    per distinct value of ``field``, then rank the survivors — "one hit
+    per repo/domain/author". ``candidates`` carries (``key``, doc_id,
+    score) — a FULL candidate set (k=2**62 scoring output), since the
+    best doc of a group may rank below k overall.
+
+    Determinism: best-of-group and the final ranking both order by
+    (round(score, ROUND_RANK) desc, doc_id asc) — the engine's shared
+    rank contract. Docs with a NULL field value are dropped (Lucene's
+    grouping likewise needs a group value).
+
+    Plan: candidates ⋈ sidecar on doc_id, then ``max`` over a comparable
+    struct grouped by (key, field) — a partial+final hash agg: each map
+    task reduces its candidates to one row per group BEFORE the exchange,
+    so the shuffle carries group cardinality, not candidate cardinality —
+    then a per-key window over the (query × distinct-values)-sized
+    survivor set."""
+    from pyspark.sql import Window
+
+    best = (
+        candidates.select(key, "doc_id", "score")
+        .join(side.select("doc_id", field), "doc_id")
+        .filter(F.col(field).isNotNull())
+        .groupBy(key, field)
+        .agg(
+            F.max(
+                F.struct(
+                    F.round("score", ROUND_RANK).alias("s_r"),
+                    (-F.col("doc_id")).alias("neg_doc"),
+                    F.col("doc_id").alias("doc_id"),
+                    F.col("score").alias("score"),
+                )
+            ).alias("best")
+        )
+        .select(
+            key,
+            field,
+            F.col("best.doc_id").alias("doc_id"),
+            F.col("best.score").alias("score"),
+        )
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.round("score", ROUND_RANK).desc(), F.col("doc_id").asc()
+    )
+    return (
+        best.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(key, field, "doc_id", "score", "rank")
+    )
+
+
+def collapse_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    candidates: DataFrame,
+    field: str,
+    k: int = 10,
+    key: str = "query_id",
+) -> DataFrame:
+    """collapse_topk over the index's own sidecar."""
+    return collapse_topk(
+        candidates, sidecar(spark, index_dir, [field]), field, k, key
+    )

@@ -22,6 +22,11 @@ composes them into a single ranked query:
                      (BooleanQuery rewrite; leading ``*`` uses the
                      reversed dictionary)
 - ``-"a b"``       → excluded phrase
+- ``f:[a TO b]``   → range filter over the STORED field ``f`` (doc_meta
+                     sidecar — Lucene Term/NumericRangeQuery on doc
+                     values): required match, never scores (filter
+                     context); ``{`` ``}`` exclusive endpoints, ``*``
+                     open; ``-f:[a TO b]`` excludes the range
 
 Composition: ONE scoring job. Term-level MUST/MUST_NOT algebra runs
 INSIDE the scorer (``mode='mixed'``: role-typed clause rows — required
@@ -51,10 +56,13 @@ _ELEMENT = re.compile(
     r"""(?P<sign>[+-]?)                    # optional modifier
         (?:(?P<field>[A-Za-z_][\w.]*):)?   # optional field scope
         (?:"(?P<phrase>[^"]*)"             # quoted phrase
+         | (?P<range>[\[{][^\]}]*[\]}])    # range: [a TO b] / {a TO b}
          | (?P<atom>\S+))                  # or a bare atom
     """,
     re.VERBOSE,
 )
+
+_RANGE_BODY = re.compile(r"\s*(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\s*")
 
 
 @dataclass
@@ -85,6 +93,15 @@ class ParsedQuery:
     # populated when parse_query is given the known-field set; clauses
     # scoped to the default field land on the top-level object).
     fielded: dict[str, "ParsedQuery"] = field(default_factory=dict)
+    # Range constraints over STORED (doc_meta sidecar) fields — Lucene
+    # TermRangeQuery/NumericRangeQuery syntax ``size:[100 TO 2000]``
+    # (inclusive) / ``{.. ..}`` (exclusive), ``*`` = open endpoint.
+    # Always filter context (required / excluded — never scoring), always
+    # on the top-level query: ranges are doc-granular, and their field
+    # names the sidecar column, not an indexed field. Tuples are
+    # (field, lo, hi, lo_incl, hi_incl) with None for open endpoints.
+    ranges: list[tuple] = field(default_factory=list)
+    not_ranges: list[tuple] = field(default_factory=list)
 
     @property
     def n_required(self) -> int:
@@ -163,6 +180,28 @@ def parse_query(
             m.group("sign"), m.group("field"), m.group("phrase"),
             m.group("atom"),
         )
+        rng = m.group("range")
+        if rng is not None:
+            # Ranges name SIDECAR fields (validated at execution against
+            # store_fields), so they bypass the indexed-field check and
+            # always land on the top-level query.
+            body = _RANGE_BODY.fullmatch(rng[1:-1])
+            if f_name is None or body is None:
+                raise ValueError(
+                    f"malformed range {sign}{f_name + ':' if f_name else ''}"
+                    f"{rng}: expected field:[lo TO hi] (or {{}} for "
+                    "exclusive endpoints, * for open)"
+                )
+            lo, hi = body.group("lo"), body.group("hi")
+            tup = (
+                f_name,
+                None if lo == "*" else lo,
+                None if hi == "*" else hi,
+                rng[0] == "[",
+                rng[-1] == "]",
+            )
+            (q.not_ranges if sign == "-" else q.ranges).append(tup)
+            continue
         if f_name is not None and (fields is None or f_name not in fields):
             # Unknown field prefix: restore the literal element.
             if atom is not None:
@@ -229,6 +268,7 @@ def search_batch(
     # start at q.n_required — after the required term/fuzzy/wildcard
     # clauses, never colliding.
     ph_meta: list[tuple[int, int, int, int, int, str]] = []
+    range_by_qid: dict[int, dict] = {}
     for qid, q in enumerate(parsed):
         rows = _clause_rows(
             spark, index_dir, q, qid, max_clauses,
@@ -236,11 +276,18 @@ def search_batch(
         )
         if not any(role != 2 for _, _, role, _ in rows):
             # Nothing scores — unless scored phrases make the phrase
-            # itself the scoring clause.
+            # itself the scoring clause. (A PURE-range query likewise
+            # skips: ranges are a filter context with no scoring clause;
+            # compose dts.docvalues.range_docs with a match surface for
+            # constant-score range retrieval.)
             if not (scored_phrases and q.phrases):
                 continue
         rows_by_q[qid] = rows
         m_map[qid] = q.n_required + len(q.phrases)
+        if q.ranges or q.not_ranges:
+            range_by_qid[qid] = {
+                "ranges": q.ranges, "not_ranges": q.not_ranges,
+            }
         next_clause = q.n_required
         for ph in q.phrases:
             ph_meta.append(
@@ -255,6 +302,17 @@ def search_batch(
     syn = phrase_syn_rows(
         spark, index_dir, ph_meta, with_dl=scored_phrases
     )
+    doc_filter = filter_qids = None
+    if range_by_qid:
+        # Range constraints (sidecar doc-values) become PER-QUERY filter
+        # contexts: one pushed-down sidecar scan per ranged query, fused
+        # into the scoring job through the (query_id, bucket)-keyed
+        # allow-list join; unranged queries in the batch stay unfiltered
+        # via the filter_qids gate.
+        from dts.docvalues import range_filter_batch
+
+        doc_filter = range_filter_batch(spark, index_dir, range_by_qid)
+        filter_qids = set(range_by_qid)
     rows = [r for qid in sorted(rows_by_q) for r in rows_by_q[qid]]
     qterms = spark.createDataFrame(
         rows, "query_id long, clause int, role int, term string"
@@ -264,6 +322,7 @@ def search_batch(
         strategy=strategy, distribute=distribute, mode="mixed",
         m_map=m_map, broadcast_filter=broadcast_filter,
         all_terms=sorted({t for *_, t in rows}), syn_rows=syn,
+        doc_filter=doc_filter, filter_qids=filter_qids,
     )
 
 

@@ -1,0 +1,221 @@
+"""Doc-values surface (dts.docvalues): range filters, sort-by-field and
+field collapsing over the stored-fields sidecar, plus the parser's range
+grammar (``f:[a TO b]``) fused into search_batch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dts.docvalues import (
+    collapse_topk_indexed,
+    range_docs,
+    sidecar,
+    sort_topk,
+)
+from dts.index_build import build_index
+from dts.parser import parse_query, search_batch
+from dts.tokenizer import tokenize_text
+
+
+def test_parse_range_grammar():
+    q = parse_query("fast size:[100 TO 300] -n:{2 TO *] lang:[* TO fr}")
+    assert q.score_terms == ["fast"]
+    assert q.ranges == [
+        ("size", "100", "300", True, True),
+        ("lang", None, "fr", True, False),
+    ]
+    assert q.not_ranges == [("n", "2", None, False, True)]
+    # malformed: no field prefix / no TO
+    with pytest.raises(ValueError):
+        parse_query("[100 TO 300]")
+    with pytest.raises(ValueError):
+        parse_query("size:[100 300]")
+    # a range never routes into a fielded sub-query even with known fields
+    q2 = parse_query("text:fast size:[1 TO 2]", fields={"text", "size"})
+    assert q2.ranges == [("size", "1", "2", True, True)]
+    assert "size" not in q2.fielded
+
+
+@pytest.fixture(scope="module")
+def dv_idx(spark, docs_sdf, tmp_path_factory):
+    """Index with a sidecar carrying a numeric field, string fields, and a
+    NULLABLE group field (doc_id % 5 == 0 rows are NULL)."""
+    d = str(tmp_path_factory.mktemp("dv") / "idx")
+    docs = docs_sdf.withColumn(
+        "n_chars", F.length("content").cast("long")
+    ).withColumn(
+        "grp",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+            (F.col("doc_id") % 3).cast("long")
+        ),
+    )
+    build_index(
+        spark, docs, d, bucket_size=64, positions=True,
+        store_fields=["lang", "repo", "n_chars", "grp"],
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def meta_pd(spark, docs_sdf):
+    return (
+        docs_sdf.select(
+            "doc_id",
+            "lang",
+            "repo",
+            F.length("content").cast("long").alias("n_chars"),
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+
+
+def _terms(corpus_pd, n=3):
+    return " ".join(tokenize_text(corpus_pd["content"].iloc[0])[:n])
+
+
+def test_range_docs_matches_filter(spark, dv_idx, meta_pd):
+    got = {
+        int(r["doc_id"])
+        for r in range_docs(spark, dv_idx, "n_chars", 500, 900).collect()
+    }
+    want = set(
+        meta_pd.index[(meta_pd["n_chars"] >= 500) & (meta_pd["n_chars"] <= 900)]
+    )
+    assert got == want
+    # exclusive + open endpoints
+    got2 = {
+        int(r["doc_id"])
+        for r in range_docs(
+            spark, dv_idx, "n_chars", 500, None, lo_incl=False
+        ).collect()
+    }
+    assert got2 == set(meta_pd.index[meta_pd["n_chars"] > 500])
+    # string-typed range compares lexically
+    got3 = {
+        int(r["doc_id"])
+        for r in range_docs(spark, dv_idx, "lang", "go", "py").collect()
+    }
+    assert got3 == set(
+        meta_pd.index[(meta_pd["lang"] >= "go") & (meta_pd["lang"] <= "py")]
+    )
+
+
+def test_sidecar_missing_field_raises(spark, dv_idx):
+    with pytest.raises(ValueError, match="store_fields"):
+        sidecar(spark, dv_idx, ["nope"])
+
+
+def test_search_batch_range_equals_manual(spark, dv_idx, corpus_pd):
+    """The fused per-query range filter context ranks exactly like the
+    manual range_docs + doc_filter composition, and an unranged query in
+    the same batch stays unfiltered."""
+    from dts.score_index import bm25_topk_indexed
+
+    text = _terms(corpus_pd)
+    out = search_batch(
+        spark, dv_idx, [f"{text} n_chars:[500 TO 900]", text], k=10
+    ).toPandas()
+    got0 = out[out["query_id"] == 0].sort_values("rank")
+    got1 = out[out["query_id"] == 1].sort_values("rank")
+
+    q = spark.createDataFrame(
+        [(0, text, 0)], "query_id long, text string, fuzzy_k int"
+    )
+    ref0 = bm25_topk_indexed(
+        spark, dv_idx, q, k=10,
+        doc_filter=range_docs(spark, dv_idx, "n_chars", 500, 900),
+    ).toPandas().sort_values("rank")
+    ref1 = bm25_topk_indexed(spark, dv_idx, q, k=10).toPandas().sort_values(
+        "rank"
+    )
+    assert list(got0["doc_id"]) == list(ref0["doc_id"])
+    assert list(got0["score"]) == list(ref0["score"])
+    assert list(got1["doc_id"]) == list(ref1["doc_id"])
+    # the range actually constrained something
+    assert list(got0["doc_id"]) != list(got1["doc_id"])
+
+
+def test_negated_range_keeps_null_field_docs(spark, dv_idx, corpus_pd):
+    """Lucene semantics: a doc MISSING the field never matches the range,
+    so a negated range keeps it."""
+    text = _terms(corpus_pd)
+    out = search_batch(
+        spark, dv_idx, [f"{text} -grp:[0 TO 2]"], k=10**6
+    ).toPandas()
+    # grp covers 0..2 for every non-null doc, so survivors are exactly the
+    # NULL-grp docs (doc_id % 5 == 0) among the query's matches.
+    assert len(out) > 0
+    assert all(int(d) % 5 == 0 for d in out["doc_id"])
+
+
+def test_pure_range_query_returns_empty(spark, dv_idx):
+    assert search_batch(spark, dv_idx, ["n_chars:[1 TO 9999]"]).count() == 0
+
+
+def test_sort_topk_order_and_ties(spark, dv_idx, docs_sdf, meta_pd):
+    matches = docs_sdf.select(
+        F.lit(0).cast("long").alias("query_id"), "doc_id"
+    ).filter(F.col("doc_id") % 2 == 0)
+    got = (
+        sort_topk(spark, dv_idx, matches, "n_chars", k=15, ascending=True)
+        .toPandas()
+        .sort_values("rank")
+    )
+    even = meta_pd[meta_pd.index % 2 == 0].reset_index()
+    want = even.sort_values(["n_chars", "doc_id"]).head(15)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["n_chars"]) == list(want["n_chars"])
+    # descending flips the field order, not the doc_id tie-break
+    got_d = (
+        sort_topk(spark, dv_idx, matches, "n_chars", k=5, ascending=False)
+        .toPandas()
+        .sort_values("rank")
+    )
+    want_d = even.sort_values(
+        ["n_chars", "doc_id"], ascending=[False, True]
+    ).head(5)
+    assert list(got_d["doc_id"]) == list(want_d["doc_id"])
+
+
+def test_collapse_matches_window_reference(spark, dv_idx, corpus_pd):
+    """collapse_topk (hash-agg best-of-group) equals the window-function
+    reference on full candidates; NULL group values are dropped."""
+    from pyspark.sql import Window
+
+    from dts.score_index import bm25_topk_indexed
+
+    text = _terms(corpus_pd)
+    q = spark.createDataFrame(
+        [(0, text, 0), (1, text.split()[0], 0)],
+        "query_id long, text string, fuzzy_k int",
+    )
+    full = bm25_topk_indexed(spark, dv_idx, q, k=2**62)
+    got = (
+        collapse_topk_indexed(spark, dv_idx, full, "grp", k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+    )
+    side = sidecar(spark, dv_idx, ["grp"])
+    w_g = Window.partitionBy("query_id", "grp").orderBy(
+        F.round("score", 9).desc(), F.col("doc_id").asc()
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.round("score", 9).desc(), F.col("doc_id").asc()
+    )
+    ref = (
+        full.join(side, "doc_id")
+        .filter(F.col("grp").isNotNull())
+        .withColumn("rn", F.row_number().over(w_g))
+        .filter(F.col("rn") == 1)
+        .withColumn("rank", F.row_number().over(w_q))
+        .filter(F.col("rank") <= 10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+    )
+    assert list(got["doc_id"]) == list(ref["doc_id"])
+    assert list(got["grp"]) == list(ref["grp"])
+    assert list(got["score"]) == list(ref["score"])
+    # at most one row per (query, group)
+    assert got.groupby(["query_id", "grp"]).size().max() == 1
