@@ -474,6 +474,26 @@ def _q_collapse_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", COLLAPSE_FIELD, "doc_id", "rank")
 
 
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable similarity: Lucene ClassicSimilarity (TFIDFSimilarity —
+    sqrt(tf) · idf² · 1/sqrt(dl), idf = 1 + ln(N/(df+1)), exact dl) over
+    the same index that serves BM25: the index stores tf/dl, so one
+    build serves both similarities; only the kernel's weight/impact
+    formulas switch (dts.score.classic_weight / classic_impact)."""
+    from dts.score_index import bm25_topk_indexed
+
+    q = spark.createDataFrame(
+        [(i, t, 0) for i, t in PROBE_QUERIES],
+        "query_id long, text string, fuzzy_k int",
+    )
+    return _rerank6_top10(
+        bm25_topk_indexed(
+            spark, _pos_index(spark, sf_dir), q, k=10**6,
+            similarity="classic",
+        )
+    )
+
+
 def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional index + phrase intersection (dts.phrase): per (phrase,
     doc), occurrences of the phrase as consecutive tokens — the indexed
@@ -1288,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_search": _q_range_search,
         "sort_by_meta": _q_sort_by_meta,
         "collapse_source": _q_collapse_source,
+        "tfidf_topk": _q_tfidf_topk,
         "dup_clusters": _q_dup_clusters,
         "multifield_topk": _q_multifield_topk,
         "search_fields": _q_search_fields,
@@ -2241,6 +2262,42 @@ SELECT bq_id, doc_id, {SORT_FIELD}, rank::INTEGER AS rank FROM (
          row_number() OVER (PARTITION BY m.bq_id
                             ORDER BY d.{SORT_FIELD} ASC, m.doc_id ASC) AS rank
   FROM m JOIN documents d USING (doc_id)
+) WHERE rank <= 10
+"""
+    # ClassicSimilarity: the scored CTE with Lucene's TF-IDF formula —
+    # sqrt(tf) · (1 + ln(N/(df+1)))² · 1/sqrt(dl) — in place of BM25.
+    extra["tfidf_topk"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '{TOK}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(coalesce(text, '')), '{TOK}'))::BIGINT AS dl
+  FROM documents
+),
+stats AS (SELECT count(*)::DOUBLE AS n_docs FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, text) AS (VALUES {VALUES_QUERIES}),
+qterms AS (SELECT query_id::BIGINT AS query_id, unnest(string_split(text, ' ')) AS term FROM q),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         round(sum(
+           pow(1.0 + ln(stats.n_docs / (dfreq.df + 1.0)), 2)
+           * sqrt(tf.tf) / sqrt(dl.dl)
+         ), 6) AS score6
+  FROM qterms
+  JOIN tf USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
+  FROM scored
 ) WHERE rank <= 10
 """
     # Field collapsing: best round-6 hit per (query, source), survivors

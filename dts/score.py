@@ -70,6 +70,30 @@ def query_terms_df(queries: DataFrame) -> DataFrame:
     )
 
 
+def classic_weight(n_docs: float, df):
+    """Lucene ClassicSimilarity (TFIDFSimilarity) per-term query weight:
+    idf² with idf = 1 + ln(n_docs / (df + 1)). The squared idf is the
+    product of the query-side and doc-side idf factors in Lucene's
+    formula (queryNorm and coord were removed in Lucene 7; this engine
+    never had them). Works on numpy arrays and python floats."""
+    import numpy as np
+
+    return (1.0 + np.log(n_docs / (np.asarray(df, dtype=np.float64) + 1.0))) ** 2
+
+
+def classic_impact(tf, dl):
+    """Lucene ClassicSimilarity per-(term, doc) impact: sqrt(tf) ·
+    1/sqrt(dl) — the tf factor times the index-time field norm (this
+    engine stores exact dl, so the norm is exact, not Lucene's lossy
+    byte-encoded approximation; documented delta). Numpy arrays in,
+    float64 out."""
+    import numpy as np
+
+    return np.sqrt(np.asarray(tf, dtype=np.float64)) / np.sqrt(
+        np.asarray(dl, dtype=np.float64)
+    )
+
+
 def bm25_contrib(n_docs: int, avgdl: float):
     """Column expr: one term's BM25 contribution, from tf/df/dl columns."""
     idf = F.log(

@@ -181,6 +181,7 @@ def _scorer_fn(
     mode: str = "or",
     m_map: dict[int, int] | None = None,
     filter_qids: set[int] | None = None,
+    similarity: str = "bm25",
 ):
     """Tombstones arrive COLOCATED on the posting rows as a ``_del_ids``
     column (dts.delete.join_deletes — per-bucket sorted arrays, joined by
@@ -236,10 +237,20 @@ def _scorer_fn(
         # each term's bucket rows an ordered concatenation (the lazy phase-2
         # of the salted merge).
         pdf = pdf.sort_values(["term", "bucket"], kind="mergesort")
-        idf = np.log(
-            1.0 + (n_docs - pdf["df"].to_numpy(np.float64) + 0.5)
-            / (pdf["df"].to_numpy(np.float64) + 0.5)
-        )
+        # Pluggable similarity: ``idf`` is the per-ROW query weight and
+        # ``_impact`` the per-(term, doc) factor; their product is the
+        # contribution. "bm25" (default) is the engine contract;
+        # "classic" is Lucene's ClassicSimilarity (sqrt(tf) · idf² ·
+        # 1/sqrt(dl), exact dl instead of the lossy norm byte).
+        df_arr = pdf["df"].to_numpy(np.float64)
+        if similarity == "classic":
+            from dts.score import classic_impact, classic_weight
+
+            idf = classic_weight(float(n_docs), df_arr)
+            _impact = lambda tf, dl: classic_impact(tf, dl)  # noqa: E731
+        else:
+            idf = np.log(1.0 + (n_docs - df_arr + 0.5) / (df_arr + 0.5))
+            _impact = lambda tf, dl: bm25_impact(tf, dl, avgdl)  # noqa: E731
         # Synthetic clause rows (round-5: scored/required phrases fused
         # into THIS kernel): no posting blobs — the doc/tf/dl arrays are
         # precomputed per (clause, bucket) and ride _syn_* columns. Their
@@ -299,16 +310,15 @@ def _scorer_fn(
                         # only, zero scoring contribution.
                         c = np.zeros(len(d), dtype=np.float64)
                     else:
-                        c = float(idf[i]) * bm25_impact(
+                        c = float(idf[i]) * _impact(
                             np.asarray(tfs, dtype=np.int64),
                             np.asarray(
                                 pdf["_syn_dls"].iat[i], dtype=np.int64
                             ),
-                            avgdl,
                         )
                 else:
                     d, tf, dl = decode_postings(_pack(i))
-                    c = float(idf[i]) * bm25_impact(tf, dl, avgdl)
+                    c = float(idf[i]) * _impact(tf, dl)
                 docs_parts.append(d)
                 contrib_parts.append(c)
             if mode == "mixed_flags":
@@ -674,6 +684,7 @@ def _score_filtered(
     broadcast_filter: bool = True,
     filter_qids: set[int] | None = None,
     syn_rows: DataFrame | None = None,
+    similarity: str = "bm25",
 ) -> DataFrame:
     """Shared scoring tail: join filtered postings with broadcast stats +
     query terms, attach colocated tombstones (when ``index_dir`` has a
@@ -708,9 +719,20 @@ def _score_filtered(
     n_buckets = -(-meta["n_docs"] // meta["bucket_size"])
     if distribute is None:
         distribute = auto_distribute(n_queries, n_buckets, meta["n_docs"])
+    if similarity not in ("bm25", "classic"):
+        raise ValueError(f"unknown similarity {similarity!r}")
+    if similarity != "bm25" and strategy == "bmw":
+        # Stored block maxima are BM25 impact bounds — not sound for
+        # other similarities (Lucene likewise keeps per-similarity
+        # impacts). TAAT is exact for any similarity.
+        raise ValueError(
+            f"strategy='bmw' supports only similarity='bm25' "
+            f"(got {similarity!r}); use strategy='taat'"
+        )
     scorer = _scorer_fn(
         meta["n_docs"], meta["avgdl"], k, strategy, meta["block_size"],
         meta.get("codec", "varint"), mode, m_map, filter_qids,
+        similarity,
     )
     if distribute == "bucket":
         # Cap group count: per-group applyInPandas overhead is real, so
@@ -749,6 +771,7 @@ def score_expanded_terms(
     m_map: dict[int, int] | None = None,
     filter_qids: set[int] | None = None,
     syn_rows: DataFrame | None = None,
+    similarity: str = "bm25",
 ) -> DataFrame:
     """BM25 top-k for explicit (query_id, term) rows — the multi-term
     rewrite entry point (wildcard/prefix expansion, external synonym sets,
@@ -801,7 +824,7 @@ def score_expanded_terms(
         spark, idx["meta"], postings, stats, qterms, n_queries, k,
         strategy, distribute, index_dir, mode, m_map,
         doc_filter=doc_filter, broadcast_filter=broadcast_filter,
-        filter_qids=filter_qids, syn_rows=syn_rows,
+        filter_qids=filter_qids, syn_rows=syn_rows, similarity=similarity,
     )
 
 
@@ -816,8 +839,18 @@ def bm25_topk_indexed(
     mode: str = "or",
     doc_filter: DataFrame | None = None,
     broadcast_filter: bool = True,
+    similarity: str = "bm25",
 ) -> DataFrame:
     """Top-k over the persisted index. Returns (query_id, doc_id, score, rank).
+
+    ``similarity``: ``"bm25"`` (the engine contract — k1=1.2, b=0.75) or
+    ``"classic"`` (Lucene ClassicSimilarity: sqrt(tf) · idf² · 1/sqrt(dl)
+    with idf = 1 + ln(N/(df+1)); exact dl instead of Lucene's lossy norm
+    byte — documented delta; spec dts.score.classic_weight /
+    classic_impact). The index is similarity-agnostic (it stores tf/dl);
+    only the kernel's weight and impact formulas switch, so one build
+    serves both. ``"classic"`` requires strategy='taat' (stored block
+    maxima are BM25 bounds).
 
     ``doc_filter`` (Lucene filter context — round 4): a DataFrame with a
     ``doc_id`` column; only member docs are RANKED (masked before top-k
@@ -891,6 +924,7 @@ def bm25_topk_indexed(
     return _score_filtered(
         spark, meta, postings, stats, qterms, n_queries, k, strategy,
         distribute, index_dir, mode, m_map, doc_filter, broadcast_filter,
+        similarity=similarity,
     )
 
 
