@@ -505,6 +505,33 @@ def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match_counts(spark, _pos_index(spark, sf_dir), ph)
 
 
+# Sloppy-phrase probe rows (phrase_id, text, slop): ordered chain with
+# every adjacent gap in [1, slop]; slop=1 = exact phrase (covered by
+# phrase_match) — here 2-term and 3-term chains at slop 2/3, plus a
+# repeated-term pair.
+SLOP_PHRASES = [
+    (0, "fast join", 2),
+    (1, "table scan", 3),
+    (2, "merge group row", 2),
+    (3, "data data", 2),
+]
+
+
+def _q_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrases (dts.phrase — ``"a b"~k`` in the query grammar):
+    per doc, the number of chain STARTS p = q_0 < … < q_{m-1} with
+    q_i ∈ positions(t_i) and every gap in [1, slop]. Ordered per-gap
+    semantics (the proximity operator generalized to m terms) — the
+    documented delta vs Lucene's edit-distance SloppyPhraseQuery. Oracle
+    replays the chain with nested list_filter over the token array."""
+    from dts.phrase import phrase_match_counts
+
+    ph = spark.createDataFrame(
+        SLOP_PHRASES, "phrase_id long, text string, slop int"
+    )
+    return phrase_match_counts(spark, _pos_index(spark, sf_dir), ph)
+
+
 def _q_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-window proximity over the positional index: positions p of
     term_a followed by term_b within PROX_SLOP tokens (slop=1 == exact
@@ -1285,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_engine": _q_bm25_topk_engine,
         "fuzzy_expand_engine": _q_fuzzy_expand_engine,
         "phrase_match": _q_phrase_match,
+        "phrase_slop": _q_phrase_slop,
         "proximity_match": _q_proximity_match,
         "boolean_match": _q_boolean_match,
         "boolean_should": _q_boolean_should,
@@ -1370,6 +1398,32 @@ def _phrase_match_sql() -> str:
 SELECT {pid}::BIGINT AS phrase_id, doc_id,
        len(list_filter(range(1, len(toks) - {m} + 2), j -> {cond}))::BIGINT AS n_matches
 FROM t WHERE len(toks) >= {m}""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
+SELECT phrase_id, doc_id, n_matches FROM ({body}) WHERE n_matches > 0
+"""
+
+
+def _phrase_slop_sql() -> str:
+    """Nested-lambda replay of the sloppy-phrase chain: a start j0 counts
+    iff toks[j0] = t0 and, recursively, some j_{i+1} in
+    (j_i, j_i + slop] carries t_{i+1}. Out-of-range list indexes are NULL
+    in DuckDB, which fails the equality — no explicit bounds needed."""
+    parts = []
+    for pid, text, slop in SLOP_PHRASES:
+        terms = text.split(" ")
+        m = len(terms)
+        expr = f"toks[j{m - 1}] = '{terms[-1]}'"
+        for i in range(m - 2, -1, -1):
+            expr = (
+                f"toks[j{i}] = '{terms[i]}' AND len(list_filter("
+                f"range(j{i} + 1, j{i} + {slop} + 1), j{i + 1} -> {expr})) > 0"
+            )
+        parts.append(f"""
+SELECT {pid}::BIGINT AS phrase_id, doc_id,
+       len(list_filter(range(1, len(toks) + 1), j0 -> {expr}))::BIGINT AS n_matches
+FROM t""")
     body = "\nUNION ALL\n".join(parts)
     return f"""
 WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
@@ -1641,6 +1695,7 @@ WHERE levenshtein(qterm, term) <= 1
 GROUP BY 1, 2, 3
 """,
         "phrase_match": _phrase_match_sql(),
+        "phrase_slop": _phrase_slop_sql(),
         "proximity_match": f"""
 WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
 pr(pair_id, a, b) AS (VALUES {", ".join(f"({i}, '{a}', '{b}')" for i, a, b in PROX_PAIRS)}),

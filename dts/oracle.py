@@ -241,6 +241,25 @@ def phrase_count(text: str, phrase_terms: list[str]) -> int:
     )
 
 
+def sloppy_phrase_count(text: str, phrase_terms: list[str], slop: int) -> int:
+    """Distinct chain starts p = q_0 < … < q_{m-1} with q_i a position of
+    term i and every gap q_i − q_{i−1} in [1, slop] — the spec for
+    dts.phrase sloppy phrases (``"a b"~k``). slop=1 equals phrase_count.
+    Ordered per-gap semantics; the delta vs Lucene's edit-distance
+    SloppyPhraseQuery is documented on phrase_match_counts."""
+    toks = tokenize_text(text)
+    m = len(phrase_terms)
+    if m == 0 or len(toks) < m:
+        return 0
+    pos = {t: [i for i, x in enumerate(toks) if x == t] for t in set(phrase_terms)}
+    live = set(pos[phrase_terms[-1]])
+    for t in reversed(phrase_terms[:-1]):
+        live = {p for p in pos[t] if any(p < q <= p + slop for q in live)}
+        if not live:
+            return 0
+    return len(live)
+
+
 def proximity_count(text: str, term_a: str, term_b: str, slop: int) -> int:
     """Positions p of term_a with a term_b at q, 0 < q - p <= slop (the
     ordered-window proximity spec for dts.phrase.proximity_match_counts;

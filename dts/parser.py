@@ -56,6 +56,7 @@ _ELEMENT = re.compile(
     r"""(?P<sign>[+-]?)                    # optional modifier
         (?:(?P<field>[A-Za-z_][\w.]*):)?   # optional field scope
         (?:"(?P<phrase>[^"]*)"             # quoted phrase
+           (?:~(?P<pslop>\d+))?            #   optional slop: "a b"~2
          | (?P<range>[\[{][^\]}]*[\]}])    # range: [a TO b] / {a TO b}
          | (?P<atom>\S+))                  # or a bare atom
     """,
@@ -85,6 +86,12 @@ class ParsedQuery:
     must_not: list[str] = field(default_factory=list)
     phrases: list[str] = field(default_factory=list)       # required
     not_phrases: list[str] = field(default_factory=list)
+    # Per-phrase slop, parallel to phrases / not_phrases (``"a b"~2``;
+    # 1 = exact consecutive tokens). Engine slop semantics: ordered
+    # chain, every adjacent gap in [1, slop] — see
+    # dts.phrase.phrase_match_counts for the delta vs Lucene.
+    phrase_slops: list[int] = field(default_factory=list)
+    not_phrase_slops: list[int] = field(default_factory=list)
     must_fuzzy: list[tuple[str, int]] = field(default_factory=list)
     not_fuzzy: list[tuple[str, int]] = field(default_factory=list)
     must_wildcards: list[str] = field(default_factory=list)
@@ -118,7 +125,11 @@ class ParsedQuery:
 
 
 def _add_element(
-    q: ParsedQuery, sign: str, phrase: str | None, atom: str | None
+    q: ParsedQuery,
+    sign: str,
+    phrase: str | None,
+    atom: str | None,
+    pslop: str | None = None,
 ) -> None:
     """Classify one query element into ``q``'s buckets."""
     if phrase is not None:
@@ -126,10 +137,13 @@ def _add_element(
         if not toks:
             return
         joined = " ".join(toks)
+        slop = max(1, int(pslop)) if pslop is not None else 1
         if sign == "-":
             q.not_phrases.append(joined)
+            q.not_phrase_slops.append(slop)
         else:
             q.phrases.append(joined)
+            q.phrase_slops.append(slop)
             q.phrase_terms.extend(toks)
         return
     fm = re.fullmatch(r"(?P<t>[^~\s]+)~(?P<k>\d+)", atom)
@@ -210,7 +224,7 @@ def parse_query(
         target = q
         if f_name is not None and f_name != default_field:
             target = q.fielded.setdefault(f_name, ParsedQuery())
-        _add_element(target, sign, phrase, atom)
+        _add_element(target, sign, phrase, atom, m.group("pslop"))
     return q
 
 
@@ -264,10 +278,10 @@ def search_batch(
     parsed = [parse_query(t) for t in queries]
     rows_by_q: dict[int, list[tuple[int, int, int, str]]] = {}
     m_map: dict[int, int] = {}
-    # (phrase_id, query_id, clause, role, scored, text): phrase clause ids
-    # start at q.n_required — after the required term/fuzzy/wildcard
-    # clauses, never colliding.
-    ph_meta: list[tuple[int, int, int, int, int, str]] = []
+    # (phrase_id, query_id, clause, role, scored, text, slop): phrase
+    # clause ids start at q.n_required — after the required
+    # term/fuzzy/wildcard clauses, never colliding.
+    ph_meta: list[tuple[int, int, int, int, int, str, int]] = []
     range_by_qid: dict[int, dict] = {}
     for qid, q in enumerate(parsed):
         rows = _clause_rows(
@@ -289,14 +303,14 @@ def search_batch(
                 "ranges": q.ranges, "not_ranges": q.not_ranges,
             }
         next_clause = q.n_required
-        for ph in q.phrases:
+        for ph, slop in zip(q.phrases, q.phrase_slops):
             ph_meta.append(
                 (len(ph_meta), qid, next_clause, 1,
-                 1 if scored_phrases else 0, ph)
+                 1 if scored_phrases else 0, ph, slop)
             )
             next_clause += 1
-        for ph in q.not_phrases:
-            ph_meta.append((len(ph_meta), qid, -2, 2, 0, ph))
+        for ph, slop in zip(q.not_phrases, q.not_phrase_slops):
+            ph_meta.append((len(ph_meta), qid, -2, 2, 0, ph, slop))
     if not rows_by_q:
         return spark.createDataFrame([], TOPK_SCHEMA)
     syn = phrase_syn_rows(
@@ -503,11 +517,11 @@ def search_fields(
         )
     per_field_rows: dict[str, list[tuple[int, int, int, str]]] = {}
     m_total: dict[int, int] = {}
-    # field → (phrase_id, query_id, clause, role, scored, text) rows for
+    # field → (phrase_id, query_id, clause, role, scored, text, slop) rows for
     # phrase_syn_rows; phrase clause ids start at the query's required
     # clause count WITHIN that field (per-field kernels count distinct
     # matched clauses independently, the combine sums across fields).
-    ph_by_field: dict[str, list[tuple[int, int, int, int, int, str]]] = {}
+    ph_by_field: dict[str, list[tuple[int, int, int, int, int, str, int]]] = {}
     for qid, text in enumerate(queries):
         pq = parse_query(text, fields=fields, default_field=default_field)
         parts = {default_field: pq, **pq.fielded}
@@ -523,13 +537,13 @@ def search_fields(
             # exactly Lucene's +nonexistent ⇒ no results.
             m_total[qid] += part.n_required + len(part.phrases)
             next_clause = part.n_required
-            for ph in part.phrases:
+            for ph, slop in zip(part.phrases, part.phrase_slops):
                 fl = ph_by_field.setdefault(f_name, [])
-                fl.append((len(fl), qid, next_clause, 1, 0, ph))
+                fl.append((len(fl), qid, next_clause, 1, 0, ph, slop))
                 next_clause += 1
-            for ph in part.not_phrases:
+            for ph, slop in zip(part.not_phrases, part.not_phrase_slops):
                 fl = ph_by_field.setdefault(f_name, [])
-                fl.append((len(fl), qid, -2, 2, 0, ph))
+                fl.append((len(fl), qid, -2, 2, 0, ph, slop))
     if not per_field_rows and not ph_by_field:
         return spark.createDataFrame([], TOPK_SCHEMA)
 

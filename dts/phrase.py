@@ -72,7 +72,14 @@ def _concat_runs(rows: pd.DataFrame, block_size: int, codec: str = "varint"):
 def _matcher_fn(block_size: int, codec: str = "varint", with_dl: bool = False):
     """``with_dl``: additionally emit each matched doc's length (decoded
     from the same posting rows — no doc_stats join), the denominator input
-    of the phrase-frequency BM25 impact."""
+    of the phrase-frequency BM25 impact.
+
+    Sloppy phrases (``slop`` column on the group, default 1): a match at
+    start p is an ORDERED chain p = q_0 < q_1 < … < q_{m-1} with
+    q_i ∈ positions(t_i) and q_i − q_{i−1} ∈ [1, slop]; n_matches counts
+    distinct starts. slop=1 is exactly the consecutive-token phrase (the
+    vectorized m-way key intersection below). Delta vs Lucene's
+    SloppyPhraseQuery documented in phrase_match_counts."""
 
     def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
         cols = {
@@ -85,6 +92,7 @@ def _matcher_fn(block_size: int, codec: str = "varint", with_dl: bool = False):
         empty = pd.DataFrame(cols)
         phrase_id = int(pdf["phrase_id"].iloc[0])
         m = int(pdf["m"].iloc[0])
+        slop = int(pdf["slop"].iloc[0]) if "slop" in pdf.columns else 1
         if pdf["i"].nunique() != m:
             return empty  # some phrase term absent from this bucket
         # Per phrase slot i: docs (ascending) + per-doc position slices.
@@ -111,23 +119,46 @@ def _matcher_fn(block_size: int, codec: str = "varint", with_dl: bool = False):
             (int(f.max()) for f, _ in slot_pos if len(f)), default=0
         )
         doc_max = max((int(d.max()) for d in slot_docs if len(d)), default=0)
-        P = pos_max + 2
+        # Headroom for probe keys k + slop so they never collide into the
+        # next doc's key range (slop=1 keeps the original pos_max + 2).
+        P = pos_max + slop + 1
         if doc_max and P > (2**63 - 1) // (doc_max + 1):
             raise OverflowError(
                 "doc_id * position key space exceeds int64"
             )  # 10^12 docs x 10^6 positions still fits; guard regardless
-        keys = None
-        for i in range(m):
-            docs_i = slot_docs[i]
-            flat, bounds = slot_pos[i]
-            docs_rep = np.repeat(docs_i, np.diff(bounds))
-            ok = flat >= i  # starts can't be negative offsets
-            k = docs_rep[ok] * P + (flat[ok] - i)
-            keys = k if keys is None else np.intersect1d(
-                keys, k, assume_unique=True
-            )
-            if len(keys) == 0:
-                return empty
+        if slop > 1:
+            # Backward reachability DP: S holds the positions of slot i
+            # that can start a chain through slots i..m-1 (each step's
+            # gap in [1, slop]); after slot 0, S is the distinct chain
+            # STARTS. Per-slot keys are sorted unique (docs ascend,
+            # positions ascend per doc), so each sweep is two
+            # searchsorted probes — no per-doc python.
+            keys = None
+            for i in range(m - 1, -1, -1):
+                docs_i = slot_docs[i]
+                flat, bounds = slot_pos[i]
+                k = np.repeat(docs_i, np.diff(bounds)) * P + flat
+                if keys is None:
+                    keys = k
+                else:
+                    lo = np.searchsorted(keys, k + 1, side="left")
+                    hi = np.searchsorted(keys, k + slop, side="right")
+                    keys = k[hi > lo]
+                if len(keys) == 0:
+                    return empty
+        else:
+            keys = None
+            for i in range(m):
+                docs_i = slot_docs[i]
+                flat, bounds = slot_pos[i]
+                docs_rep = np.repeat(docs_i, np.diff(bounds))
+                ok = flat >= i  # starts can't be negative offsets
+                k = docs_rep[ok] * P + (flat[ok] - i)
+                keys = k if keys is None else np.intersect1d(
+                    keys, k, assume_unique=True
+                )
+                if len(keys) == 0:
+                    return empty
         docs_out, counts = np.unique(keys // P, return_counts=True)
         out = {
             "phrase_id": np.full(len(docs_out), phrase_id, dtype=np.int64),
@@ -237,10 +268,19 @@ def phrase_match_counts(
     """(phrase_id, doc_id, n_matches) for docs containing each phrase as
     consecutive tokens (≥1 occurrence; overlaps all count).
 
-    ``phrases`` needs (phrase_id, text); text is tokenized with the shared
-    engine tokenizer. Requires a positional index (build_index
-    positions=True). ``with_dl`` adds each doc's token length (decoded
-    from the same posting rows) — the phrase-frequency BM25 input."""
+    ``phrases`` needs (phrase_id, text) and may carry a per-phrase
+    ``slop`` column (default 1 = exact): slop s matches the phrase as an
+    ORDERED chain of its tokens with every adjacent gap in [1, s], and
+    n_matches counts distinct chain starts. Delta vs Lucene's
+    SloppyPhraseQuery, which measures total edit distance and permits
+    term reordering at cost 2 — this engine's slop is per-gap and
+    order-preserving, the same semantics as proximity_match_counts
+    (slop=1 degenerates to both definitions' exact phrase).
+
+    text is tokenized with the shared engine tokenizer. Requires a
+    positional index (build_index positions=True). ``with_dl`` adds each
+    doc's token length (decoded from the same posting rows) — the
+    phrase-frequency BM25 input."""
     idx = load_index(spark, index_dir)
     meta = idx["meta"]
     if not meta.get("positions"):
@@ -252,17 +292,22 @@ def phrase_match_counts(
     # the driver with the SAME shared tokenizer — one tiny collect instead
     # of a python-UDF stage + distinct shuffle.
     schema = PHRASE_SCHEMA + (", dl long" if with_dl else "")
+    has_slop = "slop" in phrases.columns
+    cols = ["phrase_id", "text"] + (["slop"] if has_slop else [])
     qt_rows = []
-    for r in phrases.select("phrase_id", "text").collect():
+    for r in phrases.select(*cols).collect():
         toks = tokenize_text(r["text"])
+        slop = int(r["slop"]) if has_slop and r["slop"] is not None else 1
+        if slop < 1:
+            raise ValueError(f"slop must be >= 1, got {slop}")
         for i, term in enumerate(toks):
-            qt_rows.append((int(r["phrase_id"]), len(toks), i, term))
+            qt_rows.append((int(r["phrase_id"]), len(toks), i, term, slop))
     if not qt_rows:
         return spark.createDataFrame([], schema)
     qt = spark.createDataFrame(
-        qt_rows, "phrase_id long, m int, i int, term string"
+        qt_rows, "phrase_id long, m int, i int, term string, slop int"
     )
-    terms = sorted({t for *_, t in qt_rows})
+    terms = sorted({t for _, _, _, t, _ in qt_rows})
     postings = term_filter(idx["postings"], terms, max_isin_terms).join(
         F.broadcast(qt), "term"
     )
@@ -276,7 +321,7 @@ def phrase_match_counts(
 def phrase_syn_rows(
     spark: SparkSession,
     index_dir: str,
-    ph_meta: list[tuple[int, int, int, int, int, str]],
+    ph_meta: list[tuple[int, int, int, int, int, str, int]],
     with_dl: bool,
     max_isin_terms: int = MAX_ISIN_TERMS,
 ) -> DataFrame | None:
@@ -288,11 +333,13 @@ def phrase_syn_rows(
     scoring group (query- or shard-keyed) reassembles exactly its own
     buckets' phrase matches, like tombstones and filter contexts.
 
-    ``ph_meta``: (phrase_id, query_id, clause, role, scored, text) rows —
-    role 1 = required phrase clause (counts toward the query's m target),
-    role 2 = excluded; ``scored`` = 1 makes the phrase score as a unit
-    (tf = per-doc phrase count, df = docs containing the phrase — Lucene
-    PhraseQuery), 0 makes it membership-only (zero contribution).
+    ``ph_meta``: (phrase_id, query_id, clause, role, scored, text, slop)
+    rows — role 1 = required phrase clause (counts toward the query's m
+    target), role 2 = excluded; ``scored`` = 1 makes the phrase score as
+    a unit (tf = per-doc phrase count, df = docs containing the phrase —
+    Lucene PhraseQuery), 0 makes it membership-only (zero contribution);
+    ``slop`` ≥ 1 is the per-gap proximity bound (1 = exact phrase — see
+    phrase_match_counts for the semantics and the Lucene delta).
 
     The positional matcher output is consumed ONCE: per-bucket arrays come
     from one groupBy and the phrase df from a window sum of the per-bucket
@@ -309,8 +356,8 @@ def phrase_syn_rows(
         return None
     meta = load_index(spark, index_dir)["meta"]
     ph_df = spark.createDataFrame(
-        [(pid, text) for pid, _, _, _, _, text in ph_meta],
-        "phrase_id long, text string",
+        [(pid, text, slop) for pid, _, _, _, _, text, slop in ph_meta],
+        "phrase_id long, text string, slop int",
     )
     pm = phrase_match_counts(
         spark, index_dir, ph_df, max_isin_terms, with_dl=with_dl
@@ -342,7 +389,7 @@ def phrase_syn_rows(
     mdf = spark.createDataFrame(
         [
             (pid, qid, clause, role, scored, SYN_TERM_PREFIX + format(pid, "08d"))
-            for pid, qid, clause, role, scored, _ in ph_meta
+            for pid, qid, clause, role, scored, _, _ in ph_meta
         ],
         "phrase_id long, query_id long, clause int, role int, "
         "scored int, term string",

@@ -209,3 +209,93 @@ def test_phrase_isin_cap_semi_join_fallback(spark, pos_index, corpus_pd):
         ).collect()
     )
     assert capped_p == base_p and len(base_p) > 0
+
+
+@pytest.mark.parametrize("m,slop", [(2, 2), (2, 4), (3, 2), (3, 3)])
+def test_sloppy_phrase_vs_oracle(spark, pos_index, corpus_pd, m, slop):
+    from dts.oracle import sloppy_phrase_count
+
+    phrases = _phrases_from(corpus_pd, n=6, m=m, seed=40 + m + slop)
+    ph_sdf = spark.createDataFrame(
+        [(i, p, slop) for i, p in enumerate(phrases)],
+        "phrase_id long, text string, slop int",
+    )
+    got = {
+        (r["phrase_id"], r["doc_id"]): r["n_matches"]
+        for r in phrase_match_counts(spark, pos_index, ph_sdf).collect()
+    }
+    want = {}
+    for pid, p in enumerate(phrases):
+        terms = tokenize_text(p)
+        for row in corpus_pd.itertuples():
+            c = sloppy_phrase_count(row.content, terms, slop)
+            if c:
+                want[(pid, row.doc_id)] = c
+    assert got == want
+    assert any(v > 0 for v in want.values())
+    # slop widening is monotone: every exact match survives at any slop
+    exact = {
+        (r["phrase_id"], r["doc_id"])
+        for r in phrase_match_counts(
+            spark, pos_index,
+            spark.createDataFrame(
+                list(enumerate(phrases)), "phrase_id long, text string"
+            ),
+        ).collect()
+    }
+    assert exact <= set(got)
+
+
+def test_slop_one_equals_exact(spark, pos_index, corpus_pd):
+    phrases = _phrases_from(corpus_pd, n=6, m=2, seed=77)
+    exact = spark.createDataFrame(
+        list(enumerate(phrases)), "phrase_id long, text string"
+    )
+    sloppy = spark.createDataFrame(
+        [(i, p, 1) for i, p in enumerate(phrases)],
+        "phrase_id long, text string, slop int",
+    )
+    a = sorted(
+        map(tuple, phrase_match_counts(spark, pos_index, exact).collect())
+    )
+    b = sorted(
+        map(tuple, phrase_match_counts(spark, pos_index, sloppy).collect())
+    )
+    assert a == b
+
+
+def test_sloppy_phrase_in_search_batch(spark, pos_index, corpus_pd):
+    """``"a b"~k`` parses and fuses: the filter-mode ranked set equals the
+    manual composition of sloppy allow-list + term scoring."""
+    from dts.oracle import sloppy_phrase_count
+    from dts.parser import parse_query, search_batch
+    from dts.score_index import bm25_topk_indexed
+
+    ph = _phrases_from(corpus_pd, n=4, m=2, seed=91)[0]
+    pq = parse_query(f'"{ph}"~3')
+    assert pq.phrases == [ph] and pq.phrase_slops == [3]
+
+    got = (
+        search_batch(spark, pos_index, [f'"{ph}"~3'], k=10**6)
+        .toPandas()
+        .sort_values("rank")
+    )
+    allow = {
+        int(r.doc_id)
+        for r in corpus_pd.itertuples()
+        if sloppy_phrase_count(r.content, tokenize_text(ph), 3)
+    }
+    flt = spark.createDataFrame([(d,) for d in sorted(allow)], "doc_id long")
+    q = spark.createDataFrame(
+        [(0, ph, 0)], "query_id long, text string, fuzzy_k int"
+    )
+    ref = (
+        bm25_topk_indexed(spark, pos_index, q, k=10**6, doc_filter=flt)
+        .toPandas()
+        .sort_values("rank")
+    )
+    assert list(got["doc_id"]) == list(ref["doc_id"])
+    assert list(got["score"]) == list(ref["score"])
+    # a tighter slop can only shrink the match set
+    tight = search_batch(spark, pos_index, [f'"{ph}"'], k=10**6).toPandas()
+    assert set(tight["doc_id"]) <= set(got["doc_id"])
