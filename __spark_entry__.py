@@ -474,6 +474,39 @@ def _q_collapse_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", COLLAPSE_FIELD, "doc_id", "rank")
 
 
+# Boosted-query probe rows: (query_id, [(term, boost, required)]) — the
+# engine string and the oracle VALUES both derive from this table.
+# Covers a boosted bare term, the unboosted control, a boosted MUST with
+# a down-weighted sibling, and a fractional boost.
+BOOST_ELEMS = [
+    (0, [("fast", 2.0, 0), ("join", 1.0, 0)]),
+    (1, [("fast", 1.0, 0), ("join", 1.0, 0)]),
+    (2, [("table", 3.0, 1), ("scan", 1.0, 0), ("merge", 0.5, 0)]),
+    (3, [("data", 2.5, 0), ("query", 1.0, 0)]),
+]
+
+
+def _boost_qstr(elems) -> str:
+    return " ".join(
+        f"{'+' if req else ''}{t}{('^' + format(b, 'g')) if b != 1.0 else ''}"
+        for t, b, req in elems
+    )
+
+
+def _q_search_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene ``^`` boosts through the query grammar: each element's
+    contribution is boost · idf · impact (dts.parser — the boost rides
+    the clause rows into the one scoring job; required atoms keep their
+    MUST semantics). Oracle: the BM25 CTE with a boost factor per
+    qterm row and a required-term eligibility check."""
+    from dts.parser import search_batch
+
+    qs = [_boost_qstr(elems) for _, elems in BOOST_ELEMS]
+    return _rerank6_top10(
+        search_batch(spark, _pos_index(spark, sf_dir), qs, k=10**6)
+    )
+
+
 def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pluggable similarity: Lucene ClassicSimilarity (TFIDFSimilarity —
     sqrt(tf) · idf² · 1/sqrt(dl), idf = 1 + ln(N/(df+1)), exact dl) over
@@ -1337,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_meta": _q_sort_by_meta,
         "collapse_source": _q_collapse_source,
         "tfidf_topk": _q_tfidf_topk,
+        "search_boosted": _q_search_boosted,
         "dup_clusters": _q_dup_clusters,
         "multifield_topk": _q_multifield_topk,
         "search_fields": _q_search_fields,
@@ -2317,6 +2351,63 @@ SELECT bq_id, doc_id, {SORT_FIELD}, rank::INTEGER AS rank FROM (
          row_number() OVER (PARTITION BY m.bq_id
                             ORDER BY d.{SORT_FIELD} ASC, m.doc_id ASC) AS rank
   FROM m JOIN documents d USING (doc_id)
+) WHERE rank <= 10
+"""
+    # Boosted grammar: the BM25 CTE with a per-row boost factor and a
+    # required-term eligibility check (a doc must contain every req=1
+    # term of its query).
+    bq_values = ", ".join(
+        f"({qid}, '{t}', {b!r}::DOUBLE, {req})"
+        for qid, elems in BOOST_ELEMS
+        for t, b, req in elems
+    )
+    extra["search_boosted"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '{TOK}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(coalesce(text, '')), '{TOK}'))::BIGINT AS dl
+  FROM documents
+),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, term, boost, req) AS (VALUES {bq_values}),
+scored AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         round(sum(
+           q.boost
+           * ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ), 6) AS score6
+  FROM q
+  JOIN tf USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2
+),
+reqm AS (
+  SELECT query_id::BIGINT AS query_id, count(DISTINCT term) AS m
+  FROM q WHERE req = 1 GROUP BY 1
+),
+reqhit AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         count(DISTINCT q.term) AS hit
+  FROM q JOIN tf USING (term) WHERE q.req = 1 GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT s.query_id, s.doc_id,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.score6 DESC, s.doc_id ASC) AS rank
+  FROM scored s
+  LEFT JOIN reqm USING (query_id)
+  LEFT JOIN reqhit ON reqhit.query_id = s.query_id
+                  AND reqhit.doc_id = s.doc_id
+  WHERE coalesce(reqhit.hit, 0) >= coalesce(reqm.m, 0)
 ) WHERE rank <= 10
 """
     # ClassicSimilarity: the scored CTE with Lucene's TF-IDF formula —

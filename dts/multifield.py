@@ -333,6 +333,11 @@ def _fused_flags_scorer(field_stats: dict, k: int, m_map: dict[int, int]):
             )
             dfv = g["df"].to_numpy(np.float64)
             idf = np.log(1.0 + (st["n_docs"] - dfv + 0.5) / (dfv + 0.5))
+            if "boost" in g.columns:
+                # Per-row query boosts (term^2 in the grammar) — on top
+                # of the per-FIELD boost applied at the combine below.
+                bv = g["boost"].to_numpy(np.float64)
+                idf = idf * np.where(np.isnan(bv), 1.0, bv)
             role_vals = g["role"].to_numpy()
             clause_vals = g["clause"].to_numpy()
             docs_parts, contribs = [], []
@@ -440,7 +445,7 @@ def _fused_flags_scorer(field_stats: dict, k: int, m_map: dict[int, int]):
 def fused_flags_topk(
     spark: SparkSession,
     out_dir: str,
-    per_field_rows: dict[str, list[tuple[int, int, int, str]]],
+    per_field_rows: dict[str, list[tuple[int, int, int, str, float]]],
     syn_by_field: dict[str, DataFrame],
     fields: dict[str, float],
     sub_metas: dict[str, dict],
@@ -478,13 +483,14 @@ def fused_flags_topk(
         }
         rows = per_field_rows.get(f_name, [])
         qterms = spark.createDataFrame(
-            rows, "query_id long, clause int, role int, term string"
+            rows,
+            "query_id long, clause int, role int, term string, boost double",
         )
         scan = idx["postings"].select(*POSTING_SCORE_COLS)
-        postings = term_filter(scan, sorted({t for *_, t in rows}))
+        postings = term_filter(scan, sorted({r[3] for r in rows}))
         joined = postings.join(
             F.broadcast(
-                term_filter(idx["term_stats"], sorted({t for *_, t in rows}))
+                term_filter(idx["term_stats"], sorted({r[3] for r in rows}))
                 .select("term", "df")
             ),
             "term",

@@ -22,6 +22,10 @@ composes them into a single ranked query:
                      (BooleanQuery rewrite; leading ``*`` uses the
                      reversed dictionary)
 - ``-"a b"``       → excluded phrase
+- ``term^2``       → boost: the element's contribution is multiplied
+                     (Lucene ``^``; works on terms, phrases — incl.
+                     ``"a b"~2^1.5`` — wildcards and fuzzy atoms;
+                     ignored on ``-`` elements, which never score)
 - ``f:[a TO b]``   → range filter over the STORED field ``f`` (doc_meta
                      sidecar — Lucene Term/NumericRangeQuery on doc
                      values): required match, never scores (filter
@@ -57,6 +61,7 @@ _ELEMENT = re.compile(
         (?:(?P<field>[A-Za-z_][\w.]*):)?   # optional field scope
         (?:"(?P<phrase>[^"]*)"             # quoted phrase
            (?:~(?P<pslop>\d+))?            #   optional slop: "a b"~2
+           (?:\^(?P<pboost>\d+(?:\.\d+)?))?  # optional boost: "a b"^1.5
          | (?P<range>[\[{][^\]}]*[\]}])    # range: [a TO b] / {a TO b}
          | (?P<atom>\S+))                  # or a bare atom
     """,
@@ -64,6 +69,17 @@ _ELEMENT = re.compile(
 )
 
 _RANGE_BODY = re.compile(r"\s*(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\s*")
+_ATOM_BOOST = re.compile(r"(?P<body>.*[^\s^])\^(?P<b>\d+(?:\.\d+)?)")
+
+
+def _boost_lists() -> dict[str, list[float]]:
+    return {
+        k: []
+        for k in (
+            "score_terms", "phrase_terms", "must", "fuzzy", "must_fuzzy",
+            "wildcards", "must_wildcards", "phrases",
+        )
+    }
 
 
 @dataclass
@@ -109,6 +125,21 @@ class ParsedQuery:
     # (field, lo, hi, lo_incl, hi_incl) with None for open endpoints.
     ranges: list[tuple] = field(default_factory=list)
     not_ranges: list[tuple] = field(default_factory=list)
+    # Per-element boosts (Lucene ``term^2`` / ``"a b"^1.5`` / ``pat*^3``
+    # / ``fuzz~1^2``): parallel lists keyed by the element bucket they
+    # describe (phrase_terms carries its PHRASE's boost per word — the
+    # filter-mode scoring contribution). Negated elements never score,
+    # so their boosts are discarded (Lucene parses and ignores them
+    # too). Read through ``boost_of`` which pads with 1.0, so manually
+    # built ParsedQuery objects without boosts keep working.
+    boosts: dict[str, list[float]] = field(default_factory=_boost_lists)
+
+    def boost_of(self, key: str) -> list[float]:
+        """Boost list for ``key``, padded with 1.0 to the bucket's
+        length (robust to hand-built ParsedQuery instances)."""
+        target = len(getattr(self, key))
+        got = self.boosts.get(key, [])
+        return list(got[:target]) + [1.0] * (target - len(got))
 
     @property
     def n_required(self) -> int:
@@ -130,8 +161,10 @@ def _add_element(
     phrase: str | None,
     atom: str | None,
     pslop: str | None = None,
+    pboost: str | None = None,
 ) -> None:
     """Classify one query element into ``q``'s buckets."""
+    boost = float(pboost) if pboost is not None else 1.0
     if phrase is not None:
         toks = tokenize_text(phrase)
         if not toks:
@@ -144,30 +177,48 @@ def _add_element(
         else:
             q.phrases.append(joined)
             q.phrase_slops.append(slop)
+            q.boosts["phrases"].append(boost)
             q.phrase_terms.extend(toks)
+            q.boosts["phrase_terms"].extend([boost] * len(toks))
         return
+    bm = _ATOM_BOOST.fullmatch(atom)
+    if bm:
+        atom = bm.group("body")
+        boost = float(bm.group("b"))
     fm = re.fullmatch(r"(?P<t>[^~\s]+)~(?P<k>\d+)", atom)
     if fm:
         kk = int(fm.group("k"))
-        dest = {"": q.fuzzy, "+": q.must_fuzzy, "-": q.not_fuzzy}[sign]
+        dest, bkey = {
+            "": (q.fuzzy, "fuzzy"),
+            "+": (q.must_fuzzy, "must_fuzzy"),
+            "-": (q.not_fuzzy, None),
+        }[sign]
         for t in tokenize_text(fm.group("t")):
             dest.append((t, kk))
+            if bkey:
+                q.boosts[bkey].append(boost)
         return
     if "*" in atom:
         pat = atom.lower()
         if set(pat) - {"*"}:
-            {
-                "": q.wildcards, "+": q.must_wildcards,
-                "-": q.not_wildcards,
-            }[sign].append(pat)
+            dest, bkey = {
+                "": (q.wildcards, "wildcards"),
+                "+": (q.must_wildcards, "must_wildcards"),
+                "-": (q.not_wildcards, None),
+            }[sign]
+            dest.append(pat)
+            if bkey:
+                q.boosts[bkey].append(boost)
         return
     toks = tokenize_text(atom)
     if sign == "-":
         q.must_not.extend(toks)
     elif sign == "+":
         q.must.extend(toks)
+        q.boosts["must"].extend([boost] * len(toks))
     else:
         q.score_terms.extend(toks)
+        q.boosts["score_terms"].extend([boost] * len(toks))
 
 
 def parse_query(
@@ -224,7 +275,9 @@ def parse_query(
         target = q
         if f_name is not None and f_name != default_field:
             target = q.fielded.setdefault(f_name, ParsedQuery())
-        _add_element(target, sign, phrase, atom, m.group("pslop"))
+        _add_element(
+            target, sign, phrase, atom, m.group("pslop"), m.group("pboost")
+        )
     return q
 
 
@@ -276,19 +329,19 @@ def search_batch(
         raise ValueError(f"unknown phrase_mode {phrase_mode!r}")
     scored_phrases = phrase_mode == "scored"
     parsed = [parse_query(t) for t in queries]
-    rows_by_q: dict[int, list[tuple[int, int, int, str]]] = {}
+    rows_by_q: dict[int, list[tuple[int, int, int, str, float]]] = {}
     m_map: dict[int, int] = {}
-    # (phrase_id, query_id, clause, role, scored, text, slop): phrase
+    # (phrase_id, query_id, clause, role, scored, text, slop, boost): phrase
     # clause ids start at q.n_required — after the required
     # term/fuzzy/wildcard clauses, never colliding.
-    ph_meta: list[tuple[int, int, int, int, int, str, int]] = []
+    ph_meta: list[tuple[int, int, int, int, int, str, int, float]] = []
     range_by_qid: dict[int, dict] = {}
     for qid, q in enumerate(parsed):
         rows = _clause_rows(
             spark, index_dir, q, qid, max_clauses,
             include_phrase_terms=not scored_phrases,
         )
-        if not any(role != 2 for _, _, role, _ in rows):
+        if not any(role != 2 for _, _, role, *_ in rows):
             # Nothing scores — unless scored phrases make the phrase
             # itself the scoring clause. (A PURE-range query likewise
             # skips: ranges are a filter context with no scoring clause;
@@ -303,14 +356,16 @@ def search_batch(
                 "ranges": q.ranges, "not_ranges": q.not_ranges,
             }
         next_clause = q.n_required
-        for ph, slop in zip(q.phrases, q.phrase_slops):
+        for ph, slop, b in zip(
+            q.phrases, q.phrase_slops, q.boost_of("phrases")
+        ):
             ph_meta.append(
                 (len(ph_meta), qid, next_clause, 1,
-                 1 if scored_phrases else 0, ph, slop)
+                 1 if scored_phrases else 0, ph, slop, b)
             )
             next_clause += 1
         for ph, slop in zip(q.not_phrases, q.not_phrase_slops):
-            ph_meta.append((len(ph_meta), qid, -2, 2, 0, ph, slop))
+            ph_meta.append((len(ph_meta), qid, -2, 2, 0, ph, slop, 1.0))
     if not rows_by_q:
         return spark.createDataFrame([], TOPK_SCHEMA)
     syn = phrase_syn_rows(
@@ -329,13 +384,14 @@ def search_batch(
         filter_qids = set(range_by_qid)
     rows = [r for qid in sorted(rows_by_q) for r in rows_by_q[qid]]
     qterms = spark.createDataFrame(
-        rows, "query_id long, clause int, role int, term string"
+        rows,
+        "query_id long, clause int, role int, term string, boost double",
     )
     return score_expanded_terms(
         spark, index_dir, qterms, n_queries=len(rows_by_q), k=k,
         strategy=strategy, distribute=distribute, mode="mixed",
         m_map=m_map, broadcast_filter=broadcast_filter,
-        all_terms=sorted({t for *_, t in rows}), syn_rows=syn,
+        all_terms=sorted({r[3] for r in rows}), syn_rows=syn,
         doc_filter=doc_filter, filter_qids=filter_qids,
     )
 
@@ -408,7 +464,7 @@ def _clause_rows(
     qid: int,
     max_clauses: int | None = None,
     include_phrase_terms: bool = True,
-) -> list[tuple[int, int, int, str]]:
+) -> list[tuple[int, int, int, str, float]]:
     """Role-typed clause rows for one parsed query (shared by search and
     search_batch): bare atoms and OPTIONAL fuzzy/wildcard expansions are
     role 0; ``+`` atoms are role 1 (one clause each — a required
@@ -417,43 +473,53 @@ def _clause_rows(
     expansion). Required-clause count = q.n_required (m_map).
     ``include_phrase_terms``: score required phrases' words individually
     (filter mode); scored mode passes False and scores the phrase as a
-    unit instead."""
+    unit instead.
+
+    Rows are (query_id, clause, role, term, boost): each row contributes
+    boost · idf · impact once (Lucene ``^`` boosts — every expansion of
+    a boosted fuzzy/wildcard inherits the element's boost; negated
+    elements never score, so their boost is discarded)."""
     from dts.wildcard import MAX_CLAUSES
 
     if max_clauses is None:
         max_clauses = MAX_CLAUSES
-    rows: list[tuple[int, int, int, str]] = [
-        (qid, -1, 0, t)
-        for t in (
-            q.score_terms + q.phrase_terms
-            if include_phrase_terms
-            else q.score_terms
-        )
+    score_elems = list(zip(q.score_terms, q.boost_of("score_terms")))
+    if include_phrase_terms:
+        score_elems += list(zip(q.phrase_terms, q.boost_of("phrase_terms")))
+    rows: list[tuple[int, int, int, str, float]] = [
+        (qid, -1, 0, t, b) for t, b in score_elems
     ]
-    rows.extend((qid, ci, 1, t) for ci, t in enumerate(q.must))
-    rows.extend((qid, -2, 2, t) for t in sorted(set(q.must_not)))
+    rows.extend(
+        (qid, ci, 1, t, b)
+        for ci, (t, b) in enumerate(zip(q.must, q.boost_of("must")))
+    )
+    rows.extend((qid, -2, 2, t, 1.0) for t in sorted(set(q.must_not)))
     fuzzy_exp = _expand_fuzzy_pairs(
         spark, index_dir, q.fuzzy + q.must_fuzzy + q.not_fuzzy
     )
-    for t, kk in q.fuzzy:
-        rows.extend((qid, -1, 0, et) for et in fuzzy_exp[(t, kk)])
+    for (t, kk), b in zip(q.fuzzy, q.boost_of("fuzzy")):
+        rows.extend((qid, -1, 0, et, b) for et in fuzzy_exp[(t, kk)])
     next_clause = len(q.must)
-    for t, kk in q.must_fuzzy:
-        rows.extend((qid, next_clause, 1, et) for et in fuzzy_exp[(t, kk)])
+    for (t, kk), b in zip(q.must_fuzzy, q.boost_of("must_fuzzy")):
+        rows.extend(
+            (qid, next_clause, 1, et, b) for et in fuzzy_exp[(t, kk)]
+        )
         next_clause += 1
     for t, kk in q.not_fuzzy:
-        rows.extend((qid, -2, 2, et) for et in sorted(set(fuzzy_exp[(t, kk)])))
+        rows.extend(
+            (qid, -2, 2, et, 1.0) for et in sorted(set(fuzzy_exp[(t, kk)]))
+        )
     wild_exp = _expand_wildcard_pats(
         spark, index_dir,
         q.wildcards + q.must_wildcards + q.not_wildcards, max_clauses,
     )
-    for pat in q.wildcards:
-        rows.extend((qid, -1, 0, et) for et in wild_exp[pat])
-    for pat in q.must_wildcards:
-        rows.extend((qid, next_clause, 1, et) for et in wild_exp[pat])
+    for pat, b in zip(q.wildcards, q.boost_of("wildcards")):
+        rows.extend((qid, -1, 0, et, b) for et in wild_exp[pat])
+    for pat, b in zip(q.must_wildcards, q.boost_of("must_wildcards")):
+        rows.extend((qid, next_clause, 1, et, b) for et in wild_exp[pat])
         next_clause += 1
     for pat in q.not_wildcards:
-        rows.extend((qid, -2, 2, et) for et in sorted(set(wild_exp[pat])))
+        rows.extend((qid, -2, 2, et, 1.0) for et in sorted(set(wild_exp[pat])))
     return rows
 
 
@@ -515,13 +581,14 @@ def search_fields(
         default_field = (
             "content" if "content" in fields else next(iter(sorted(fields)))
         )
-    per_field_rows: dict[str, list[tuple[int, int, int, str]]] = {}
+    per_field_rows: dict[str, list[tuple[int, int, int, str, float]]] = {}
     m_total: dict[int, int] = {}
-    # field → (phrase_id, query_id, clause, role, scored, text, slop) rows for
+    # field → (phrase_id, query_id, clause, role, scored, text, slop,
+    # boost) rows for
     # phrase_syn_rows; phrase clause ids start at the query's required
     # clause count WITHIN that field (per-field kernels count distinct
     # matched clauses independently, the combine sums across fields).
-    ph_by_field: dict[str, list[tuple[int, int, int, int, int, str, int]]] = {}
+    ph_by_field: dict[str, list[tuple]] = {}
     for qid, text in enumerate(queries):
         pq = parse_query(text, fields=fields, default_field=default_field)
         parts = {default_field: pq, **pq.fielded}
@@ -539,11 +606,11 @@ def search_fields(
             next_clause = part.n_required
             for ph, slop in zip(part.phrases, part.phrase_slops):
                 fl = ph_by_field.setdefault(f_name, [])
-                fl.append((len(fl), qid, next_clause, 1, 0, ph, slop))
+                fl.append((len(fl), qid, next_clause, 1, 0, ph, slop, 1.0))
                 next_clause += 1
             for ph, slop in zip(part.not_phrases, part.not_phrase_slops):
                 fl = ph_by_field.setdefault(f_name, [])
-                fl.append((len(fl), qid, -2, 2, 0, ph, slop))
+                fl.append((len(fl), qid, -2, 2, 0, ph, slop, 1.0))
     if not per_field_rows and not ph_by_field:
         return spark.createDataFrame([], TOPK_SCHEMA)
 
@@ -581,7 +648,8 @@ def search_fields(
     for f_name in touched:
         rows = per_field_rows.get(f_name, [])
         qterms = spark.createDataFrame(
-            rows, "query_id long, clause int, role int, term string"
+            rows,
+            "query_id long, clause int, role int, term string, boost double",
         )
         syn = phrase_syn_rows(
             spark, f"{mf_dir}/field={f_name}", ph_by_field.get(f_name, []),
@@ -589,7 +657,7 @@ def search_fields(
         )
         c = shard_candidates_mixed(
             spark, f"{mf_dir}/field={f_name}", qterms, n_shards,
-            all_terms=sorted({t for *_, t in rows}), syn_rows=syn,
+            all_terms=sorted({r[3] for r in rows}), syn_rows=syn,
         )
         cands.append(
             c.select(

@@ -321,7 +321,7 @@ def phrase_match_counts(
 def phrase_syn_rows(
     spark: SparkSession,
     index_dir: str,
-    ph_meta: list[tuple[int, int, int, int, int, str, int]],
+    ph_meta: list[tuple[int, int, int, int, int, str, int, float]],
     with_dl: bool,
     max_isin_terms: int = MAX_ISIN_TERMS,
 ) -> DataFrame | None:
@@ -333,13 +333,15 @@ def phrase_syn_rows(
     scoring group (query- or shard-keyed) reassembles exactly its own
     buckets' phrase matches, like tombstones and filter contexts.
 
-    ``ph_meta``: (phrase_id, query_id, clause, role, scored, text, slop)
-    rows — role 1 = required phrase clause (counts toward the query's m
+    ``ph_meta``: (phrase_id, query_id, clause, role, scored, text, slop,
+    boost) rows — role 1 = required phrase clause (counts toward the query's m
     target), role 2 = excluded; ``scored`` = 1 makes the phrase score as
     a unit (tf = per-doc phrase count, df = docs containing the phrase —
     Lucene PhraseQuery), 0 makes it membership-only (zero contribution);
     ``slop`` ≥ 1 is the per-gap proximity bound (1 = exact phrase — see
-    phrase_match_counts for the semantics and the Lucene delta).
+    phrase_match_counts for the semantics and the Lucene delta);
+    ``boost`` multiplies a scored phrase's clause impact (Lucene
+    ``"a b"^2``; membership-only rows ignore it).
 
     The positional matcher output is consumed ONCE: per-bucket arrays come
     from one groupBy and the phrase df from a window sum of the per-bucket
@@ -356,7 +358,7 @@ def phrase_syn_rows(
         return None
     meta = load_index(spark, index_dir)["meta"]
     ph_df = spark.createDataFrame(
-        [(pid, text, slop) for pid, _, _, _, _, text, slop in ph_meta],
+        [(pid, text, slop) for pid, _, _, _, _, text, slop, _ in ph_meta],
         "phrase_id long, text string, slop int",
     )
     pm = phrase_match_counts(
@@ -388,17 +390,19 @@ def phrase_syn_rows(
     )
     mdf = spark.createDataFrame(
         [
-            (pid, qid, clause, role, scored, SYN_TERM_PREFIX + format(pid, "08d"))
-            for pid, qid, clause, role, scored, _, _ in ph_meta
+            (pid, qid, clause, role, scored,
+             SYN_TERM_PREFIX + format(pid, "08d"), boost)
+            for pid, qid, clause, role, scored, _, _, boost in ph_meta
         ],
         "phrase_id long, query_id long, clause int, role int, "
-        "scored int, term string",
+        "scored int, term string, boost double",
     )
     return agg.join(F.broadcast(mdf), "phrase_id").select(
         "query_id",
         "clause",
         "role",
         "term",
+        "boost",
         "bucket",
         "n",
         F.when(F.col("scored") == 1, F.col("df"))

@@ -251,6 +251,14 @@ def _scorer_fn(
         else:
             idf = np.log(1.0 + (n_docs - df_arr + 0.5) / (df_arr + 0.5))
             _impact = lambda tf, dl: bm25_impact(tf, dl, avgdl)  # noqa: E731
+        if "boost" in pdf.columns:
+            # Per-row query boosts (Lucene ``^``): fold into the row
+            # weight — covers TAAT accumulation, the BMW cursor weights
+            # (block-max bounds stay sound: bound × boost ≥ impact ×
+            # boost for boost ≥ 0) and synthetic phrase rows alike.
+            # Rows from boost-less callers union in as NaN → 1.0.
+            b = pdf["boost"].to_numpy(np.float64)
+            idf = idf * np.where(np.isnan(b), 1.0, b)
         # Synthetic clause rows (round-5: scored/required phrases fused
         # into THIS kernel): no posting blobs — the doc/tf/dl arrays are
         # precomputed per (clause, bucket) and ride _syn_* columns. Their

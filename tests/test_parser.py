@@ -435,3 +435,87 @@ def test_search_batch_phrases_bucket_distribute_identical(
             frames["query"]["score"], frames["bucket"]["score"],
             rtol=0, atol=0,
         ), mode
+
+
+def test_parse_boost_grammar():
+    q = parse_query('fast^2 +join^0.5 quer*^3 fuzz~1^2 "a b"~2^1.5 -slow^9')
+    assert q.score_terms == ["fast"] and q.boost_of("score_terms") == [2.0]
+    assert q.must == ["join"] and q.boost_of("must") == [0.5]
+    assert q.wildcards == ["quer*"] and q.boost_of("wildcards") == [3.0]
+    assert q.fuzzy == [("fuzz", 1)] and q.boost_of("fuzzy") == [2.0]
+    assert q.phrases == ["a b"] and q.phrase_slops == [2]
+    assert q.boost_of("phrases") == [1.5]
+    # boost on a negated atom is parsed away (never scores)
+    assert q.must_not == ["slow"]
+    # unboosted elements read 1.0, and hand-built queries stay valid
+    q2 = parse_query("fast join")
+    assert q2.boost_of("score_terms") == [1.0, 1.0]
+    from dts.parser import ParsedQuery
+
+    q3 = ParsedQuery(score_terms=["x", "y"])
+    assert q3.boost_of("score_terms") == [1.0, 1.0]
+
+
+def test_boost_scales_scores(spark, p_index):
+    a = search(spark, p_index, "fast", k=8).toPandas().sort_values("doc_id")
+    b = (
+        search(spark, p_index, "fast^2.5", k=8)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert np.allclose(b["score"].to_numpy(), 2.5 * a["score"].to_numpy())
+
+
+def test_boost_changes_ranking_and_keeps_must(spark, p_index, corpus_pd):
+    toks = tokenize_text(corpus_pd["content"].iloc[0])[:2]
+    t0, t1 = toks[0], toks[1]
+    u = search(spark, p_index, f"{t0} {t1}", k=10**6).toPandas()
+    v = search(spark, p_index, f"{t0}^8 {t1}", k=10**6).toPandas()
+    # same eligible set (boost never changes matching), order may differ
+    assert set(u["doc_id"]) == set(v["doc_id"])
+    # a required boosted atom still filters
+    w = search(spark, p_index, f"+{t0}^8 {t1}", k=10**6).toPandas()
+    oracle_allow = {
+        int(r.doc_id)
+        for r in corpus_pd.itertuples()
+        if t0 in tokenize_text(r.content)
+    }
+    assert set(w["doc_id"].astype(int)) <= oracle_allow
+
+
+def test_boost_bmw_equals_taat(spark, p_index):
+    """Boost folds into the cursor weight, keeping block-max bounds
+    sound: BMW and TAAT agree on boosted multi-term rewrites."""
+    from dts.score_index import score_expanded_terms
+
+    qt_rows = [(0, -1, 0, "fast", 4.0), (0, -1, 0, "join", 1.0)]
+    qt = spark.createDataFrame(
+        qt_rows,
+        "query_id long, clause int, role int, term string, boost double",
+    )
+    t = score_expanded_terms(spark, p_index, qt, 1, k=10, strategy="taat")
+    w = score_expanded_terms(spark, p_index, qt, 1, k=10, strategy="bmw")
+    tp, wp = t.toPandas(), w.toPandas()
+    assert list(tp["doc_id"]) == list(wp["doc_id"])
+    assert np.allclose(tp["score"].to_numpy(), wp["score"].to_numpy())
+
+
+def test_scored_phrase_boost(spark, p_index, corpus_pd):
+    from dts.parser import search_batch
+
+    ph = " ".join(tokenize_text(corpus_pd["content"].iloc[3])[:2])
+    p1 = (
+        search_batch(spark, p_index, [f'"{ph}"'], k=6, phrase_mode="scored")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    p2 = (
+        search_batch(
+            spark, p_index, [f'"{ph}"^3'], k=6, phrase_mode="scored"
+        )
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert list(p1["doc_id"]) == list(p2["doc_id"])
+    assert np.allclose(p2["score"].to_numpy(), 3 * p1["score"].to_numpy())
