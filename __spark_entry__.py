@@ -835,6 +835,33 @@ def _q_multifield_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DISMAX_TIE = 0.3
+
+
+def _q_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene DisjunctionMaxQuery across fields: the best field's
+    (boosted) BM25 wins, plus tie_breaker × the other fields' sum —
+    search_fields(combine='dismax') over the same two-field index as
+    multifield_topk. Oracle: max + tie·(sum − max) over the two scored
+    CTEs."""
+    import tempfile
+
+    from dts.io import driver_documents_as_source
+    from dts.multifield import build_multifield_index
+    from dts.parser import search_fields
+
+    docs = driver_documents_as_source(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
+    ).withColumnRenamed("content", "text")
+    d = tempfile.mkdtemp(prefix="dts_dm_idx_")
+    build_multifield_index(spark, docs, d, MF_BOOSTS, bucket_size=256)
+    full = search_fields(
+        spark, d, [t for _, t in MF_QUERIES], k=10**6,
+        default_field="text", combine="dismax", tie_breaker=DISMAX_TIE,
+    )
+    return _rerank6_top10(full)
+
+
 def _q_phrase_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 phrase-frequency scoring (dts.parser search_batch
     phrase_mode='scored'): quoted phrases score as units — one clause
@@ -1373,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_boosted": _q_search_boosted,
         "dup_clusters": _q_dup_clusters,
         "multifield_topk": _q_multifield_topk,
+        "dismax_topk": _q_dismax_topk,
         "search_fields": _q_search_fields,
         "phrase_scored": _q_phrase_scored,
         # training-data pipeline operators
@@ -1988,6 +2016,23 @@ SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
   FROM (
     SELECT query_id, doc_id, round(sum(score), 6) AS score6
+    FROM (SELECT * FROM scored_text UNION ALL SELECT * FROM scored_source)
+    GROUP BY 1, 2
+  )
+) WHERE rank <= 10
+"""
+    # DisMax: best field + tie_breaker × the rest (max + tie·(sum − max)
+    # per doc over the boosted per-field sums; a field with no match
+    # contributes 0, matching the engine's max-over-matching-fields).
+    extra["dismax_topk"] = f"""
+WITH {_mf_cte("text", "text", MF_BOOSTS["text"])},
+{_mf_cte("source", "source", MF_BOOSTS["source"])}
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
+  FROM (
+    SELECT query_id, doc_id,
+           round(max(score) + {DISMAX_TIE} * (sum(score) - max(score)), 6) AS score6
     FROM (SELECT * FROM scored_text UNION ALL SELECT * FROM scored_source)
     GROUP BY 1, 2
   )

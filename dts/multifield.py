@@ -275,7 +275,13 @@ def _fused_bucket_topk(
     )
 
 
-def _fused_flags_scorer(field_stats: dict, k: int, m_map: dict[int, int]):
+def _fused_flags_scorer(
+    field_stats: dict,
+    k: int,
+    m_map: dict[int, int],
+    combine: str = "sum",
+    tie_breaker: float = 0.0,
+):
     """Per-(query, shard) kernel for the UNIFIED GRAMMAR over all fields
     in one pass (round-5 late session): role-typed clause rows (and
     phrase synthetic rows) from every field arrive in one group; the
@@ -416,8 +422,20 @@ def _fused_flags_scorer(field_stats: dict, k: int, m_map: dict[int, int]):
         for u, _ in f_parts[1:]:
             union = np.union1d(union, u)
         total = np.zeros(len(union), dtype=np.float64)
+        mx = np.zeros(len(union), dtype=np.float64)
         for u, a in f_parts:
-            total[np.searchsorted(union, u)] += a
+            pos = np.searchsorted(union, u)
+            total[pos] += a
+            if combine == "dismax":
+                # One (u, a) pair per field with unique positions, so a
+                # fancy-indexed elementwise max is exact. Contributions
+                # are >= 0 (idf = log(1+x), boosts >= 0), so the
+                # 0-initialized max equals the max over MATCHING fields
+                # — Lucene DisjunctionMaxQuery over the present
+                # subqueries.
+                mx[pos] = np.maximum(mx[pos], a)
+        if combine == "dismax":
+            total = mx + tie_breaker * (total - mx)
         req = np.zeros(len(union), dtype=np.int64)
         for s in req_sets:
             pos = np.minimum(np.searchsorted(s, union), len(s) - 1)
@@ -452,6 +470,8 @@ def fused_flags_topk(
     m_map: dict[int, int],
     k: int,
     n_shards: int,
+    combine: str = "sum",
+    tie_breaker: float = 0.0,
 ) -> DataFrame:
     """One scoring job for the unified grammar over a multifield index:
     union every field's pruned posting rows (clause/role columns riding
@@ -509,7 +529,7 @@ def fused_flags_topk(
     union = union.withColumn(
         "shard", F.pmod(F.col("bucket"), F.lit(n_shards)).cast("int")
     )
-    scorer = _fused_flags_scorer(field_stats, k, m_map)
+    scorer = _fused_flags_scorer(field_stats, k, m_map, combine, tie_breaker)
     n_parts = max(1, 2 * spark.sparkContext.defaultParallelism)
     src = union.repartition(n_parts, "query_id", "shard")
 

@@ -390,3 +390,73 @@ def test_search_fields_fused_respects_tombstones(
         b[["query_id", "doc_id", "rank"]].values.tolist()
     )
     assert np.allclose(a["score"], b["score"], rtol=0, atol=1e-9)
+
+
+def test_search_fields_dismax(spark, mfp_index, corpus_pd):
+    """DisMax cross-field combine: both distribute paths agree, the
+    per-doc score equals max + tie·(sum − max) over the per-field sums,
+    and tie_breaker=1.0 degenerates to the sum combine."""
+    import numpy as np
+
+    from dts.parser import search_fields
+
+    cases = [t for _, t in _mf_cases(corpus_pd)]
+    tie = 0.3
+    a = (
+        search_fields(
+            spark, mfp_index, cases, k=10**6, default_field="content",
+            combine="dismax", tie_breaker=tie, distribute="fused",
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+    )
+    b = (
+        search_fields(
+            spark, mfp_index, cases, k=10**6, default_field="content",
+            combine="dismax", tie_breaker=tie, distribute="candidates",
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+    )
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert np.allclose(a["score"].to_numpy(), b["score"].to_numpy())
+
+    # per-field reference for the mixed query (index 2)
+    mixed = cases[2]
+    c_part, p_part = mixed.split(" ")[0], mixed.split(":")[1]
+    sc = (
+        search_fields(spark, mfp_index, [c_part], k=10**6,
+                      default_field="content")
+        .toPandas().set_index("doc_id")["score"]
+    )
+    sp = (
+        search_fields(spark, mfp_index, [f"path:{p_part}"], k=10**6,
+                      default_field="content")
+        .toPandas().set_index("doc_id")["score"]
+    )
+    got = a[a["query_id"] == 2].set_index("doc_id")["score"]
+    for did in got.index:
+        st, ss = float(sc.get(did, 0.0)), float(sp.get(did, 0.0))
+        assert np.isclose(got[did], max(st, ss) + tie * (st + ss - max(st, ss)))
+
+    t1 = (
+        search_fields(
+            spark, mfp_index, cases, k=10**6, default_field="content",
+            combine="dismax", tie_breaker=1.0,
+        )
+        .toPandas()
+        .sort_values(["query_id", "doc_id"])
+    )
+    t2 = (
+        search_fields(
+            spark, mfp_index, cases, k=10**6, default_field="content",
+            combine="sum",
+        )
+        .toPandas()
+        .sort_values(["query_id", "doc_id"])
+    )
+    assert list(t1["doc_id"]) == list(t2["doc_id"])
+    assert np.allclose(t1["score"].to_numpy(), t2["score"].to_numpy())
+
+    with pytest.raises(ValueError, match="combine"):
+        search_fields(spark, mfp_index, cases, combine="best")
