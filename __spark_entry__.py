@@ -1121,6 +1121,35 @@ def _q_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Nested boolean trees (dts.qtree): precedence grammar NOT > AND > OR,
+# parens group, ~N = group minimum_should_match, ^N = group boost.
+BOOL_TREE_QUERIES = [
+    "fast AND (join OR scan)",
+    "table OR (customer AND order)",
+    "(fast join scan)~2",
+    "query NOT (slow OR merge)",
+    "(table scan)^2 OR data",
+    "fast AND (join OR scan) AND NOT slow",
+]
+
+
+def _q_bool_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 nested boolean queries (dts.qtree.search_bool): the whole
+    batch of parenthesized AND/OR/NOT trees — incl. group msm and group
+    boost — resolves in ONE scoring job; the kernel folds each tree
+    bottom-up over per-leaf doc sets (Lucene BooleanQuery semantics: a
+    leaf scores only when its entire ancestor path matched). Oracle:
+    per-term contribution pivot + closed-form match/score expressions
+    per tree shape."""
+    from dts.qtree import search_bool
+
+    return _rerank6_top10(
+        search_bool(
+            spark, _pos_index(spark, sf_dir), BOOL_TREE_QUERIES, k=10**6
+        )
+    )
+
+
 def _q_boolean_should(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 BooleanQuery completion: SHOULD clauses with
     minimum_should_match (Lucene defaults: msm 0 with MUST, 1 without;
@@ -1377,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_match": _q_boolean_match,
         "boolean_should": _q_boolean_should,
         "search_query": _q_search_query,
+        "bool_tree_topk": _q_bool_tree,
         "more_like_this": _q_more_like_this,
         "suggest": _q_suggest,
         "wildcard_count": _q_wildcard_count,
@@ -2268,6 +2298,84 @@ SELECT 0::BIGINT AS query_id, doc_id, rank::INTEGER AS rank FROM (
   SELECT doc_id,
          row_number() OVER (ORDER BY score6 DESC, doc_id ASC) AS rank
   FROM scored WHERE doc_id IN (SELECT doc_id FROM eligible)
+) WHERE rank <= 10
+"""
+    # Nested boolean trees: per-term BM25 contributions pivoted to one row
+    # per doc (NULL = term absent), then each tree shape is a closed-form
+    # match predicate + score expression mirroring dts.qtree's semantics
+    # (a subtree contributes only when it matched; group boost multiplies
+    # its leaves; group ~2 counts should-matches).
+    _bt_terms = [
+        "fast", "join", "scan", "table", "customer", "order", "slow",
+        "merge", "query", "data",
+    ]
+    _bt_piv = ",\n    ".join(
+        f"max(CASE WHEN term = '{t}' THEN c END) AS s_{t}"
+        for t in _bt_terms
+    )
+    extra["bool_tree_topk"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_D}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_D})::BIGINT AS dl FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * tf.tf * ({K1} + 1.0)
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN ({", ".join(f"'{t}'" for t in _bt_terms)})
+),
+piv AS (
+  SELECT doc_id,
+    {_bt_piv}
+  FROM s GROUP BY doc_id
+),
+all_q AS (
+  SELECT 0::BIGINT AS query_id, doc_id,
+         round(s_fast + coalesce(s_join, 0) + coalesce(s_scan, 0), 6) AS score6
+  FROM piv
+  WHERE s_fast IS NOT NULL AND (s_join IS NOT NULL OR s_scan IS NOT NULL)
+  UNION ALL
+  SELECT 1, doc_id,
+         round(coalesce(s_table, 0)
+               + CASE WHEN s_customer IS NOT NULL AND s_order IS NOT NULL
+                      THEN s_customer + s_order ELSE 0 END, 6)
+  FROM piv
+  WHERE s_table IS NOT NULL
+     OR (s_customer IS NOT NULL AND s_order IS NOT NULL)
+  UNION ALL
+  SELECT 2, doc_id,
+         round(coalesce(s_fast, 0) + coalesce(s_join, 0)
+               + coalesce(s_scan, 0), 6)
+  FROM piv
+  WHERE (s_fast IS NOT NULL)::INTEGER + (s_join IS NOT NULL)::INTEGER
+        + (s_scan IS NOT NULL)::INTEGER >= 2
+  UNION ALL
+  SELECT 3, doc_id, round(s_query, 6)
+  FROM piv
+  WHERE s_query IS NOT NULL AND s_slow IS NULL AND s_merge IS NULL
+  UNION ALL
+  SELECT 4, doc_id,
+         round(2 * coalesce(s_table, 0) + 2 * coalesce(s_scan, 0)
+               + coalesce(s_data, 0), 6)
+  FROM piv
+  WHERE s_table IS NOT NULL OR s_scan IS NOT NULL OR s_data IS NOT NULL
+  UNION ALL
+  SELECT 5, doc_id,
+         round(s_fast + coalesce(s_join, 0) + coalesce(s_scan, 0), 6)
+  FROM piv
+  WHERE s_fast IS NOT NULL AND (s_join IS NOT NULL OR s_scan IS NOT NULL)
+    AND s_slow IS NULL
+)
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC
+         ) AS rank
+  FROM all_q
 ) WHERE rank <= 10
 """
     # Did-you-mean: nearest vocab terms, (distance, cf DESC, term) ranking.

@@ -447,6 +447,97 @@ def _scorer_fn(
                 if not len(uniq):
                     return empty
                 acc = _accumulate_over(uniq, row_mask=score_mask)
+            elif mode == "tree":
+                # Nested boolean trees (dts.qtree): m_map carries each
+                # query's exec tree — ("leaf", clause_id) | ("node", must,
+                # should, must_not, msm) — and the group folds it bottom-up
+                # over per-leaf doc sets / score arrays. Lucene
+                # BooleanQuery semantics: a node matches iff all musts
+                # match, no must_not matches and ≥ msm shoulds match; its
+                # score is the sum of its MATCHING must+should children —
+                # so a leaf under a failed OR-branch contributes nothing.
+                tree = m_map[query_id]
+                clause_vals = pdf["clause"].to_numpy()
+                leaf_docs: dict[int, np.ndarray] = {}
+                leaf_scores: dict[int, np.ndarray] = {}
+                for cl in np.unique(clause_vals):
+                    mask = clause_vals == cl
+                    s = _clause_sets([np.flatnonzero(mask)])[0]
+                    leaf_docs[int(cl)] = s
+                    leaf_scores[int(cl)] = _accumulate_over(s, row_mask=mask)
+
+                def _ev(node):
+                    """(sorted docs, aligned scores) of matching docs, or
+                    None when the subtree matches nothing."""
+                    if node[0] == "leaf":
+                        d = leaf_docs.get(node[1])
+                        if d is None or not len(d):
+                            return None
+                        return d, leaf_scores[node[1]]
+                    _, must, should, must_not, msm = node
+                    mres = []
+                    for ch in must:
+                        r = _ev(ch)
+                        if r is None:
+                            return None
+                        mres.append(r)
+                    sres = [r for r in (_ev(ch) for ch in should)
+                            if r is not None]
+                    if mres:
+                        docs = mres[0][0]
+                        for d2, _ in mres[1:]:
+                            pos = np.minimum(
+                                np.searchsorted(d2, docs), len(d2) - 1
+                            )
+                            docs = docs[d2[pos] == docs]
+                            if not len(docs):
+                                return None
+                    elif sres:
+                        docs = (
+                            sres[0][0] if len(sres) == 1 else np.unique(
+                                np.concatenate([d for d, _ in sres])
+                            )
+                        )
+                    else:
+                        return None
+                    if msm > 0:
+                        if len(sres) < msm:
+                            return None
+                        cnt = np.zeros(len(docs), dtype=np.int64)
+                        for d2, _ in sres:
+                            pos = np.minimum(
+                                np.searchsorted(d2, docs), len(d2) - 1
+                            )
+                            cnt += (d2[pos] == docs).astype(np.int64)
+                        docs = docs[cnt >= msm]
+                        if not len(docs):
+                            return None
+                    for ch in must_not:
+                        r = _ev(ch)
+                        if r is None:
+                            continue
+                        d2 = r[0]
+                        pos = np.minimum(
+                            np.searchsorted(d2, docs), len(d2) - 1
+                        )
+                        docs = docs[d2[pos] != docs]
+                        if not len(docs):
+                            return None
+                    score = np.zeros(len(docs), dtype=np.float64)
+                    # Child order is parse order — a fixed, distribution-
+                    # independent float addition order per doc.
+                    for d2, s2 in mres + sres:
+                        pos = np.minimum(
+                            np.searchsorted(d2, docs), len(d2) - 1
+                        )
+                        hit = d2[pos] == docs
+                        score[hit] += s2[pos[hit]]
+                    return docs, score
+
+                res = _ev(tree)
+                if res is None:
+                    return empty
+                uniq, acc = res
             elif mode == "mixed_flags":
                 # Candidate stage of the CROSS-FIELD boolean algebra
                 # (round-5 unified multifield search): emit EVERY doc that
@@ -824,8 +915,8 @@ def score_expanded_terms(
             )
     if postings is None:
         return spark.createDataFrame([], TOPK_SCHEMA)
-    if mode == "mixed" and strategy != "taat":
-        raise ValueError("mode='mixed' requires strategy='taat'")
+    if mode in ("mixed", "tree") and strategy != "taat":
+        raise ValueError(f"mode={mode!r} requires strategy='taat'")
     if syn_rows is not None and strategy != "taat":
         raise ValueError("syn_rows (fused phrases) require strategy='taat'")
     return _score_filtered(
