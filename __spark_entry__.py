@@ -1088,6 +1088,23 @@ def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_terms(
         spark, _pos_index(spark, sf_dir), SUGGEST_INPUTS, max_k=2, n=5
     )
+
+
+COMPLETE_PREFIXES = ["s", "co", "ta", "zzq"]
+
+
+def _q_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 prefix completion (dts.suggest.complete_prefix — Lucene
+    suggest/completion shape): top-5 dictionary terms per prefix ranked
+    (cf DESC, term ASC), served by range-pruned scans of the term-sorted
+    dictionary. Oracle: the same ranking over the re-tokenized corpus."""
+    from dts.suggest import complete_prefix
+
+    return complete_prefix(
+        spark, _pos_index(spark, sf_dir), COMPLETE_PREFIXES, n=5
+    )
+
+
 MLT_MAX_TERMS, MLT_MIN_DF = 25, 2
 
 
@@ -1409,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_tree_topk": _q_bool_tree,
         "more_like_this": _q_more_like_this,
         "suggest": _q_suggest,
+        "complete": _q_complete,
         "wildcard_count": _q_wildcard_count,
         "regex_count": _q_regex_count,
         "sample_docs": _q_sample_docs,
@@ -2402,6 +2420,20 @@ SELECT input, suggestion, distance, cf, rank::INTEGER AS rank FROM (
   SELECT *, row_number() OVER (
     PARTITION BY input ORDER BY distance ASC, cf DESC, suggestion ASC
   ) AS rank FROM cand
+) WHERE rank <= 5
+"""
+    # Prefix completion: top-5 dictionary terms per prefix, (cf DESC,
+    # term ASC) — the engine serves this from range-pruned slices of the
+    # term-sorted dictionary; the oracle recomputes cf from the corpus.
+    extra["complete"] = f"""
+WITH tok AS (SELECT unnest({_TOKS_D}) AS term FROM documents),
+stats AS (SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY 1),
+inp(input) AS (VALUES {", ".join(f"('{p}')" for p in COMPLETE_PREFIXES)})
+SELECT input, suggestion, cf, rank::INTEGER AS rank FROM (
+  SELECT input, term AS suggestion, cf, row_number() OVER (
+    PARTITION BY input ORDER BY cf DESC, term ASC
+  ) AS rank
+  FROM stats JOIN inp ON starts_with(stats.term, inp.input)
 ) WHERE rank <= 5
 """
     # MoreLikeThis: tf·idf term selection per seed + seed-excluded BM25.

@@ -94,3 +94,59 @@ def suggest_terms(
         .filter(F.col("rank") <= n)
         .select("input", "suggestion", "distance", "cf", "rank")
     )
+
+
+COMPLETE_SCHEMA = "input string, suggestion string, cf long, rank int"
+
+
+def complete_prefix(
+    spark: SparkSession,
+    index_dir: str,
+    prefixes: list[str],
+    n: int = 5,
+) -> DataFrame:
+    """Prefix completion (Lucene suggest/completion shape): up to ``n``
+    dictionary terms per input prefix, ranked (cf DESC, term ASC) —
+    most-frequent first, alphabetic determinism among equals. The term
+    itself completes its own prefix (Lucene includes exact hits).
+
+    Returns (input, suggestion, cf, rank).
+
+    Scale: each prefix becomes a RANGE predicate (term >= p AND
+    term < next(p)) on the term-sorted dictionary parquet — row-group
+    pruning turns a 10⁶-term dictionary scan into the matching slice;
+    the per-input window ranks only that slice. Inputs are client-sized
+    (an autocomplete batch). Lucene serves this from an FST; the
+    analogue of its "weight" is collection frequency, the same signal
+    DirectSpellChecker's popularity tiebreak uses above.
+    """
+    from dts.score_index import load_index
+    from dts.wildcard import _prefix_upper
+
+    inputs = sorted({p.lower() for p in prefixes if p})
+    if not inputs:
+        return spark.createDataFrame([], COMPLETE_SCHEMA)
+    idx = load_index(spark, index_dir)
+    stats = idx["term_stats"].select("term", "cf")
+    parts = []
+    for p in inputs:
+        cond = F.col("term") >= p
+        up = _prefix_upper(p)
+        if up is not None:
+            cond = cond & (F.col("term") < up)
+        parts.append(stats.filter(cond).withColumn("input", F.lit(p)))
+    cand = parts[0]
+    for part in parts[1:]:
+        cand = cand.unionByName(part)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("input").orderBy(
+        F.col("cf").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(
+            "input", F.col("term").alias("suggestion"), "cf", "rank"
+        )
+    )

@@ -66,3 +66,32 @@ def test_suggest_exact_term_behavior(spark, s_index, corpus_pd, oracle):
     ).toPandas().sort_values("rank")
     assert got2.iloc[0]["suggestion"] == t and got2.iloc[0]["distance"] == 0
     assert suggest_terms(spark, s_index, [], n=3).count() == 0
+
+
+def _complete_replay(oracle, prefix, n=5):
+    cands = [
+        (t, sum(tfs.values()))
+        for t, tfs in oracle.tf.items()
+        if t.startswith(prefix)
+    ]
+    cands.sort(key=lambda c: (-c[1], c[0]))
+    return cands[:n]
+
+
+def test_complete_prefix(spark, s_index, corpus_pd, oracle):
+    from dts.suggest import complete_prefix
+
+    toks = tokenize_text(corpus_pd["content"].iloc[0])
+    prefixes = [toks[0][:2], toks[1][:1], "zzzznope"]
+    got_df = complete_prefix(spark, s_index, prefixes, n=4).toPandas()
+    for p in prefixes:
+        want = _complete_replay(oracle, p, n=4)
+        g = got_df[got_df["input"] == p].sort_values("rank")
+        assert [
+            (r["suggestion"], int(r["cf"])) for _, r in g.iterrows()
+        ] == want, p
+    # exact term completes itself (rank respects cf ordering)
+    full = tokenize_text(corpus_pd["content"].iloc[0])[0]
+    got = complete_prefix(spark, s_index, [full], n=3).toPandas()
+    assert full in set(got["suggestion"])
+    assert complete_prefix(spark, s_index, [], n=3).count() == 0
