@@ -352,6 +352,29 @@ def _q_bm25_topk_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 deep pagination (Lucene searchAfter): page 1's rank-10
+    (score, doc_id) becomes the per-query cursor; page 2 collects only
+    docs STRICTLY after it in rank order with a k-sized heap (the mask
+    applies before local top-k truncation — exact under any bucket
+    partition). Oracle: rows 11..20 of the full BM25 ordering."""
+    from dts.score_index import bm25_topk_indexed
+
+    idx_dir = _pos_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(i, t, 0) for i, t in PROBE_QUERIES],
+        "query_id long, text string, fuzzy_k int",
+    )
+    page1 = bm25_topk_indexed(spark, idx_dir, q, k=10).collect()
+    cursor = {
+        int(r["query_id"]): (float(r["score"]), int(r["doc_id"]))
+        for r in page1
+        if int(r["rank"]) == 10
+    }
+    page2 = bm25_topk_indexed(spark, idx_dir, q, k=10, search_after=cursor)
+    return _rerank6_top10(page2)
+
+
 _POS_IDX_CACHE: dict[str, str] = {}
 
 
@@ -1416,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "byte_match_count": _q_byte_match_count,
         "byte_match_binary": _q_byte_match_binary,
         "bm25_topk_engine": _q_bm25_topk_engine,
+        "search_after": _q_search_after,
         "fuzzy_expand_engine": _q_fuzzy_expand_engine,
         "phrase_match": _q_phrase_match,
         "phrase_slop": _q_phrase_slop,
@@ -2027,6 +2051,15 @@ SELECT q_id, vec_id, cos6, rank::INTEGER AS rank FROM (
 ) WHERE rank <= 10
 """
     extra["bm25_topk_engine"] = base["bm25_topk"]
+    # search_after page 2 = rows 11..20 of the same full ordering, ranks
+    # restarting at 1 (Lucene returns fresh TopDocs per page).
+    extra["search_after"] = _BM25_SQL_CTE + """
+SELECT query_id, doc_id, (rank - 10)::INTEGER AS rank FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank BETWEEN 11 AND 20
+"""
     # Multi-field: per-field scored CTE (per-field tf/df/dl/avgdl — the
     # BM25F-lite per-field statistics), weighted union-sum, round-6 rank.
     routed = _mf_routed()

@@ -182,6 +182,7 @@ def _scorer_fn(
     m_map: dict[int, int] | None = None,
     filter_qids: set[int] | None = None,
     similarity: str = "bm25",
+    after_map: dict[int, tuple[float, int]] | None = None,
 ):
     """Tombstones arrive COLOCATED on the posting rows as a ``_del_ids``
     column (dts.delete.join_deletes — per-bucket sorted arrays, joined by
@@ -601,6 +602,16 @@ def _scorer_fn(
                 keep_m = allowed[pos] == uniq
                 uniq, acc = uniq[keep_m], acc[keep_m]
             key = np.round(acc, ROUND_RANK)
+            if after_map is not None and query_id in after_map:
+                # search_after (Lucene deep pagination): keep only docs
+                # STRICTLY after the cursor in rank order — (rounded
+                # score DESC, doc_id ASC) — so the local heap stays at k
+                # instead of page×k. A pure per-doc predicate: exact
+                # under any bucket partition.
+                a_s, a_d = after_map[query_id]
+                a_key = np.round(a_s, ROUND_RANK)
+                keep_a = (key < a_key) | ((key == a_key) & (uniq > a_d))
+                uniq, acc, key = uniq[keep_a], acc[keep_a], key[keep_a]
             # numpy-native tail (round-4): no per-row python tuples — at
             # k=∞ (full-candidate stages) this path emits millions of rows.
             order = np.lexsort((uniq, -key))[:k]
@@ -784,6 +795,7 @@ def _score_filtered(
     filter_qids: set[int] | None = None,
     syn_rows: DataFrame | None = None,
     similarity: str = "bm25",
+    after_map: dict[int, tuple[float, int]] | None = None,
 ) -> DataFrame:
     """Shared scoring tail: join filtered postings with broadcast stats +
     query terms, attach colocated tombstones (when ``index_dir`` has a
@@ -831,7 +843,7 @@ def _score_filtered(
     scorer = _scorer_fn(
         meta["n_docs"], meta["avgdl"], k, strategy, meta["block_size"],
         meta.get("codec", "varint"), mode, m_map, filter_qids,
-        similarity,
+        similarity, after_map,
     )
     if distribute == "bucket":
         # Cap group count: per-group applyInPandas overhead is real, so
@@ -939,8 +951,19 @@ def bm25_topk_indexed(
     doc_filter: DataFrame | None = None,
     broadcast_filter: bool = True,
     similarity: str = "bm25",
+    search_after: dict[int, tuple[float, int]] | None = None,
 ) -> DataFrame:
     """Top-k over the persisted index. Returns (query_id, doc_id, score, rank).
+
+    ``search_after`` (Lucene/ES deep pagination): per-query cursor
+    ``{query_id: (score, doc_id)}`` — the (score, doc_id) of the LAST hit
+    of the previous page. Only docs strictly after the cursor in rank
+    order (rounded score DESC, doc_id ASC) are collected, so page p costs
+    a k-heap, not a p·k-heap; ranks restart at 1 per page (Lucene
+    likewise returns fresh TopDocs). Requires strategy='taat' (the WAND
+    heap bound is score-only; Lucene, too, special-cases paging
+    collectors). The mask applies BEFORE local top-k truncation — a pure
+    per-doc predicate, exact under any bucket partition.
 
     ``similarity``: ``"bm25"`` (the engine contract — k1=1.2, b=0.75) or
     ``"classic"`` (Lucene ClassicSimilarity: sqrt(tf) · idf² · 1/sqrt(dl)
@@ -1004,6 +1027,8 @@ def bm25_topk_indexed(
             raise ValueError("mode='and' requires strategy='taat'")
     elif mode != "or":
         raise ValueError(f"unknown mode {mode!r}")
+    if search_after is not None and strategy != "taat":
+        raise ValueError("search_after requires strategy='taat'")
     prep = _prepare_query_scan(
         spark, idx, index_dir, queries, max_isin_terms,
         need_count=distribute is None,
@@ -1023,7 +1048,7 @@ def bm25_topk_indexed(
     return _score_filtered(
         spark, meta, postings, stats, qterms, n_queries, k, strategy,
         distribute, index_dir, mode, m_map, doc_filter, broadcast_filter,
-        similarity=similarity,
+        similarity=similarity, after_map=search_after,
     )
 
 

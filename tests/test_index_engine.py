@@ -9,6 +9,8 @@ import math
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from dts.fuzzy import banded_lev_batch
 from dts.index_build import build_index
 from dts.oracle import OracleIndex, banded_levenshtein
@@ -513,3 +515,56 @@ def test_packed_codec_positional_phrase_and_compact(
     meta = compact_index(spark, d)
     assert meta.get("codec", "varint") == "packed"
     assert phrase_got() == want
+
+
+def test_search_after_pagination(spark, index_dir, queries_pd):
+    """search_after page p == rows (p-1)k+1..pk of one deep top-(p·k)
+    query, ranks restarting at 1 — across both distribute modes."""
+    from dts.score_index import bm25_topk_indexed
+
+    qdf = spark.createDataFrame(queries_pd.iloc[:4][["query_id", "text"]])
+    k = 5
+    deep = (
+        bm25_topk_indexed(spark, index_dir, qdf, k=3 * k)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+    )
+    for dist in ("query", "bucket"):
+        cursor = {}
+        for qid, g in deep.groupby("query_id"):
+            if len(g) > k:
+                row = g.iloc[k - 1]
+                cursor[int(qid)] = (float(row["score"]), int(row["doc_id"]))
+        page2 = (
+            bm25_topk_indexed(
+                spark, index_dir, qdf, k=k,
+                search_after=cursor, distribute=dist,
+            )
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+        )
+        for qid, g in deep.groupby("query_id"):
+            want = g.iloc[k : 2 * k]
+            got = page2[page2["query_id"] == qid]
+            if int(qid) not in cursor:
+                continue
+            assert list(got["doc_id"]) == list(want["doc_id"]), (dist, qid)
+            assert list(got["rank"]) == list(range(1, len(want) + 1))
+            assert np.allclose(got["score"].to_numpy(), want["score"].to_numpy())
+    # a cursor past the last hit yields an empty page
+    tail_cursor = {
+        int(qid): (float(g.iloc[-1]["score"]), int(g.iloc[-1]["doc_id"]))
+        for qid, g in deep.groupby("query_id")
+        if len(g) < 3 * k  # exhausted result sets only
+    }
+    if tail_cursor:
+        empty = bm25_topk_indexed(
+            spark, index_dir, qdf.filter(
+                F.col("query_id").isin(list(tail_cursor))
+            ), k=k, search_after=tail_cursor,
+        )
+        assert empty.count() == 0
+    with pytest.raises(ValueError, match="search_after"):
+        bm25_topk_indexed(
+            spark, index_dir, qdf, k=k, strategy="bmw", search_after={0: (1.0, 0)}
+        )
