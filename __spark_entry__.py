@@ -602,6 +602,39 @@ def _q_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_FIRST_QS = [(0, "join", 3), (1, "hash", 1), (2, "scan", 10)]
+SPAN_NEAR2_QS = [(0, "table", "scan", 2), (1, "fast", "join", 0)]
+SPAN_NEAR3_Q = (2, "hash", "row", "batch", 3)
+
+
+def _q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 SpanFirstQuery (dts.spans): occurrences of a term wholly
+    within the first `limit` tokens of a doc — a single-slot positional
+    sweep, one exact group per (query, bucket). Oracle: count matching
+    1-based offsets ≤ limit in the token array."""
+    from dts.spans import span_first_counts
+
+    q = spark.createDataFrame(
+        SPAN_FIRST_QS, "sq_id long, term string, limit int"
+    )
+    return span_first_counts(spark, _pos_index(spark, sf_dir), q)
+
+
+def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 ordered SpanNearQuery (dts.spans): chains q_0<…<q_{m-1},
+    one position per term, TOTAL span ≤ (m−1)+slop (Lucene inOrder slop
+    accounting — not the engine's per-step sloppy-phrase gaps), counted
+    by distinct starts via a greedy smallest-next sweep. Oracle: nested
+    list_filter chain checks over the token arrays (m=2 and m=3)."""
+    from dts.spans import span_near_counts
+
+    rows = [(i, f"{a} {b}", s) for i, a, b, s in SPAN_NEAR2_QS]
+    i3, a, b, c, s3 = SPAN_NEAR3_Q
+    rows.append((i3, f"{a} {b} {c}", s3))
+    q = spark.createDataFrame(rows, "sq_id long, text string, slop int")
+    return span_near_counts(spark, _pos_index(spark, sf_dir), q)
+
+
 # Multi-field probe: text is the default field (boost 1.0), source is a
 # scoped field (boost 0.5); includes a source-only query and a miss.
 MF_QUERIES = [
@@ -1444,6 +1477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "phrase_slop": _q_phrase_slop,
         "proximity_match": _q_proximity_match,
+        "span_first": _q_span_first,
+        "span_near": _q_span_near,
         "boolean_match": _q_boolean_match,
         "boolean_should": _q_boolean_should,
         "search_query": _q_search_query,
@@ -1841,6 +1876,45 @@ m AS (
   FROM t CROSS JOIN pr
 )
 SELECT pair_id, doc_id, n_matches FROM m WHERE n_matches > 0
+""",
+        # SpanFirstQuery: term occurrences among the first `limit` tokens
+        # (engine offsets are 0-based; 1-based j ≤ limit is the same set).
+        "span_first": f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+q(sq_id, term, lim) AS (VALUES {", ".join(f"({i}, '{t}', {l})" for i, t, l in SPAN_FIRST_QS)}),
+m AS (
+  SELECT sq_id::BIGINT AS sq_id, doc_id,
+         len(list_filter(range(1, least(lim, len(toks)) + 1),
+                         j -> toks[j] = term))::BIGINT AS n_matches
+  FROM t CROSS JOIN q
+)
+SELECT sq_id, doc_id, n_matches FROM m WHERE n_matches > 0
+""",
+        # Ordered SpanNearQuery, TOTAL-span budget (m−1)+slop, distinct
+        # starts. m=2: q ∈ (p, p+1+slop]; m=3: chain p<q1<q2 ≤ p+2+slop.
+        "span_near": f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+q2(sq_id, t0, t1, slop) AS (VALUES {", ".join(f"({i}, '{a}', '{b}', {s})" for i, a, b, s in SPAN_NEAR2_QS)}),
+m2 AS (
+  SELECT sq_id::BIGINT AS sq_id, doc_id,
+         len(list_filter(range(1, len(toks) + 1), p -> toks[p] = t0 AND
+             len(list_filter(range(p + 1, least(p + 1 + slop, len(toks)) + 1),
+                             q -> toks[q] = t1)) > 0))::BIGINT AS n_matches
+  FROM t CROSS JOIN q2
+),
+m3 AS (
+  SELECT {SPAN_NEAR3_Q[0]}::BIGINT AS sq_id, doc_id,
+         len(list_filter(range(1, len(toks) + 1),
+             p -> toks[p] = '{SPAN_NEAR3_Q[1]}' AND
+             len(list_filter(range(p + 1, least(p + 1 + {SPAN_NEAR3_Q[4]}, len(toks)) + 1),
+                 q1 -> toks[q1] = '{SPAN_NEAR3_Q[2]}' AND
+                 len(list_filter(range(q1 + 1, least(p + 2 + {SPAN_NEAR3_Q[4]}, len(toks)) + 1),
+                     q2 -> toks[q2] = '{SPAN_NEAR3_Q[3]}')) > 0)) > 0))::BIGINT AS n_matches
+  FROM t
+)
+SELECT sq_id, doc_id, n_matches FROM m2 WHERE n_matches > 0
+UNION ALL
+SELECT sq_id, doc_id, n_matches FROM m3 WHERE n_matches > 0
 """,
         "snippet": f"""
 WITH pat(pat_id, pattern) AS (VALUES {", ".join(f"({i}, '{p}')" for i, p in SNIPPET_PATTERNS)})

@@ -1,0 +1,224 @@
+"""Span queries over the positional index (Lucene SpanFirstQuery /
+ordered SpanNearQuery shape).
+
+Reference parity: the reference engine exposes positional window
+matching (src/apm1.c window kernels); Lucene layers span queries on the
+same positional postings. Two operators:
+
+- ``span_first_counts``: occurrences of a term wholly within the first
+  ``limit`` tokens of a document (SpanFirstQuery: span end ≤ limit —
+  a single-term span at 0-based position p has end p+1).
+- ``span_near_counts``: ordered multi-term spans under a TOTAL-span
+  budget — positions p = q_0 < q_1 < … < q_{m-1}, one per term, with
+  q_{m-1} − q_0 ≤ (m−1) + slop. This is Lucene's
+  SpanNearQuery(inOrder=true) slop accounting (matchLength − m ≤ slop),
+  NOT the per-step-gap rule the engine's sloppy phrases use
+  (phrase_match_counts ``slop`` — delta documented there); slop=0
+  degenerates to the exact phrase. n_matches counts DISTINCT CHAIN
+  STARTS (the same counting convention as sloppy phrases; Lucene's span
+  enumeration can yield several spans per start).
+
+Exactness of the greedy sweep in span_near: choosing, at every step,
+the SMALLEST next position > current minimizes the chain's final
+position, so a start satisfies the total-span budget iff its greedy
+chain does.
+
+Distribution: identical to phrase_match_counts — broadcast query table,
+one exact group per (query, bucket) (buckets are disjoint doc ranges,
+so a doc's positions are wholly inside one group), numpy searchsorted
+over packed doc·P+pos keys — no per-doc Python, no shuffle beyond the
+postings' own bucket key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dts.delete import mask_deleted_rows
+from dts.score_index import MAX_ISIN_TERMS, load_index, term_filter
+
+SPAN_SCHEMA = "sq_id long, doc_id long, n_matches long"
+
+
+def _require_positions(meta: dict, what: str) -> None:
+    if not meta.get("positions"):
+        raise ValueError(
+            f"{what} needs a positional index: build_index(..., "
+            "positions=True)"
+        )
+
+
+def _span_first_matcher(block_size: int, codec: str):
+    def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from dts.phrase import _concat_runs
+
+        sq_id = int(pdf["sq_id"].iloc[0])
+        limit = int(pdf["limit"].iloc[0])
+        docs, flat, bounds, _ = _concat_runs(pdf, block_size, codec)
+        if not len(docs):
+            return pd.DataFrame(
+                {
+                    "sq_id": np.zeros(0, dtype=np.int64),
+                    "doc_id": np.zeros(0, dtype=np.int64),
+                    "n_matches": np.zeros(0, dtype=np.int64),
+                }
+            )
+        # Per doc: count positions with p + 1 <= limit (0-based offsets).
+        # Every posting has tf >= 1 positions, so no segment is empty and
+        # reduceat's empty-segment quirk never applies.
+        counts = np.add.reduceat((flat < limit).astype(np.int64), bounds[:-1])
+        keep = counts > 0
+        return pd.DataFrame(
+            {
+                "sq_id": np.full(int(keep.sum()), sq_id, dtype=np.int64),
+                "doc_id": docs[keep].astype(np.int64),
+                "n_matches": counts[keep].astype(np.int64),
+            }
+        )
+
+    return match_group
+
+
+def span_first_counts(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    max_isin_terms: int = MAX_ISIN_TERMS,
+) -> DataFrame:
+    """(sq_id, doc_id, n_matches): occurrences of ``term`` among the
+    first ``limit`` tokens of each doc. ``queries`` needs (sq_id, term,
+    limit). Single-slot positional sweep — one group per (sq_id, bucket).
+    """
+    idx = load_index(spark, index_dir)
+    meta = idx["meta"]
+    _require_positions(meta, "span_first")
+    rows = [
+        (int(r["sq_id"]), r["term"], int(r["limit"]))
+        for r in queries.select("sq_id", "term", "limit").collect()
+    ]
+    if not rows:
+        return spark.createDataFrame([], SPAN_SCHEMA)
+    qt = spark.createDataFrame(rows, "sq_id long, term string, limit int")
+    postings = term_filter(
+        idx["postings"], sorted({t for _, t, _ in rows}), max_isin_terms
+    ).join(F.broadcast(qt), "term")
+    out = postings.groupBy("sq_id", "bucket").applyInPandas(
+        _span_first_matcher(meta["block_size"], meta.get("codec", "varint")),
+        SPAN_SCHEMA,
+    )
+    return mask_deleted_rows(out, spark, index_dir, meta)
+
+
+def _span_near_matcher(block_size: int, codec: str):
+    def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "sq_id": np.zeros(0, dtype=np.int64),
+                "doc_id": np.zeros(0, dtype=np.int64),
+                "n_matches": np.zeros(0, dtype=np.int64),
+            }
+        )
+        sq_id = int(pdf["sq_id"].iloc[0])
+        m = int(pdf["m"].iloc[0])
+        slop = int(pdf["slop"].iloc[0])
+        if pdf["i"].nunique() != m:
+            return empty  # a span term absent from this bucket's range
+        from dts.phrase import _concat_runs
+
+        slots = [
+            _concat_runs(pdf[pdf["i"] == i], block_size, codec)
+            for i in range(m)
+        ]
+        pos_max = max(
+            (int(f.max()) for _, f, _, _ in slots if len(f)), default=0
+        )
+        doc_max = max(
+            (int(d.max()) for d, _, _, _ in slots if len(d)), default=0
+        )
+        # Headroom: probe keys reach cur + 1 ≤ doc·P + pos_max + 1.
+        P = pos_max + 2
+        if doc_max and P > (2**63 - 1) // (doc_max + 1):
+            raise OverflowError("doc_id * position key space exceeds int64")
+
+        def keys_of(i: int) -> np.ndarray:
+            docs, flat, bounds, _ = slots[i]
+            return np.repeat(docs, np.diff(bounds)) * P + flat
+
+        starts = keys_of(0)
+        if not len(starts):
+            return empty
+        cur = starts
+        alive = np.ones(len(starts), dtype=bool)
+        for i in range(1, m):
+            ki = keys_of(i)
+            # Greedy: smallest occurrence of slot i strictly after cur,
+            # in the same doc (P headroom keeps probes inside the doc's
+            # key range; a cross-doc landing fails the same-doc check).
+            idx_n = np.searchsorted(ki, cur + 1, side="left")
+            ok = idx_n < len(ki)
+            nxt = np.where(ok, ki[np.minimum(idx_n, len(ki) - 1)], -1)
+            ok &= (nxt // P) == (cur // P)
+            alive &= ok
+            cur = np.where(alive, nxt, cur)
+            if not alive.any():
+                return empty
+        span_ok = (cur - starts) <= (m - 1) + slop
+        hit = alive & span_ok
+        if not hit.any():
+            return empty
+        docs_out, counts = np.unique(starts[hit] // P, return_counts=True)
+        return pd.DataFrame(
+            {
+                "sq_id": np.full(len(docs_out), sq_id, dtype=np.int64),
+                "doc_id": docs_out.astype(np.int64),
+                "n_matches": counts.astype(np.int64),
+            }
+        )
+
+    return match_group
+
+
+def span_near_counts(
+    spark: SparkSession,
+    index_dir: str,
+    spans: DataFrame,
+    max_isin_terms: int = MAX_ISIN_TERMS,
+) -> DataFrame:
+    """(sq_id, doc_id, n_matches): ordered spans t_0 < t_1 < … < t_{m-1}
+    under the TOTAL-span budget q_{m-1} − q_0 ≤ (m−1) + slop, counted by
+    distinct starts. ``spans`` needs (sq_id, text, slop) — ``text``
+    whitespace-splits into the ordered term list (≥ 2 terms)."""
+    idx = load_index(spark, index_dir)
+    meta = idx["meta"]
+    _require_positions(meta, "span_near")
+    qt_rows, shape_rows = [], []
+    for r in spans.select("sq_id", "text", "slop").collect():
+        terms = [t for t in str(r["text"]).split() if t]
+        if len(terms) < 2:
+            raise ValueError(
+                f"span_near needs >= 2 terms (sq_id={r['sq_id']!r})"
+            )
+        if int(r["slop"]) < 0:
+            raise ValueError("slop must be >= 0")
+        for i, t in enumerate(terms):
+            qt_rows.append((int(r["sq_id"]), i, t))
+        shape_rows.append((int(r["sq_id"]), len(terms), int(r["slop"])))
+    if not qt_rows:
+        return spark.createDataFrame([], SPAN_SCHEMA)
+    qt = spark.createDataFrame(qt_rows, "sq_id long, i int, term string")
+    shape = spark.createDataFrame(shape_rows, "sq_id long, m int, slop int")
+    postings = (
+        term_filter(
+            idx["postings"], sorted({t for *_, t in qt_rows}), max_isin_terms
+        )
+        .join(F.broadcast(qt), "term")
+        .join(F.broadcast(shape), "sq_id")
+    )
+    out = postings.groupBy("sq_id", "bucket").applyInPandas(
+        _span_near_matcher(meta["block_size"], meta.get("codec", "varint")),
+        SPAN_SCHEMA,
+    )
+    return mask_deleted_rows(out, spark, index_dir, meta)

@@ -1,0 +1,128 @@
+"""Span queries vs a brute-force python replay over the corpus tokens."""
+
+from __future__ import annotations
+
+import pytest
+
+from dts.index_build import build_index
+from dts.spans import span_first_counts, span_near_counts
+from dts.tokenizer import tokenize_text
+
+
+@pytest.fixture(scope="module")
+def sp_index(spark, docs_sdf, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sp_index"))
+    build_index(spark, docs_sdf, d, bucket_size=64, block_size=16, positions=True)
+    return d
+
+
+@pytest.fixture(scope="module")
+def doc_toks(corpus_pd):
+    return {
+        int(r["doc_id"]): tokenize_text(r["content"])
+        for _, r in corpus_pd.iterrows()
+    }
+
+
+def _first_replay(doc_toks, term, limit):
+    out = {}
+    for d, toks in doc_toks.items():
+        n = sum(1 for t in toks[:limit] if t == term)
+        if n:
+            out[d] = n
+    return out
+
+
+def _near_replay(doc_toks, terms, slop):
+    """Distinct starts p with SOME ordered chain q_0=p<q_1<…<q_{m-1},
+    q_i ∈ pos(t_i), total span q_{m-1}−p ≤ (m−1)+slop. Brute force."""
+    m = len(terms)
+    budget = (m - 1) + slop
+    out = {}
+    for d, toks in doc_toks.items():
+        pos = {t: [i for i, x in enumerate(toks) if x == t] for t in set(terms)}
+        if any(not pos[t] for t in terms):
+            continue
+        n = 0
+        for p in pos[terms[0]]:
+
+            def chain_exists(i, cur):
+                if i == m:
+                    return True
+                for q in pos[terms[i]]:
+                    if q > cur and q - p <= budget:
+                        if chain_exists(i + 1, q):
+                            return True
+                return False
+
+            if chain_exists(1, p):
+                n += 1
+        if n:
+            out[d] = n
+    return out
+
+
+def test_span_first_vs_replay(spark, sp_index, doc_toks, corpus_pd):
+    t0 = tokenize_text(corpus_pd["content"].iloc[0])[0]
+    t1 = tokenize_text(corpus_pd["content"].iloc[3])[2]
+    qs = [(0, t0, 3), (1, t1, 8), (2, t0, 1), (3, "zzznope", 5)]
+    q = spark.createDataFrame(qs, "sq_id long, term string, limit int")
+    got = span_first_counts(spark, sp_index, q).toPandas()
+    for sq_id, term, limit in qs:
+        want = _first_replay(doc_toks, term, limit)
+        g = got[got["sq_id"] == sq_id]
+        assert dict(zip(g["doc_id"].astype(int), g["n_matches"].astype(int))) == want, (
+            sq_id,
+            term,
+            limit,
+        )
+
+
+def test_span_near_vs_replay(spark, sp_index, doc_toks, corpus_pd):
+    toks = tokenize_text(corpus_pd["content"].iloc[0])
+    two = f"{toks[0]} {toks[2]}"
+    three = f"{toks[0]} {toks[1]} {toks[3]}"
+    qs = [(0, two, 0), (1, two, 3), (2, three, 2), (3, f"{toks[1]} zzz", 4)]
+    q = spark.createDataFrame(qs, "sq_id long, text string, slop int")
+    got = span_near_counts(spark, sp_index, q).toPandas()
+    for sq_id, text, slop in qs:
+        want = _near_replay(doc_toks, text.split(), slop)
+        g = got[got["sq_id"] == sq_id]
+        assert dict(zip(g["doc_id"].astype(int), g["n_matches"].astype(int))) == want, (
+            sq_id,
+            text,
+            slop,
+        )
+
+
+def test_span_near_slop0_is_exact_phrase(spark, sp_index, corpus_pd):
+    from dts.phrase import phrase_match_counts
+
+    toks = tokenize_text(corpus_pd["content"].iloc[1])
+    text = f"{toks[0]} {toks[1]}"
+    q = spark.createDataFrame([(0, text, 0)], "sq_id long, text string, slop int")
+    near = {
+        (int(r["doc_id"]), int(r["n_matches"]))
+        for r in span_near_counts(spark, sp_index, q).collect()
+    }
+    pq = spark.createDataFrame([(0, text)], "phrase_id long, text string")
+    ph = {
+        (int(r["doc_id"]), int(r["n_matches"]))
+        for r in phrase_match_counts(spark, sp_index, pq).collect()
+    }
+    assert near == ph and len(near) > 0
+
+
+def test_span_validation(spark, sp_index):
+    with pytest.raises(ValueError, match=">= 2 terms"):
+        span_near_counts(
+            spark,
+            sp_index,
+            spark.createDataFrame([(0, "solo", 1)], "sq_id long, text string, slop int"),
+        ).collect()
+    with pytest.raises(ValueError, match="slop"):
+        span_near_counts(
+            spark,
+            sp_index,
+            spark.createDataFrame([(0, "a b", -1)], "sq_id long, text string, slop int"),
+        ).collect()
