@@ -635,6 +635,25 @@ def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_near_counts(spark, _pos_index(spark, sf_dir), q)
 
 
+PP_QUERIES = [(0, "table sc"), (1, "fast jo"), (2, "ha")]
+PP_MAX_EXP = 50
+
+
+def _q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 match_phrase_prefix (dts.phrase.phrase_prefix_counts —
+    ES/Lucene MultiPhraseQuery shape): leading words consecutive, the
+    final slot satisfied by any of the first 50 dictionary expansions of
+    the prefix (ES max_expansions truncation). One positional job: each
+    expansion is one phrase row in a single phrase_match_counts batch;
+    per-start disjointness makes the per-(query, doc) SUM exact."""
+    from dts.phrase import phrase_prefix_counts
+
+    q = spark.createDataFrame(PP_QUERIES, "pp_id long, text string")
+    return phrase_prefix_counts(
+        spark, _pos_index(spark, sf_dir), q, max_expansions=PP_MAX_EXP
+    )
+
+
 # Multi-field probe: text is the default field (boost 1.0), source is a
 # scoped field (boost 0.5); includes a source-only query and a miss.
 MF_QUERIES = [
@@ -1479,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_match": _q_proximity_match,
         "span_first": _q_span_first,
         "span_near": _q_span_near,
+        "phrase_prefix": _q_phrase_prefix,
         "boolean_match": _q_boolean_match,
         "boolean_should": _q_boolean_should,
         "search_query": _q_search_query,
@@ -2529,6 +2549,39 @@ SELECT input, suggestion, distance, cf, rank::INTEGER AS rank FROM (
   ) AS rank FROM cand
 ) WHERE rank <= 5
 """
+    # match_phrase_prefix: lead words consecutive + any of the first
+    # PP_MAX_EXP prefix expansions (term order) in the final slot.
+    def _pp_leg(pp_id: int, text: str) -> str:
+        toks = text.split()
+        lead, m = toks[:-1], len(toks)
+        conds = " AND ".join(
+            f"toks[j + {i}] = '{w}'" for i, w in enumerate(lead)
+        )
+        last = f"list_contains(exp, toks[j + {m - 1}])"
+        cond = f"{conds} AND {last}" if conds else last
+        # DuckDB forbids subqueries inside lambdas: the one-row expansion
+        # CTE cross-joins in so the lambda sees a plain `exp` column.
+        return (
+            f"  SELECT {pp_id}::BIGINT AS pp_id, doc_id,\n"
+            f"         len(list_filter(range(1, len(toks) - {m - 1} + 1), "
+            f"j -> {cond}))::BIGINT AS n_matches\n"
+            f"  FROM t CROSS JOIN pp_e{pp_id}"
+        )
+
+    _pp_e = ",\n".join(
+        f"pp_e{i} AS (SELECT list(term ORDER BY term) AS exp FROM ("
+        f"SELECT DISTINCT term FROM tok WHERE starts_with(term, "
+        f"'{t.split()[-1]}') ORDER BY term LIMIT {PP_MAX_EXP}) s)"
+        for i, t in PP_QUERIES
+    )
+    extra["phrase_prefix"] = (
+        f"WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),\n"
+        f"tok AS (SELECT unnest({_D_TOKS}) AS term FROM documents),\n"
+        + _pp_e
+        + ",\nu AS (\n"
+        + "\n  UNION ALL\n".join(_pp_leg(i, t) for i, t in PP_QUERIES)
+        + "\n)\nSELECT pp_id, doc_id, n_matches FROM u WHERE n_matches > 0\n"
+    )
     # Prefix completion: top-5 dictionary terms per prefix, (cf DESC,
     # term ASC) — the engine serves this from range-pruned slices of the
     # term-sorted dictionary; the oracle recomputes cf from the corpus.

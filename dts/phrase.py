@@ -318,6 +318,90 @@ def phrase_match_counts(
     return mask_deleted_rows(out, spark, index_dir, meta)
 
 
+def phrase_prefix_counts(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    max_expansions: int = 50,
+    max_isin_terms: int = MAX_ISIN_TERMS,
+) -> DataFrame:
+    """match_phrase_prefix (ES) / MultiPhraseQuery-with-trailing-prefix
+    (Lucene): the LAST whitespace word of ``text`` is a PREFIX; a doc
+    position matches when the leading words appear consecutively and ANY
+    dictionary expansion of the prefix occupies the final slot.
+    ``queries`` needs (pp_id, text). Returns (pp_id, doc_id, n_matches).
+
+    ``max_expansions`` (ES default 50): the prefix expands to the FIRST
+    ``max_expansions`` dictionary terms in term order — ES's documented
+    truncation, which also bounds the clause width by construction (no
+    TooManyClauses path needed here).
+
+    Exact composition, one positional job: a position holds exactly one
+    token, so for a fixed chain start AT MOST ONE expansion matches the
+    final slot — per-expansion phrase counts are disjoint and their SUM
+    is the multi-phrase count. Each expansion becomes one phrase row in
+    a single phrase_match_counts batch (the same one-job fusion the
+    parser's phrase constraints use), then a hash-agg sums per (query,
+    doc). A query whose prefix matches nothing returns no rows."""
+    from dts.wildcard import _expand
+
+    if max_expansions < 1:
+        raise ValueError("max_expansions must be >= 1")
+    rows = [
+        (int(r["pp_id"]), str(r["text"]))
+        for r in queries.select("pp_id", "text").collect()
+    ]
+    if not rows:
+        return spark.createDataFrame([], PHRASE_SCHEMA.replace("phrase_id", "pp_id"))
+    lead_map: dict[int, list[str]] = {}
+    pats = []
+    for pp_id, text in rows:
+        toks = tokenize_text(text)
+        if not toks:
+            raise ValueError(f"empty phrase_prefix text (pp_id={pp_id})")
+        lead_map[pp_id] = toks[:-1]
+        pats.append((pp_id, toks[-1] + "*"))
+    pats_df = spark.createDataFrame(pats, "wq_id long, pattern string")
+    qterms, term_list = _expand(spark, index_dir, pats_df)
+    if term_list is None:
+        # Distributed-dictionary path: truncate per query in term order.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("wq_id").orderBy(F.col("term").asc())
+        exp_rows = (
+            qterms.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_expansions)
+            .select("wq_id", "term")
+            .collect()
+        )
+        exp_pairs = [(int(r["wq_id"]), r["term"]) for r in exp_rows]
+    else:
+        by_q: dict[int, list[str]] = {}
+        for r in qterms.collect():
+            by_q.setdefault(int(r["wq_id"]), []).append(r["term"])
+        exp_pairs = [
+            (q, t)
+            for q, ts in by_q.items()
+            for t in sorted(ts)[:max_expansions]
+        ]
+    if not exp_pairs:
+        return spark.createDataFrame([], PHRASE_SCHEMA.replace("phrase_id", "pp_id"))
+    ph_rows, sid_map = [], []
+    for sid, (pp_id, term) in enumerate(exp_pairs):
+        ph_rows.append((sid, " ".join(lead_map[pp_id] + [term])))
+        sid_map.append((sid, pp_id))
+    phrases = spark.createDataFrame(ph_rows, "phrase_id long, text string")
+    back = spark.createDataFrame(sid_map, "phrase_id long, pp_id long")
+    counts = phrase_match_counts(
+        spark, index_dir, phrases, max_isin_terms=max_isin_terms
+    )
+    return (
+        counts.join(F.broadcast(back), "phrase_id")
+        .groupBy("pp_id", "doc_id")
+        .agg(F.sum("n_matches").alias("n_matches"))
+    )
+
+
 def phrase_syn_rows(
     spark: SparkSession,
     index_dir: str,

@@ -126,3 +126,48 @@ def test_span_validation(spark, sp_index):
             sp_index,
             spark.createDataFrame([(0, "a b", -1)], "sq_id long, text string, slop int"),
         ).collect()
+
+
+def _pp_replay(doc_toks, vocab, text, max_expansions=50):
+    toks = text.split()
+    lead, prefix = toks[:-1], toks[-1]
+    exps = sorted(t for t in vocab if t.startswith(prefix))[:max_expansions]
+    eset = set(exps)
+    m = len(toks)
+    out = {}
+    for d, dt in doc_toks.items():
+        n = 0
+        for j in range(len(dt) - m + 1):
+            if dt[j : j + m - 1] == lead and dt[j + m - 1] in eset:
+                n += 1
+        if n:
+            out[d] = n
+    return out
+
+
+def test_phrase_prefix_vs_replay(spark, sp_index, doc_toks, corpus_pd):
+    from dts.phrase import phrase_prefix_counts
+
+    vocab = {t for toks in doc_toks.values() for t in toks}
+    t = tokenize_text(corpus_pd["content"].iloc[0])
+    qs = [
+        (0, f"{t[0]} {t[1][:2]}"),      # bigram with prefix tail
+        (1, f"{t[2][:1]}"),             # bare prefix (m=1)
+        (2, f"{t[0]} {t[1]} zzzq"),     # dead prefix -> no rows
+    ]
+    q = spark.createDataFrame(qs, "pp_id long, text string")
+    got = phrase_prefix_counts(spark, sp_index, q).toPandas()
+    for pp_id, text in qs:
+        want = _pp_replay(doc_toks, vocab, text)
+        g = got[got["pp_id"] == pp_id]
+        assert dict(zip(g["doc_id"].astype(int), g["n_matches"].astype(int))) == want, (
+            pp_id,
+            text,
+        )
+    # max_expansions truncation: only the alphabetically-first expansion
+    got1 = phrase_prefix_counts(
+        spark, sp_index, spark.createDataFrame([qs[0]], "pp_id long, text string"),
+        max_expansions=1,
+    ).toPandas()
+    want1 = _pp_replay(doc_toks, vocab, qs[0][1], max_expansions=1)
+    assert dict(zip(got1["doc_id"].astype(int), got1["n_matches"].astype(int))) == want1
