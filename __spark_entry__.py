@@ -635,6 +635,27 @@ def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_near_counts(spark, _pos_index(spark, sf_dir), q)
 
 
+SYN_MAP = {"fast": ["quick", "slow"], "join": ["merge"]}
+SYN_QUERIES = [(0, "fast scan"), (1, "join table"), (2, "merge join")]
+
+
+def _q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 SynonymQuery (dts.synonym): a mapped token scores as ONE
+    blended pseudo-term — per-doc tf summed across members, docFreq =
+    MAX member df (Lucene's stats blend; 'quick' is a dead member, which
+    the blend ignores). Member postings merge per (clause, bucket) and
+    ride the scoring kernel as synthetic clause rows — one scoring job.
+    Oracle: the same blend in SQL (sum-tf subquery × max-df scalar)."""
+    from dts.synonym import bm25_topk_synonyms
+
+    q = spark.createDataFrame(SYN_QUERIES, "query_id long, text string")
+    return _rerank6_top10(
+        bm25_topk_synonyms(
+            spark, _pos_index(spark, sf_dir), q, SYN_MAP, k=10**6
+        )
+    )
+
+
 PP_QUERIES = [(0, "table sc"), (1, "fast jo"), (2, "ha")]
 PP_MAX_EXP = 50
 
@@ -1499,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first": _q_span_first,
         "span_near": _q_span_near,
         "phrase_prefix": _q_phrase_prefix,
+        "synonym_topk": _q_synonym_topk,
         "boolean_match": _q_boolean_match,
         "boolean_should": _q_boolean_should,
         "search_query": _q_search_query,
@@ -2548,6 +2570,53 @@ SELECT input, suggestion, distance, cf, rank::INTEGER AS rank FROM (
     PARTITION BY input ORDER BY distance ASC, cf DESC, suggestion ASC
   ) AS rank FROM cand
 ) WHERE rank <= 5
+"""
+    # SynonymQuery blend: mapped tokens -> sum-tf / max-df pseudo-term;
+    # unmapped tokens -> plain BM25 clause. One leg per clause.
+    def _syn_leg(qid: int, tok: str) -> str:
+        alts = SYN_MAP.get(tok)
+        if not alts:
+            return f"""
+  SELECT {qid}::BIGINT AS query_id, tf.doc_id,
+         ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * tf.tf * ({K1} + 1.0)
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats WHERE tf.term = '{tok}'"""
+        mem = ", ".join(f"'{t}'" for t in sorted({tok, *alts}))
+        return f"""
+  SELECT {qid}::BIGINT AS query_id, b.doc_id,
+         ln(1 + (stats.n_docs - bd.dfb + 0.5) / (bd.dfb + 0.5))
+         * b.tfb * ({K1} + 1.0)
+         / (b.tfb + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS c
+  FROM (SELECT doc_id, sum(tf)::BIGINT AS tfb FROM tf
+        WHERE term IN ({mem}) GROUP BY 1) b
+  CROSS JOIN (SELECT max(df)::BIGINT AS dfb FROM dfreq
+              WHERE term IN ({mem})) bd
+  JOIN dl ON b.doc_id = dl.doc_id CROSS JOIN stats"""
+
+    _syn_legs = "\n  UNION ALL".join(
+        _syn_leg(qid, tok)
+        for qid, text in SYN_QUERIES
+        for tok in text.split()
+    )
+    extra["synonym_topk"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_D_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_D_TOKS})::BIGINT AS dl FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+contrib AS ({_syn_legs}
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS s6
+  FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, doc_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY s6 DESC, doc_id ASC
+  ) AS rank FROM scored
+) WHERE rank <= 10
 """
     # match_phrase_prefix: lead words consecutive + any of the first
     # PP_MAX_EXP prefix expansions (term order) in the final slot.
