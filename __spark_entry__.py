@@ -635,6 +635,25 @@ def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_near_counts(spark, _pos_index(spark, sf_dir), q)
 
 
+def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 function_score / field_value_factor
+    (dts.docvalues.function_score_topk): rank by bm25 · ln(1 + n_chars)
+    with the doc value applied INSIDE the kernel (per-bucket colocated
+    value arrays, the tombstone join shape) before top-k truncation.
+    Oracle: unrounded BM25 sum × ln1p(n_chars), rounded to 6dp."""
+    from dts.docvalues import function_score_topk
+
+    q = spark.createDataFrame(
+        [(i, t) for i, t in PROBE_QUERIES], "query_id long, text string"
+    )
+    return _rerank6_top10(
+        function_score_topk(
+            spark, _dv_index(spark, sf_dir), q, "n_chars", k=10**6,
+            modifier="log1p", boost_mode="multiply", factor=1.0,
+        )
+    )
+
+
 SYN_MAP = {"fast": ["quick", "slow"], "join": ["merge"]}
 SYN_QUERIES = [(0, "fast scan"), (1, "join table"), (2, "merge join")]
 
@@ -1521,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near": _q_span_near,
         "phrase_prefix": _q_phrase_prefix,
         "synonym_topk": _q_synonym_topk,
+        "function_score": _q_function_score,
         "boolean_match": _q_boolean_match,
         "boolean_should": _q_boolean_should,
         "search_query": _q_search_query,
@@ -2570,6 +2590,36 @@ SELECT input, suggestion, distance, cf, rank::INTEGER AS rank FROM (
     PARTITION BY input ORDER BY distance ASC, cf DESC, suggestion ASC
   ) AS rank FROM cand
 ) WHERE rank <= 5
+"""
+    # function_score: UNROUNDED bm25 sum × ln(1 + n_chars), then 6dp.
+    extra["function_score"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_D_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_D_TOKS})::BIGINT AS dl FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, text) AS (VALUES {VALUES_QUERIES}),
+qterms AS (SELECT query_id::BIGINT AS query_id, unnest(string_split(text, ' ')) AS term FROM q),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum(
+           ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS s
+  FROM qterms JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  GROUP BY 1, 2
+),
+fs AS (
+  SELECT s.query_id, s.doc_id, round(s.s * ln(1 + d.n_chars), 6) AS s6
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, doc_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY s6 DESC, doc_id ASC
+  ) AS rank FROM fs
+) WHERE rank <= 10
 """
     # SynonymQuery blend: mapped tokens -> sum-tf / max-df pseudo-term;
     # unmapped tokens -> plain BM25 clause. One leg per clause.

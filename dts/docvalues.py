@@ -226,3 +226,87 @@ def collapse_topk_indexed(
     return collapse_topk(
         candidates, sidecar(spark, index_dir, [field]), field, k, key
     )
+
+
+def function_score_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    field: str,
+    k: int = 10,
+    factor: float = 1.0,
+    modifier: str = "log1p",
+    boost_mode: str = "multiply",
+    missing: float = 1.0,
+    distribute: str | None = None,
+    broadcast_dv: bool = True,
+) -> DataFrame:
+    """ES function_score / field_value_factor over the sidecar: rank by
+    ``bm25 OP (factor · modifier(field))`` with OP = ``boost_mode``
+    ('multiply' | 'sum') and modifier ∈ {'log1p', 'sqrt', 'none'}; docs
+    without a stored value substitute ``missing`` BEFORE the modifier
+    (ES semantics). The function applies INSIDE the scoring kernel,
+    after accumulation and before top-k truncation — exact ranking, a
+    k-heap per group, never a full-candidate emission.
+
+    Plumbing: the sidecar's (doc_id, value) pairs aggregate to per-bucket
+    sorted arrays and join the posting rows on the bucket key — the same
+    colocated shape as tombstones and filter contexts, so a scoring
+    group reassembles exactly its own buckets' values.
+    ``broadcast_dv=False`` routes corpus-scale sidecars through the
+    bucket-key shuffle instead. Requires strategy='taat' semantics (the
+    stored block maxima bound raw BM25 only; Lucene likewise cannot use
+    impacts under score transforms)."""
+    from pyspark.sql.types import NumericType
+
+    from dts.index_build import load_meta
+    from dts.score_index import (
+        TOPK_SCHEMA,
+        _prepare_query_scan,
+        _score_filtered,
+        load_index,
+    )
+
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError(f"unknown boost_mode {boost_mode!r}")
+    if modifier not in ("log1p", "sqrt", "none"):
+        raise ValueError(f"unknown modifier {modifier!r}")
+    side = sidecar(spark, index_dir, [field])
+    if not isinstance(side.schema[field].dataType, NumericType):
+        raise ValueError(
+            f"function_score needs a numeric field, got "
+            f"{side.schema[field].dataType.simpleString()} for {field!r}"
+        )
+    meta = load_meta(index_dir)
+    dv = (
+        side.select(
+            "doc_id", F.col(field).cast("double").alias("v")
+        )
+        .filter(F.col("v").isNotNull())
+        .withColumn(
+            "bucket", (F.col("doc_id") / F.lit(meta["bucket_size"])).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "v"))).alias("s"))
+        .select(
+            "bucket",
+            F.transform("s", lambda x: x["doc_id"]).alias("_dv_ids"),
+            F.transform("s", lambda x: x["v"]).alias("_dv_vals"),
+        )
+    )
+    from dts.score_index import MAX_ISIN_TERMS
+
+    idx = load_index(spark, index_dir)
+    prep = _prepare_query_scan(
+        spark, idx, index_dir, queries, MAX_ISIN_TERMS,
+        need_count=distribute is None,
+    )
+    if prep is None:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    postings, stats, qterms, n_queries, _ = prep
+    return _score_filtered(
+        spark, idx["meta"], postings, stats, qterms, n_queries, k,
+        "taat", distribute, index_dir,
+        dv=dv, dv_spec=(modifier, float(factor), boost_mode, float(missing)),
+        broadcast_dv=broadcast_dv,
+    )

@@ -183,6 +183,7 @@ def _scorer_fn(
     filter_qids: set[int] | None = None,
     similarity: str = "bm25",
     after_map: dict[int, tuple[float, int]] | None = None,
+    dv_spec: tuple[str, float, str, float] | None = None,
 ):
     """Tombstones arrive COLOCATED on the posting rows as a ``_del_ids``
     column (dts.delete.join_deletes — per-bucket sorted arrays, joined by
@@ -234,6 +235,25 @@ def _scorer_fn(
             and (filter_qids is None or query_id in filter_qids)
             else None
         )
+        # function_score doc values (round 5): per-bucket (ids, vals)
+        # pairs colocated like tombstones — reassemble aligned arrays in
+        # bucket order (buckets are disjoint ascending doc ranges, so the
+        # concat is globally doc_id-sorted).
+        dv_ids = dv_vals = None
+        if dv_spec is not None and "_dv_ids" in pdf.columns:
+            per_b: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            for b, ids, vs in zip(
+                pdf["bucket"], pdf["_dv_ids"], pdf["_dv_vals"]
+            ):
+                if ids is not None and int(b) not in per_b:
+                    per_b[int(b)] = (
+                        np.asarray(ids, dtype=np.int64),
+                        np.asarray(vs, dtype=np.float64),
+                    )
+            if per_b:
+                bs = sorted(per_b)
+                dv_ids = np.concatenate([per_b[b][0] for b in bs])
+                dv_vals = np.concatenate([per_b[b][1] for b in bs])
         # Ascending (term, bucket): fixes the accumulation order AND makes
         # each term's bucket rows an ordered concatenation (the lazy phase-2
         # of the salted merge).
@@ -601,6 +621,28 @@ def _scorer_fn(
                 )
                 keep_m = allowed[pos] == uniq
                 uniq, acc = uniq[keep_m], acc[keep_m]
+            if dv_spec is not None:
+                # ES field_value_factor: value -> missing-substitute ->
+                # modifier -> factor, then combined into the query score.
+                # Applied BEFORE truncation/rounding so ranking is exact.
+                modifier, factor, boost_mode, missing = dv_spec
+                vals = np.full(len(uniq), float(missing), dtype=np.float64)
+                if dv_ids is not None and len(dv_ids) and len(uniq):
+                    pos = np.minimum(
+                        np.searchsorted(dv_ids, uniq), len(dv_ids) - 1
+                    )
+                    hitv = dv_ids[pos] == uniq
+                    vals[hitv] = dv_vals[pos[hitv]]
+                if modifier == "log1p":
+                    fv = np.log1p(vals)
+                elif modifier == "sqrt":
+                    fv = np.sqrt(vals)
+                elif modifier == "none":
+                    fv = vals
+                else:
+                    raise ValueError(f"unknown modifier {modifier!r}")
+                fv = float(factor) * fv
+                acc = acc * fv if boost_mode == "multiply" else acc + fv
             key = np.round(acc, ROUND_RANK)
             if after_map is not None and query_id in after_map:
                 # search_after (Lucene deep pagination): keep only docs
@@ -796,6 +838,9 @@ def _score_filtered(
     syn_rows: DataFrame | None = None,
     similarity: str = "bm25",
     after_map: dict[int, tuple[float, int]] | None = None,
+    dv: DataFrame | None = None,
+    dv_spec: tuple[str, float, str, float] | None = None,
+    broadcast_dv: bool = True,
 ) -> DataFrame:
     """Shared scoring tail: join filtered postings with broadcast stats +
     query terms, attach colocated tombstones (when ``index_dir`` has a
@@ -827,6 +872,13 @@ def _score_filtered(
         if broadcast_filter:
             kb = F.broadcast(kb)
         joined = joined.join(kb, fkeys, "left")
+    if dv is not None:
+        # Doc-value arrays colocated per bucket (function_score): same
+        # join shape as tombstones/filter contexts. broadcast_dv=False
+        # for corpus-scale sidecars — the join then shuffles on the
+        # bucket key the scoring groups already use.
+        dv_b = F.broadcast(dv) if broadcast_dv else dv
+        joined = joined.join(dv_b, "bucket", "left")
     n_buckets = -(-meta["n_docs"] // meta["bucket_size"])
     if distribute is None:
         distribute = auto_distribute(n_queries, n_buckets, meta["n_docs"])
@@ -840,10 +892,12 @@ def _score_filtered(
             f"strategy='bmw' supports only similarity='bm25' "
             f"(got {similarity!r}); use strategy='taat'"
         )
+    if dv_spec is not None and strategy != "taat":
+        raise ValueError("function_score doc values require strategy='taat'")
     scorer = _scorer_fn(
         meta["n_docs"], meta["avgdl"], k, strategy, meta["block_size"],
         meta.get("codec", "varint"), mode, m_map, filter_qids,
-        similarity, after_map,
+        similarity, after_map, dv_spec,
     )
     if distribute == "bucket":
         # Cap group count: per-group applyInPandas overhead is real, so

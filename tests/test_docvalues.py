@@ -219,3 +219,90 @@ def test_collapse_matches_window_reference(spark, dv_idx, corpus_pd):
     assert list(got["score"]) == list(ref["score"])
     # at most one row per (query, group)
     assert got.groupby(["query_id", "grp"]).size().max() == 1
+
+
+def _fs_replay(oracle, meta_vals, text, factor, modifier, boost_mode, missing, topk=10):
+    import math
+
+    base = {d: s for _, d, s in oracle.score_query(text, topk=10**6)}
+    out = {}
+    for d, s in base.items():
+        v = meta_vals.get(d)
+        v = float(missing) if v is None else float(v)
+        fv = {"log1p": math.log1p(v), "sqrt": math.sqrt(v), "none": v}[modifier]
+        fv *= factor
+        out[d] = s * fv if boost_mode == "multiply" else s + fv
+    return sorted(out.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))[:topk]
+
+
+def test_function_score_vs_replay(spark, dv_idx, corpus_pd, meta_pd):
+    import numpy as np
+
+    from dts.docvalues import function_score_topk
+    from dts.oracle import OracleIndex
+
+    oracle = OracleIndex(
+        list(zip(corpus_pd["doc_id"].astype(int), corpus_pd["content"]))
+    )
+    text = _terms(corpus_pd, 2)
+    nv = meta_pd["n_chars"].to_dict()
+    q = spark.createDataFrame([(0, text)], "query_id long, text string")
+    for modifier, boost_mode, factor in [
+        ("log1p", "multiply", 1.0),
+        ("sqrt", "sum", 0.5),
+        ("none", "multiply", 0.01),
+    ]:
+        got = (
+            function_score_topk(
+                spark, dv_idx, q, "n_chars", k=10,
+                factor=factor, modifier=modifier, boost_mode=boost_mode,
+            )
+            .toPandas()
+            .sort_values("rank")
+        )
+        want = _fs_replay(oracle, nv, text, factor, modifier, boost_mode, 1.0)
+        assert list(got["doc_id"].astype(int)) == [d for d, _ in want], (modifier, boost_mode)
+        assert np.allclose(got["score"], [s for _, s in want], rtol=1e-9), (modifier, boost_mode)
+
+
+def test_function_score_missing_and_validation(spark, dv_idx, corpus_pd, docs_sdf):
+    import numpy as np
+    import pytest as _pt
+
+    from dts.docvalues import function_score_topk
+    from dts.oracle import OracleIndex
+
+    oracle = OracleIndex(
+        list(zip(corpus_pd["doc_id"].astype(int), corpus_pd["content"]))
+    )
+    text = _terms(corpus_pd, 2)
+    q = spark.createDataFrame([(0, text)], "query_id long, text string")
+    # grp is NULL on doc_id % 5 == 0: those docs substitute `missing`
+    gv = {
+        int(d): (None if d % 5 == 0 else float(d % 3))
+        for d in corpus_pd["doc_id"].astype(int)
+    }
+    got = (
+        function_score_topk(
+            spark, dv_idx, q, "grp", k=10, modifier="none",
+            boost_mode="sum", factor=2.0, missing=7.0,
+        )
+        .toPandas()
+        .sort_values("rank")
+    )
+    want = _fs_replay(oracle, gv, text, 2.0, "none", "sum", 7.0)
+    assert list(got["doc_id"].astype(int)) == [d for d, _ in want]
+    assert np.allclose(got["score"], [s for _, s in want], rtol=1e-9)
+    # both distribute modes identical
+    g2 = function_score_topk(
+        spark, dv_idx, q, "n_chars", k=10, distribute="bucket"
+    ).toPandas().sort_values("rank")
+    g1 = function_score_topk(
+        spark, dv_idx, q, "n_chars", k=10, distribute="query"
+    ).toPandas().sort_values("rank")
+    assert list(g1["doc_id"]) == list(g2["doc_id"])
+    assert np.array_equal(g1["score"].to_numpy(), g2["score"].to_numpy())
+    with _pt.raises(ValueError, match="numeric"):
+        function_score_topk(spark, dv_idx, q, "lang").collect()
+    with _pt.raises(ValueError, match="modifier"):
+        function_score_topk(spark, dv_idx, q, "n_chars", modifier="exp").collect()
