@@ -654,6 +654,29 @@ def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_INTERVAL = 100.0
+
+
+def _q_facet_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 histogram aggregation (dts.facet.facet_histogram_indexed
+    — ES histogram agg): n_chars bucketed into fixed 100-wide steps for
+    each query's top-10 BM25 hits, answered from the doc_meta sidecar
+    alone. Oracle: the same floor-bucketing over the rank ≤ 10 slice."""
+    from dts.facet import facet_histogram_indexed
+    from dts.score_index import bm25_topk_indexed
+
+    idx_dir = _dv_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(i, t, 0) for i, t in PROBE_QUERIES],
+        "query_id long, text string, fuzzy_k int",
+    )
+    top = _rerank6_top10(bm25_topk_indexed(spark, idx_dir, q, k=10**6))
+    return facet_histogram_indexed(
+        spark, idx_dir, "n_chars", HIST_INTERVAL,
+        matches=top, key="query_id",
+    )
+
+
 SYN_MAP = {"fast": ["quick", "slow"], "join": ["merge"]}
 SYN_QUERIES = [(0, "fast scan"), (1, "join table"), (2, "merge join")]
 
@@ -1541,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_prefix": _q_phrase_prefix,
         "synonym_topk": _q_synonym_topk,
         "function_score": _q_function_score,
+        "facet_histogram": _q_facet_histogram,
         "boolean_match": _q_boolean_match,
         "boolean_should": _q_boolean_should,
         "search_query": _q_search_query,
@@ -2590,6 +2614,20 @@ SELECT input, suggestion, distance, cf, rank::INTEGER AS rank FROM (
     PARTITION BY input ORDER BY distance ASC, cf DESC, suggestion ASC
   ) AS rank FROM cand
 ) WHERE rank <= 5
+"""
+    # Histogram facet: floor-bucketed n_chars over each query's top-10.
+    extra["facet_histogram"] = _BM25_SQL_CTE + f"""
+, top10 AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC
+    ) AS rank FROM scored
+  ) WHERE rank <= 10
+)
+SELECT t.query_id, floor(d.n_chars / {HIST_INTERVAL}) * {HIST_INTERVAL} AS bucket_lo,
+       count(*)::BIGINT AS n
+FROM top10 t JOIN documents d ON t.doc_id = d.doc_id
+GROUP BY 1, 2
 """
     # function_score: UNROUNDED bm25 sum × ln(1 + n_chars), then 6dp.
     extra["function_score"] = f"""

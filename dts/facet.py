@@ -102,3 +102,71 @@ def facet_counts_indexed(
         matches, side, field, key,
         broadcast_matches=broadcast_matches, pushdown_hits=pushdown_hits,
     )
+
+
+def facet_histogram(
+    matches: DataFrame | None,
+    docs: DataFrame,
+    field: str,
+    interval: float,
+    key: str | None = None,
+    offset: float = 0.0,
+    broadcast_matches: bool | None = None,
+    pushdown_hits: bool = False,
+) -> DataFrame:
+    """ES histogram aggregation: bucket a numeric field into fixed
+    ``interval`` steps — bucket_lo = floor((v − offset)/interval)·interval
+    + offset — and count docs per bucket. With ``matches`` (+ ``key``),
+    counts are per query over the matched docs (the facet_counts join,
+    same broadcast/pushdown policy); with ``matches=None`` it is the
+    corpus-wide histogram, one scan + hash agg. Null values drop (ES
+    skips missing unless told otherwise). 100% JVM expressions."""
+    if interval <= 0:
+        raise ValueError("interval must be > 0")
+    bucket = (
+        F.floor((F.col(field).cast("double") - F.lit(float(offset)))
+                / F.lit(float(interval)))
+        * F.lit(float(interval))
+        + F.lit(float(offset))
+    ).alias("bucket_lo")
+    side = (
+        docs.select("doc_id", F.col(field))
+        .filter(F.col(field).isNotNull())
+        .select("doc_id", bucket)
+    )
+    if matches is None:
+        return side.groupBy("bucket_lo").agg(F.count("*").alias("n"))
+    if key is None:
+        raise ValueError("key is required when matches is given")
+    return facet_counts(
+        matches, side, "bucket_lo", key,
+        broadcast_matches=broadcast_matches, pushdown_hits=pushdown_hits,
+    )
+
+
+def facet_histogram_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    field: str,
+    interval: float,
+    matches: DataFrame | None = None,
+    key: str | None = None,
+    offset: float = 0.0,
+    broadcast_matches: bool | None = None,
+    pushdown_hits: bool = False,
+) -> DataFrame:
+    """facet_histogram over the index's own doc_meta sidecar (the
+    stored-fields projection — no query-time join to the source table)."""
+    from dts.index_build import load_meta
+
+    fields = load_meta(index_dir).get("store_fields") or []
+    if field not in fields:
+        raise ValueError(
+            f"field {field!r} not stored in this index (store_fields="
+            f"{fields}); rebuild with build_index(store_fields=[...])"
+        )
+    side = spark.read.parquet(f"{index_dir}/doc_meta")
+    return facet_histogram(
+        matches, side, field, interval, key=key, offset=offset,
+        broadcast_matches=broadcast_matches, pushdown_hits=pushdown_hits,
+    )

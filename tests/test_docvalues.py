@@ -306,3 +306,44 @@ def test_function_score_missing_and_validation(spark, dv_idx, corpus_pd, docs_sd
         function_score_topk(spark, dv_idx, q, "lang").collect()
     with _pt.raises(ValueError, match="modifier"):
         function_score_topk(spark, dv_idx, q, "n_chars", modifier="exp").collect()
+
+
+def test_facet_histogram(spark, dv_idx, corpus_pd, meta_pd):
+    import math
+
+    from dts.facet import facet_histogram_indexed
+    from dts.score_index import bm25_topk_indexed
+
+    nv = meta_pd["n_chars"].to_dict()
+    # corpus-wide histogram
+    glob = facet_histogram_indexed(spark, dv_idx, "n_chars", 50.0).toPandas()
+    want_glob = {}
+    for v in nv.values():
+        b = math.floor(v / 50.0) * 50.0
+        want_glob[b] = want_glob.get(b, 0) + 1
+    assert dict(zip(glob["bucket_lo"], glob["n"].astype(int))) == want_glob
+    # per-query over top-10 matches, with offset
+    text = _terms(corpus_pd, 2)
+    q = spark.createDataFrame([(0, text)], "query_id long, text string")
+    top = bm25_topk_indexed(spark, dv_idx, q, k=10)
+    hist = facet_histogram_indexed(
+        spark, dv_idx, "n_chars", 100.0, matches=top, key="query_id",
+        offset=25.0,
+    ).toPandas()
+    hits = [int(r["doc_id"]) for r in top.collect()]
+    want = {}
+    for d in hits:
+        b = math.floor((nv[d] - 25.0) / 100.0) * 100.0 + 25.0
+        want[b] = want.get(b, 0) + 1
+    got = {
+        r["bucket_lo"]: int(r["n"])
+        for _, r in hist.iterrows()
+        if r["query_id"] == 0
+    }
+    assert got == want
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="interval"):
+        facet_histogram_indexed(spark, dv_idx, "n_chars", 0).collect()
+    with _pt.raises(ValueError, match="key"):
+        facet_histogram_indexed(spark, dv_idx, "n_chars", 10.0, matches=top).collect()
