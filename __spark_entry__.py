@@ -654,6 +654,43 @@ def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MI_IDX_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _q_multi_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 MultiReader search (dts.multi_index): the corpus split
+    into two independently-built half-indexes (different bucket/block
+    geometry on purpose), searched as ONE logical index with blended
+    composite-reader stats (n = Σnᵢ, avgdl weighted, df summed). The
+    oracle is the PLAIN bm25_topk oracle — segmentation must be
+    invisible, bit-for-bit."""
+    from dts.multi_index import multi_index_topk
+
+    if sf_dir not in _MI_IDX_CACHE:
+        import tempfile
+
+        from dts.index_build import build_index
+        from dts.io import driver_documents_as_source
+
+        docs = driver_documents_as_source(spark, sf_dir)
+        d_a = tempfile.mkdtemp(prefix="dts_mi_a_")
+        d_b = tempfile.mkdtemp(prefix="dts_mi_b_")
+        build_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 0), d_a,
+            bucket_size=128,
+        )
+        build_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), d_b,
+            bucket_size=256,
+        )
+        _MI_IDX_CACHE[sf_dir] = (d_a, d_b)
+    d_a, d_b = _MI_IDX_CACHE[sf_dir]
+    q = spark.createDataFrame(
+        [(i, t) for i, t in PROBE_QUERIES], "query_id long, text string"
+    )
+    return _rerank6_top10(multi_index_topk(spark, [d_a, d_b], q, k=10**6))
+
+
 HIST_INTERVAL = 100.0
 
 
@@ -1565,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_topk": _q_synonym_topk,
         "function_score": _q_function_score,
         "facet_histogram": _q_facet_histogram,
+        "multi_index": _q_multi_index,
         "boolean_match": _q_boolean_match,
         "boolean_should": _q_boolean_should,
         "search_query": _q_search_query,
@@ -2211,6 +2249,9 @@ SELECT q_id, vec_id, cos6, rank::INTEGER AS rank FROM (
 ) WHERE rank <= 10
 """
     extra["bm25_topk_engine"] = base["bm25_topk"]
+    # MultiReader search over two half-indexes: segmentation must be
+    # invisible — the single-corpus bm25 oracle IS the spec.
+    extra["multi_index"] = base["bm25_topk"]
     # search_after page 2 = rows 11..20 of the same full ordering, ranks
     # restarting at 1 (Lucene returns fresh TopDocs per page).
     extra["search_after"] = _BM25_SQL_CTE + """
