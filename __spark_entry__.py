@@ -691,6 +691,29 @@ def _q_multi_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank6_top10(multi_index_topk(spark, [d_a, d_b], q, k=10**6))
 
 
+RESCORE_QS = [(0, "fast join"), (1, "table scan")]
+RESCORE_W, RESCORE_K, RESCORE_QW, RESCORE_RW = 30, 10, 1.0, 2.0
+
+
+def _q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 rescore window (dts.rescore — ES rescore with a
+    match_phrase rescorer): top-30 primary BM25 candidates re-sorted by
+    primary + 2·phrase_score (phrase-frequency BM25 of the whole query
+    text, dts.oracle.phrase_bm25_score spec). The expensive signal runs
+    on the bounded window only. Oracle: the same two-phase ranking in
+    SQL."""
+    from dts.rescore import rescore_topk
+
+    q = spark.createDataFrame(RESCORE_QS, "query_id long, text string")
+    return _rerank6_top10(
+        rescore_topk(
+            spark, _pos_index(spark, sf_dir), q,
+            k=RESCORE_K, window=RESCORE_W,
+            query_weight=RESCORE_QW, rescore_weight=RESCORE_RW,
+        )
+    )
+
+
 HIST_INTERVAL = 100.0
 
 
@@ -1603,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score": _q_function_score,
         "facet_histogram": _q_facet_histogram,
         "multi_index": _q_multi_index,
+        "rescore": _q_rescore,
         "boolean_match": _q_boolean_match,
         "boolean_should": _q_boolean_should,
         "search_query": _q_search_query,
@@ -2373,6 +2397,56 @@ SELECT query_id, doc_id, score6, rank::INTEGER AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
   FROM total
 ) WHERE rank <= 10
+"""
+    # Rescore window: top-RESCORE_W primary BM25 candidates re-sorted by
+    # qw·primary + rw·phrase_score (phrase = the whole query text).
+    extra["rescore"] = f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, text) AS (VALUES {", ".join(f"({i}, '{s}')" for i, s in RESCORE_QS)}),
+qterms AS (SELECT query_id::BIGINT AS query_id, unnest(string_split(text, ' ')) AS term FROM q),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * ({K1} + 1.0)
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))) AS s
+  FROM qterms JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  GROUP BY 1, 2
+),
+win AS (
+  SELECT query_id, doc_id, s FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY round(s, 6) DESC, doc_id ASC
+    ) AS r FROM scored
+  ) WHERE r <= {RESCORE_W}
+),
+pc AS ({_pc_select(*RESCORE_QS[0])}
+UNION ALL {_pc_select(*RESCORE_QS[1])}),
+pcpos AS (SELECT * FROM pc WHERE cnt > 0),
+pdf AS (SELECT query_id, count(*)::BIGINT AS df FROM pcpos GROUP BY 1),
+ps AS (
+  SELECT p.query_id, p.doc_id,
+         ln(1 + (stats.n_docs - pdf.df + 0.5) / (pdf.df + 0.5))
+         * p.cnt * ({K1} + 1.0)
+         / (p.cnt + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS pscore
+  FROM pcpos p JOIN pdf USING (query_id) JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+total AS (
+  SELECT w.query_id, w.doc_id,
+         round({RESCORE_QW} * w.s + {RESCORE_RW} * coalesce(ps.pscore, 0.0), 6) AS s6
+  FROM win w LEFT JOIN ps ON ps.query_id = w.query_id AND ps.doc_id = w.doc_id
+)
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, doc_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY s6 DESC, doc_id ASC
+  ) AS rank FROM total
+) WHERE rank <= {RESCORE_K}
 """
     # Unified grammar over the same two-field index (round 5): the scored
     # CTEs reuse _mf_cte with the parser-derived routing; eligibility =

@@ -74,3 +74,74 @@ def test_multi_index_doc_bases(spark, halves, queries_pd):
     }
     with pytest.raises(ValueError, match="doc_bases"):
         multi_index_topk(spark, [d_a, d_b], q, doc_bases=[0]).collect()
+
+
+# --- rescore window (dts.rescore) ---------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pos_idx(spark, docs_sdf, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("rs_idx"))
+    build_index(spark, docs_sdf, d, bucket_size=64, block_size=16, positions=True)
+    return d
+
+
+def _rescore_replay(oracle, corpus_pd, text, k, window, qw, rw, mode):
+    from dts.oracle import phrase_bm25_score, phrase_count
+    from dts.tokenizer import tokenize_text
+
+    primary = oracle.score_query(text, topk=window)  # (rank, doc_id, score)
+    terms = tokenize_text(text)
+    texts = dict(zip(corpus_pd["doc_id"].astype(int), corpus_pd["content"]))
+    cnts = {
+        d: phrase_count(texts[d], terms)
+        for _, d, _ in primary
+    }
+    df = sum(
+        1 for t in texts.values() if phrase_count(t, terms) > 0
+    )
+    out = []
+    for _, d, s in primary:
+        ps = (
+            phrase_bm25_score(oracle.n_docs, oracle.avgdl, df, cnts[d], oracle.doc_len[d])
+            if cnts[d] > 0
+            else None
+        )
+        if mode == "total":
+            c = qw * s + rw * (ps or 0.0)
+        else:
+            c = s * (rw * ps if ps is not None else 1.0)
+        out.append((d, c))
+    out.sort(key=lambda x: (-round(x[1], 9), x[0]))
+    return out[:k]
+
+
+def test_rescore_vs_replay(spark, pos_idx, corpus_pd, queries_pd):
+    from dts.oracle import OracleIndex
+    from dts.rescore import rescore_topk
+    from dts.tokenizer import tokenize_text
+
+    oracle = OracleIndex(
+        list(zip(corpus_pd["doc_id"].astype(int), corpus_pd["content"]))
+    )
+    t = tokenize_text(corpus_pd["content"].iloc[0])
+    texts = [f"{t[0]} {t[1]}", f"{t[2]} {t[3]}"]
+    q = spark.createDataFrame(
+        list(enumerate(texts)), "query_id long, text string"
+    )
+    for mode, qw, rw in [("total", 1.0, 2.0), ("multiply", 1.0, 0.5)]:
+        got = (
+            rescore_topk(
+                spark, pos_idx, q, k=8, window=30,
+                query_weight=qw, rescore_weight=rw, score_mode=mode,
+            )
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+        )
+        for qid, text in enumerate(texts):
+            want = _rescore_replay(oracle, corpus_pd, text, 8, 30, qw, rw, mode)
+            g = got[got["query_id"] == qid]
+            assert list(g["doc_id"].astype(int)) == [d for d, _ in want], (mode, qid)
+            assert np.allclose(g["score"], [s for _, s in want], rtol=1e-9), (mode, qid)
+    with pytest.raises(ValueError, match="window"):
+        rescore_topk(spark, pos_idx, q, k=20, window=10).collect()
