@@ -22,6 +22,9 @@ Prints ONE JSON line: {"metric", "value" (total sec), "unit": "sec",
   phrase_scored8   same batch, Lucene PhraseQuery-scored phrases
   mf_build         2-field multifield index build (text + source)
   search_fields16  16 field-scoped query strings (fused one-pass kernel)
+  span_near8       8 ordered span-near queries (total-span budget)
+  synonym_batch8   8 queries with blended SynonymQuery clauses
+  rescore8         8-query phrase-rescored window (top-50 → top-10)
   delete_compact   tombstone 1% of docs + compaction re-encode
 
 The N-vs-4N scaling evidence lives in scripts/scaling_bench.py → BENCH/.
@@ -261,6 +264,47 @@ def main() -> None:
         "search_fields16",
         lambda: search_fields(
             spark, mf_dir, mf_qs, k=10, default_field="text"
+        ).count(),
+    )
+
+    # Round-5 late stages: span queries, synonym blends, rescore window.
+    from dts.rescore import rescore_topk
+    from dts.spans import span_near_counts
+    from dts.synonym import bm25_topk_synonyms
+
+    span_qs = spark.createDataFrame(
+        [
+            (i, f"{vocab[(i * 7) % len(vocab)]} {vocab[(i * 7 + 1) % len(vocab)]}", i % 4)
+            for i in range(8)
+        ],
+        "sq_id long, text string, slop int",
+    )
+    stage(
+        "span_near8",
+        lambda: span_near_counts(spark, pos_idx_dir, span_qs).count(),
+    )
+    syn_map = {vocab[i]: [vocab[i + 1]] for i in range(0, 16, 2)}
+    syn_qs = spark.createDataFrame(
+        [
+            (i, f"{vocab[(i * 2) % 16]} {vocab[(i * 19 + 3) % len(vocab)]}")
+            for i in range(8)
+        ],
+        "query_id long, text string",
+    )
+    stage(
+        "synonym_batch8",
+        lambda: bm25_topk_synonyms(
+            spark, idx_dir, syn_qs, syn_map, k=10
+        ).count(),
+    )
+    rs_qs = spark.createDataFrame(
+        [(i, phrases[i % len(phrases)][1]) for i in range(8)],
+        "query_id long, text string",
+    )
+    stage(
+        "rescore8",
+        lambda: rescore_topk(
+            spark, pos_idx_dir, rs_qs, k=10, window=50
         ).count(),
     )
 
