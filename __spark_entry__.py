@@ -691,6 +691,34 @@ def _q_multi_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank6_top10(multi_index_topk(spark, [d_a, d_b], q, k=10**6))
 
 
+def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 score explanation (dts.explain — Lucene explain()): for
+    each probe query's top-3 docs, the per-clause BM25 breakdown rows
+    (term, tf, dl, df, contribution) decoded from ONLY the target docs'
+    bucket slices. Oracle: the same factors recomputed in SQL over the
+    rank ≤ 3 slice."""
+    from dts.explain import explain_scores
+    from dts.score_index import bm25_topk_indexed
+
+    idx_dir = _pos_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(i, t) for i, t in PROBE_QUERIES], "query_id long, text string"
+    )
+    top3 = (
+        _rerank6_top10(bm25_topk_indexed(spark, idx_dir, q, k=10**6))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    )
+    doc_ids: dict[int, list[int]] = {}
+    for r in top3:
+        doc_ids.setdefault(int(r["query_id"]), []).append(int(r["doc_id"]))
+    ex = explain_scores(spark, idx_dir, q, doc_ids)
+    return ex.select(
+        "query_id", "doc_id", "clause", "term", "tf", "dl", "df",
+        F.round("contribution", 6).alias("contrib6"),
+    )
+
+
 RESCORE_QS = [(0, "fast join"), (1, "table scan")]
 RESCORE_W, RESCORE_K, RESCORE_QW, RESCORE_RW = 30, 10, 1.0, 2.0
 
@@ -1627,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_histogram": _q_facet_histogram,
         "multi_index": _q_multi_index,
         "rescore": _q_rescore,
+        "explain": _q_explain,
         "boolean_match": _q_boolean_match,
         "boolean_should": _q_boolean_should,
         "search_query": _q_search_query,
@@ -2397,6 +2426,48 @@ SELECT query_id, doc_id, score6, rank::INTEGER AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
   FROM total
 ) WHERE rank <= 10
+"""
+    # Score explanation: per-clause factors for each query's top-3 docs.
+    extra["explain"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_D_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_D_TOKS})::BIGINT AS dl FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, text) AS (VALUES {VALUES_QUERIES}),
+qsplit AS (SELECT query_id::BIGINT AS query_id, string_split(text, ' ') AS toks_q FROM q),
+qn AS (SELECT query_id, toks_q, unnest(range(1, len(toks_q) + 1)) AS j FROM qsplit),
+qterms AS (SELECT query_id, (j - 1)::INTEGER AS clause, toks_q[j] AS term FROM qn),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         round(sum(
+           ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ), 6) AS score6
+  FROM qterms JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  GROUP BY 1, 2
+),
+top3 AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC
+    ) AS r FROM scored
+  ) WHERE r <= 3
+)
+SELECT qt.query_id, t3.doc_id, qt.clause, qt.term, tf.tf, dl.dl, dfreq.df,
+       round(
+         ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * tf.tf * ({K1} + 1.0)
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)), 6
+       ) AS contrib6
+FROM top3 t3
+JOIN qterms qt USING (query_id)
+JOIN tf ON tf.doc_id = t3.doc_id AND tf.term = qt.term
+JOIN dfreq ON dfreq.term = qt.term
+JOIN dl ON dl.doc_id = t3.doc_id
+CROSS JOIN stats
 """
     # Rescore window: top-RESCORE_W primary BM25 candidates re-sorted by
     # qw·primary + rw·phrase_score (phrase = the whole query text).
