@@ -239,6 +239,37 @@ def cmd_count(args) -> None:
     print(f"Number of matches for pattern <{args.text}>: {n}")
 
 
+def cmd_complete(args) -> None:
+    """Autocomplete: top-n dictionary completions per prefix (cf DESC)."""
+    from dts.suggest import complete_prefix
+
+    spark = get_spark("dts-complete")
+    rows = complete_prefix(
+        spark, args.index, args.prefix.split(","), n=args.n
+    ).collect()
+    for r in rows:
+        print(f"{r['input']}\t{r['suggestion']}\t{r['cf']}\t{r['rank']}")
+
+
+def cmd_explain(args) -> None:
+    """Lucene explain(): per-clause BM25 factors for one (query, doc)."""
+    from dts.explain import explain_scores
+
+    spark = get_spark("dts-explain")
+    q = spark.createDataFrame([(0, args.text)], "query_id long, text string")
+    rows = explain_scores(
+        spark, args.index, q, {0: [args.doc_id]}
+    ).orderBy("clause").collect()
+    total = 0.0
+    for r in rows:
+        total += r["contribution"]
+        print(
+            f"clause {r['clause']} term={r['term']!r} tf={r['tf']} "
+            f"dl={r['dl']} df={r['df']} -> {r['contribution']:.6f}"
+        )
+    print(f"total score for doc {args.doc_id}: {total:.6f}")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="dts")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -325,6 +356,18 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("--doc-ids", default=None, help="comma-separated ids")
     g.add_argument("--ids-parquet", default=None)
     g.set_defaults(fn=cmd_delete)
+
+    g = sub.add_parser("complete")
+    g.add_argument("--index", required=True)
+    g.add_argument("--prefix", required=True, help="comma-separated prefixes")
+    g.add_argument("--n", type=int, default=5)
+    g.set_defaults(fn=cmd_complete)
+
+    g = sub.add_parser("explain")
+    g.add_argument("--index", required=True)
+    g.add_argument("--text", required=True)
+    g.add_argument("--doc-id", type=int, required=True, dest="doc_id")
+    g.set_defaults(fn=cmd_explain)
 
     g = sub.add_parser("count")
     g.add_argument("--index", required=True)

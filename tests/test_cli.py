@@ -150,3 +150,36 @@ def test_cli_search_multifield(spark, corpus_pd, tmp_path, capsys):
           "--default-field", "content"])
     lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert lines and all(r["rank"] == i + 1 for i, r in enumerate(lines))
+
+
+def test_cli_complete_and_explain(cli_dirs, corpus_pd, capsys):
+    from dts.oracle import OracleIndex
+    from dts.tokenizer import tokenize_text
+
+    import os
+
+    docs_dir, idx_dir = cli_dirs
+    if not os.path.exists(f"{idx_dir}/meta.json"):
+        main(["build", "--docs", docs_dir, "--out", idx_dir,
+              "--bucket-size", "64", "--positions"])
+        capsys.readouterr()
+    toks = tokenize_text(corpus_pd["content"].iloc[0])
+    main(["complete", "--index", idx_dir, "--prefix", toks[0][:2], "--n", "3"])
+    lines = [
+        line for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith(toks[0][:2] + "\t")
+    ]
+    assert 1 <= len(lines) <= 3
+    assert all(line.split("\t")[1].startswith(toks[0][:2]) for line in lines)
+
+    oracle = OracleIndex(
+        list(zip(corpus_pd["doc_id"].astype(int), corpus_pd["content"]))
+    )
+    text = " ".join(toks[:2])
+    doc = oracle.score_query(text, topk=1)[0][1]
+    main(["explain", "--index", idx_dir, "--text", text,
+          "--doc-id", str(doc)])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[-1].startswith(f"total score for doc {doc}: ")
+    want = oracle.score_query(text, topk=1)[0][2]
+    assert abs(float(out[-1].rsplit(": ", 1)[1]) - want) < 1e-5
