@@ -318,6 +318,75 @@ def phrase_match_counts(
     return mask_deleted_rows(out, spark, index_dir, meta)
 
 
+def _multi_matcher_fn(block_size: int, codec: str):
+    """Exact-adjacency matcher where a SLOT may hold ALTERNATIVE terms
+    (Lucene MultiPhraseQuery): slot i's occurrence keys are the UNION of
+    its terms' position keys — still unique (a position holds exactly
+    one token) and sorted after one np.sort — then the same m-way
+    start-key intersection as the single-term matcher. Lead terms decode
+    ONCE per group regardless of how many alternatives the tail slot
+    carries (the reason this exists: the phrase-per-expansion rewrite
+    re-decoded the lead postings once per expansion)."""
+
+    def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "pp_id": np.zeros(0, dtype=np.int64),
+                "doc_id": np.zeros(0, dtype=np.int64),
+                "n_matches": np.zeros(0, dtype=np.int64),
+            }
+        )
+        pp_id = int(pdf["pp_id"].iloc[0])
+        m = int(pdf["m"].iloc[0])
+        if pdf["i"].nunique() != m:
+            return empty
+        slot_keys: list[np.ndarray] = []
+        pos_max = 0
+        doc_max = 0
+        decs = []
+        for i in range(m):
+            rows_i = pdf[pdf["i"] == i]
+            per_term = []
+            for _, g in rows_i.groupby("term", sort=False):
+                docs, flat, bounds, _ = _concat_runs(g, block_size, codec)
+                per_term.append((docs, flat, bounds))
+                if len(flat):
+                    pos_max = max(pos_max, int(flat.max()))
+                if len(docs):
+                    doc_max = max(doc_max, int(docs.max()))
+            decs.append(per_term)
+        P = pos_max + 2
+        if doc_max and P > (2**63 - 1) // (doc_max + 1):
+            raise OverflowError("doc_id * position key space exceeds int64")
+        keys = None
+        for i in range(m):
+            parts = []
+            for docs, flat, bounds in decs[i]:
+                docs_rep = np.repeat(docs, np.diff(bounds))
+                ok = flat >= i
+                parts.append(docs_rep[ok] * P + (flat[ok] - i))
+            if not parts:
+                return empty
+            k = parts[0] if len(parts) == 1 else np.sort(np.concatenate(parts))
+            keys = (
+                k
+                if keys is None
+                else np.intersect1d(keys, k, assume_unique=True)
+            )
+            if not len(keys):
+                return empty
+        docs_out, counts = np.unique(keys // P, return_counts=True)
+        return pd.DataFrame(
+            {
+                "pp_id": np.full(len(docs_out), pp_id, dtype=np.int64),
+                "doc_id": docs_out.astype(np.int64),
+                "n_matches": counts.astype(np.int64),
+            }
+        )
+
+    return match_group
+
+
 def phrase_prefix_counts(
     spark: SparkSession,
     index_dir: str,
@@ -336,13 +405,13 @@ def phrase_prefix_counts(
     truncation, which also bounds the clause width by construction (no
     TooManyClauses path needed here).
 
-    Exact composition, one positional job: a position holds exactly one
-    token, so for a fixed chain start AT MOST ONE expansion matches the
-    final slot — per-expansion phrase counts are disjoint and their SUM
-    is the multi-phrase count. Each expansion becomes one phrase row in
-    a single phrase_match_counts batch (the same one-job fusion the
-    parser's phrase constraints use), then a hash-agg sums per (query,
-    doc). A query whose prefix matches nothing returns no rows."""
+    One positional job with a true MULTI-SLOT matcher (Lucene
+    MultiPhraseQuery): the final slot's occurrence keys are the UNION of
+    the expansions' position keys, so the LEAD words' postings decode
+    once per (query, bucket) group — NOT once per expansion (the naive
+    phrase-per-expansion rewrite measured 30 s for 8 queries at 480k
+    docs precisely because head-term lead postings re-decoded ~50×).
+    A query whose prefix matches nothing returns no rows."""
     from dts.wildcard import _expand
 
     if max_expansions < 1:
@@ -386,20 +455,34 @@ def phrase_prefix_counts(
         ]
     if not exp_pairs:
         return spark.createDataFrame([], PHRASE_SCHEMA.replace("phrase_id", "pp_id"))
-    ph_rows, sid_map = [], []
-    for sid, (pp_id, term) in enumerate(exp_pairs):
-        ph_rows.append((sid, " ".join(lead_map[pp_id] + [term])))
-        sid_map.append((sid, pp_id))
-    phrases = spark.createDataFrame(ph_rows, "phrase_id long, text string")
-    back = spark.createDataFrame(sid_map, "phrase_id long, pp_id long")
-    counts = phrase_match_counts(
-        spark, index_dir, phrases, max_isin_terms=max_isin_terms
+    meta = load_index(spark, index_dir)["meta"]
+    if not meta.get("positions"):
+        raise ValueError(
+            "phrase_prefix queries need a positional index: "
+            "build_index(..., positions=True)"
+        )
+    exp_by_q: dict[int, list[str]] = {}
+    for q, t in exp_pairs:
+        exp_by_q.setdefault(q, []).append(t)
+    qt_rows = []
+    for pp_id, exps in exp_by_q.items():
+        lead = lead_map[pp_id]
+        m = len(lead) + 1
+        for i, t in enumerate(lead):
+            qt_rows.append((pp_id, m, i, t))
+        for t in exps:
+            qt_rows.append((pp_id, m, m - 1, t))
+    qt = spark.createDataFrame(qt_rows, "pp_id long, m int, i int, term string")
+    terms = sorted({t for *_, t in qt_rows})
+    idx = load_index(spark, index_dir)
+    postings = term_filter(idx["postings"], terms, max_isin_terms).join(
+        F.broadcast(qt), "term"
     )
-    return (
-        counts.join(F.broadcast(back), "phrase_id")
-        .groupBy("pp_id", "doc_id")
-        .agg(F.sum("n_matches").alias("n_matches"))
+    out = postings.groupBy("pp_id", "bucket").applyInPandas(
+        _multi_matcher_fn(meta["block_size"], meta.get("codec", "varint")),
+        "pp_id long, doc_id long, n_matches long",
     )
+    return mask_deleted_rows(out, spark, index_dir, meta)
 
 
 def phrase_syn_rows(
