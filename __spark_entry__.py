@@ -719,6 +719,28 @@ def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TERM_RANGES = [
+    (0, "fa", "jo", True, True),
+    (1, "fa", "jo", False, False),
+    (2, None, "ba", True, False),
+    (3, "wi", None, True, True),
+]
+
+
+def _q_term_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 TermRangeQuery (dts.wildcard.term_range_docs): docs with
+    ≥1 dictionary term in a [lo TO hi] range — constant-score rewrite
+    over range-pruned dictionary slices + the shared decode+union tail.
+    Oracle: distinct (range, doc) over the re-tokenized corpus."""
+    from dts.wildcard import term_range_docs
+
+    q = spark.createDataFrame(
+        TERM_RANGES,
+        "wq_id long, lo string, hi string, lo_incl boolean, hi_incl boolean",
+    )
+    return term_range_docs(spark, _pos_index(spark, sf_dir), q)
+
+
 RESCORE_QS = [(0, "fast join"), (1, "table scan")]
 RESCORE_W, RESCORE_K, RESCORE_QW, RESCORE_RW = 30, 10, 1.0, 2.0
 
@@ -1656,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_index": _q_multi_index,
         "rescore": _q_rescore,
         "explain": _q_explain,
+        "term_range": _q_term_range,
         "boolean_match": _q_boolean_match,
         "boolean_should": _q_boolean_should,
         "search_query": _q_search_query,
@@ -2426,6 +2449,24 @@ SELECT query_id, doc_id, score6, rank::INTEGER AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
   FROM total
 ) WHERE rank <= 10
+"""
+    # TermRangeQuery: docs with >=1 term in the dictionary range.
+    def _tr_lit(v):
+        return "NULL" if v is None else "'" + v + "'"
+
+    _tr_vals = ", ".join(
+        "({}, {}, {}, {}, {})".format(i, _tr_lit(lo), _tr_lit(hi), li, hii)
+        for i, lo, hi, li, hii in TERM_RANGES
+    )
+    extra["term_range"] = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({_D_TOKS}) AS term FROM documents
+),
+r(wq_id, lo, hi, li, hii) AS (VALUES {_tr_vals})
+SELECT DISTINCT r.wq_id::BIGINT AS wq_id, tok.doc_id
+FROM tok JOIN r
+  ON (r.lo IS NULL OR (CASE WHEN r.li THEN tok.term >= r.lo ELSE tok.term > r.lo END))
+ AND (r.hi IS NULL OR (CASE WHEN r.hii THEN tok.term <= r.hi ELSE tok.term < r.hi END))
 """
     # Score explanation: per-clause factors for each query's top-3 docs.
     extra["explain"] = f"""

@@ -668,3 +668,54 @@ def bm25_topk_wildcard(
         spark, index_dir, expanded, terms, patterns.count(), k, strategy,
         distribute, max_isin_terms, max_clauses, on_too_many,
     )
+
+
+def term_range_docs(
+    spark: SparkSession,
+    index_dir: str,
+    ranges: DataFrame,
+    max_isin_terms: int = MAX_ISIN_TERMS,
+) -> DataFrame:
+    """(wq_id, doc_id): documents containing ≥1 dictionary term in the
+    given term range — Lucene TermRangeQuery under its constant-score
+    rewrite (the MultiTermQuery default). ``ranges`` needs (wq_id, lo,
+    hi, lo_incl, hi_incl); a NULL endpoint is open (Lucene ``[* TO x]``).
+
+    Each range is one leg over the term-sorted dictionary: the range
+    predicate reaches the parquet scan (row-group min/max pruning), so a
+    10⁶-term dictionary reads only the matching slice; the shared
+    decode+union tail then resolves docs per (query, bucket-shard)
+    group. Expansion width needs no clause budget — constant-score cost
+    is proportional to matched postings, exactly why Lucene rewrites
+    wide multi-term queries this way."""
+    rows = ranges.select("wq_id", "lo", "hi", "lo_incl", "hi_incl").collect()
+    if not rows:
+        return spark.createDataFrame([], "wq_id long, doc_id long")
+    idx = load_index(spark, index_dir)
+    vocab = idx["term_stats"].select("term")
+    legs = []
+    for r in rows:
+        cond = F.lit(True)
+        if r["lo"] is not None:
+            cond = cond & (
+                F.col("term") >= r["lo"]
+                if r["lo_incl"]
+                else F.col("term") > r["lo"]
+            )
+        if r["hi"] is not None:
+            cond = cond & (
+                F.col("term") <= r["hi"]
+                if r["hi_incl"]
+                else F.col("term") < r["hi"]
+            )
+        legs.append(
+            vocab.filter(cond).select(
+                F.lit(int(r["wq_id"])).cast("long").alias("wq_id"), "term"
+            )
+        )
+    expanded = legs[0]
+    for leg in legs[1:]:
+        expanded = expanded.unionByName(leg)
+    return _match_docs_from_expansion(
+        spark, index_dir, expanded, None, max_isin_terms
+    )

@@ -306,3 +306,37 @@ def test_parser_wildcard_budget_raises(spark, wc_index):
 
     with pytest.raises(TooManyClauses, match="max_clauses"):
         search(spark, wc_index, "def d*", max_clauses=1).collect()
+
+
+def test_term_range_docs_vs_replay(spark, wc_index, corpus_pd):
+    from dts.tokenizer import tokenize_text
+    from dts.wildcard import term_range_docs
+
+    doc_toks = {
+        int(r["doc_id"]): set(tokenize_text(r["content"]))
+        for _, r in corpus_pd.iterrows()
+    }
+    vocab = sorted({t for s in doc_toks.values() for t in s})
+    lo, hi = vocab[len(vocab) // 4], vocab[len(vocab) // 2]
+    qs = [
+        (0, lo, hi, True, True),
+        (1, lo, hi, False, False),
+        (2, None, vocab[3], True, True),     # [* TO x]
+        (3, vocab[-2], None, False, True),   # {y TO *]
+        (4, "zzz", "zzzz", True, True),      # empty slice
+    ]
+    q = spark.createDataFrame(
+        qs, "wq_id long, lo string, hi string, lo_incl boolean, hi_incl boolean"
+    )
+    got = term_range_docs(spark, wc_index, q).toPandas()
+    for wq_id, lo_, hi_, li, hi_i in qs:
+        def _in(t):
+            if lo_ is not None and (t < lo_ if li else t <= lo_):
+                return False
+            if hi_ is not None and (t > hi_ if hi_i else t >= hi_):
+                return False
+            return True
+
+        want = {d for d, s in doc_toks.items() if any(_in(t) for t in s)}
+        g = set(got[got["wq_id"] == wq_id]["doc_id"].astype(int))
+        assert g == want, (wq_id, lo_, hi_)
