@@ -1549,6 +1549,25 @@ def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_DUP_SEED = "ivfdup"
+
+
+def _q_emb_ivf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 IVF-bucketed embedding near-dup pairs
+    (dts.dedup.embedding_dup_pairs_ivf): top-20 same-cell cosine pairs —
+    the Σ|cell|² scale path replacing the n² cross join; assignment is
+    the zero-shuffle map-side argmax whose spec the oracle recomputes
+    (md5-sampled centroids, round-6 half-away cosine, smallest-c_id
+    ties)."""
+    from dts.dedup import embedding_dup_pairs_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_dup_pairs_ivf(
+        emb, tau=-1.0, n_centroids=IVF_CENTROIDS, seed=IVF_DUP_SEED
+    )
+    return pairs.orderBy(F.col("cos6").desc(), "a", "b").limit(20)
+
+
 def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN with md5-derived hyperplanes (dts.similarity.md5_hyperplanes)
     — the plane matrix is a pure function of md5, so the DuckDB oracle
@@ -1721,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_topk": _q_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
+        "emb_ivf_pairs": _q_emb_ivf_pairs,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "emb_top_pairs": _q_emb_top_pairs,
         # generic relational coverage
@@ -1946,6 +1966,29 @@ s AS (
 SELECT q_id, vec_id, cos6, rank::INTEGER AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id ASC) AS rank FROM s
 ) WHERE rank <= 10
+""",
+        "emb_ivf_pairs": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS c_id, v AS c FROM e
+  ORDER BY md5('{IVF_DUP_SEED}' || vec_id::VARCHAR), vec_id LIMIT {IVF_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, v, c_id FROM (
+    SELECT e.vec_id, e.v, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.v, c.c) /
+                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.c, c.c))), 6) DESC,
+               c.c_id ASC) AS r
+    FROM e CROSS JOIN cents c) WHERE r = 1
+),
+s AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         round(list_dot_product(x.v, y.v) /
+               (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cos6
+  FROM assign x JOIN assign y ON x.c_id = y.c_id AND x.vec_id < y.vec_id
+)
+SELECT a, b, cos6 FROM s ORDER BY cos6 DESC, a, b LIMIT 20
 """,
         "emb_top_pairs": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

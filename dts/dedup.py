@@ -312,3 +312,56 @@ def embedding_dup_pairs(emb: DataFrame, tau: float = 0.95) -> DataFrame:
         )
         .filter(F.col("cos6") >= tau)
     )
+
+
+def embedding_dup_pairs_ivf(
+    emb: DataFrame,
+    tau: float = 0.95,
+    n_centroids: int = 16,
+    seed: str = "ivfdup",
+) -> DataFrame:
+    """(a, b, cos6): near-duplicate embedding pairs with cosine ≥ tau,
+    restricted to pairs whose vectors land in the SAME IVF cell — the
+    scale path for embedding dedup. `embedding_dup_pairs` is an n²
+    cross join; this is Σ|cell|² with ~√n-sized cells when n_centroids ≈
+    √n, i.e. ~n^1.5 comparisons, and the join shuffles on the cell id
+    the assignment already computed map-side (dts.similarity's
+    zero-shuffle pandas-UDF argmax, deterministic md5-sampled centroids,
+    round-6 half-away cosine + smallest-c_id tie-break — the same spec
+    the DuckDB oracle recomputes exactly).
+
+    Approximation is the standard IVF recall trade: a near-dup pair
+    split across two cells is missed (true dups have cosine ≈ 1 and
+    near-identical vectors, which land together unless they straddle a
+    cell boundary). Skewed cells: bound with
+    dts.similarity.split_hot_cells before calling if the embedding
+    distribution is clustered."""
+    from dts.similarity import _as_double, _ivf_centroids, ivf_assign_udf
+
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    cents = _ivf_centroids(e, n_centroids, seed).collect()
+    cent_ids = np.asarray([int(r["c_id"]) for r in cents], dtype=np.int64)
+    cent_mat = np.asarray([r["c"] for r in cents], dtype=np.float64)
+    assign = ivf_assign_udf(cent_ids, cent_mat)
+    a = e.withColumn("c_id", assign(F.col("v")))
+    dot = F.expr(
+        "aggregate(zip_with(x.v, y.v, (p, q) -> p * q), cast(0.0 as double), (acc, z) -> acc + z)"
+    )
+    norm = "sqrt(aggregate(transform({0}, p -> p * p), cast(0.0 as double), (acc, z) -> acc + z))"
+    return (
+        a.alias("x")
+        .join(
+            a.alias("y"),
+            (F.col("x.c_id") == F.col("y.c_id"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("a"),
+            F.col("y.vec_id").alias("b"),
+            F.round(
+                dot / (F.expr(norm.format("x.v")) * F.expr(norm.format("y.v"))),
+                6,
+            ).alias("cos6"),
+        )
+        .filter(F.col("cos6") >= tau)
+    )

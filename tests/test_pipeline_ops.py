@@ -537,3 +537,52 @@ def test_ivf_split_hot_cells_bounds_and_exactness(spark):
     ).collect()
     key = lambda rows: sorted((r.q_id, r.rank, r.vec_id, r.cos6) for r in rows)  # noqa: E731
     assert key(full) == key(exact)
+
+
+def test_embedding_dup_pairs_ivf_vs_replay(spark):
+    """IVF-bucketed near-dup pairs == python replay of the assignment
+    spec + within-cell exact cosine; planted duplicates are found."""
+    import hashlib
+
+    from dts.dedup import embedding_dup_pairs_ivf
+    from dts.similarity import _round6_away
+
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    vecs[7] = vecs[3] * 1.001  # planted near-dup
+    vecs[25] = vecs[20]        # planted exact dup
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    tau, ncen, seed = 0.5, 4, "ivfdup"
+    got = {
+        (int(r["a"]), int(r["b"])): float(r["cos6"])
+        for r in embedding_dup_pairs_ivf(
+            emb, tau=tau, n_centroids=ncen, seed=seed
+        ).collect()
+    }
+    # replay: centroids = ncen smallest md5(seed||id); assignment =
+    # round6-away cosine argmax with smallest-c_id tie-break
+    v = vecs.astype(np.float64)
+    order = sorted(
+        range(40), key=lambda i: (hashlib.md5(f"{seed}{i}".encode()).hexdigest(), i)
+    )
+    cids = sorted(order[:ncen])
+    cmat = v[cids]
+    ncm = np.sqrt((cmat * cmat).sum(axis=1))
+    nv = np.sqrt((v * v).sum(axis=1))
+    cos = _round6_away((v @ cmat.T) / (nv[:, None] * ncm[None, :]))
+    assign = np.array(cids)[cos.argmax(axis=1)]
+    want = {}
+    for i in range(40):
+        for j in range(i + 1, 40):
+            if assign[i] != assign[j]:
+                continue
+            c = round(float(v[i] @ v[j] / (nv[i] * nv[j])), 6)
+            if c >= tau:
+                want[(i, j)] = c
+    assert set(got) == set(want)
+    for k_ in got:
+        assert abs(got[k_] - want[k_]) < 2e-6, k_
+    assert (3, 7) in got and (20, 25) in got  # planted dups survive
