@@ -719,6 +719,26 @@ def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PERC_QUERIES = [
+    (0, "batch stream"),
+    (1, "+hash -slow"),
+    (2, '"table scan"'),
+    (3, '+merge "fast join"~3'),
+    (4, "zzznope"),
+]
+
+
+def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 percolation (dts.percolate — ES percolator): registered
+    query strings broadcast against the documents in ONE shuffle-free
+    mapInPandas pass, trigger-term pruning bounding per-doc work to the
+    queries that could match. Oracle: per-query boolean/phrase legs over
+    the token arrays."""
+    from dts.percolate import percolate
+
+    return percolate(_docs(spark, sf_dir), PERC_QUERIES, text_col="text")
+
+
 TERM_RANGES = [
     (0, "fa", "jo", True, True),
     (1, "fa", "jo", False, False),
@@ -1698,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore": _q_rescore,
         "explain": _q_explain,
         "term_range": _q_term_range,
+        "percolate": _q_percolate,
         "boolean_match": _q_boolean_match,
         "boolean_should": _q_boolean_should,
         "search_query": _q_search_query,
@@ -2492,6 +2513,28 @@ SELECT query_id, doc_id, score6, rank::INTEGER AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
   FROM total
 ) WHERE rank <= 10
+"""
+    # Percolation: per-registered-query boolean/phrase legs over toks.
+    extra["percolate"] = f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+u AS (
+  SELECT doc_id, 0::BIGINT AS query_id FROM t
+  WHERE len(list_intersect(toks, ['batch', 'stream'])) > 0
+  UNION ALL
+  SELECT doc_id, 1::BIGINT FROM t
+  WHERE list_contains(toks, 'hash') AND NOT list_contains(toks, 'slow')
+  UNION ALL
+  SELECT doc_id, 2::BIGINT FROM t
+  WHERE len(list_filter(range(1, len(toks)),
+        j -> toks[j] = 'table' AND toks[j + 1] = 'scan')) > 0
+  UNION ALL
+  SELECT doc_id, 3::BIGINT FROM t
+  WHERE list_contains(toks, 'merge') AND
+        len(list_filter(range(1, len(toks)), p -> toks[p] = 'fast' AND
+            len(list_filter(range(p + 1, least(p + 3, len(toks)) + 1),
+                q -> toks[q] = 'join')) > 0)) > 0
+)
+SELECT doc_id, query_id FROM u
 """
     # TermRangeQuery: docs with >=1 term in the dictionary range.
     def _tr_lit(v):
