@@ -77,3 +77,31 @@ def test_percolate_validation_and_negation(spark, docs_sdf):
     assert (
         percolate(docs_sdf, [(0, "-thing")], text_col="content").count() == 0
     )
+
+
+def test_percolate_streaming(spark, corpus_pd, tmp_path):
+    """percolate is a plain stateless transform: it runs unchanged under
+    readStream (mapInPandas is streaming-compatible) — the alerting
+    shape: new docs land, matched (doc, query) routes append."""
+    land, ck, out = (str(tmp_path / p) for p in ("l", "c", "o"))
+    toks = tokenize_text(corpus_pd["content"].iloc[0])
+    queries = [(0, f"+{toks[0]}"), (1, f'"{toks[1]} {toks[2]}"')]
+    docs = corpus_pd.head(50)[["doc_id", "content"]]
+    spark.createDataFrame(docs).coalesce(1).write.mode("append").parquet(land)
+    schema = spark.createDataFrame(docs).schema
+    stream = spark.readStream.schema(schema).parquet(land)
+    q = (
+        percolate(stream, queries, text_col="content")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (int(r["doc_id"]), int(r["query_id"]))
+        for r in spark.read.parquet(out).collect()
+    }
+    want = _replay(docs, queries)
+    assert got == want and len(got) > 0
