@@ -185,6 +185,21 @@ def main() -> None:
         lambda: bm25_topk_indexed(spark, dv_idx, pg_qs, k=100).count(),
     )
 
+    from dts.percolate import percolate
+
+    perc_qs = [
+        (0, f"{vocab[3]} {vocab[9]}"),
+        (1, f"+{vocab[5]} -{vocab[40]}"),
+        (2, f'"{bigrams[0]}"'),
+        (3, f'+{vocab[7]} "{bigrams[1]}"~3'),
+    ]
+    stage(
+        "percolate_480k_4q",
+        lambda: percolate(
+            corpus.select("doc_id", "content"), perc_qs, text_col="content"
+        ).count(),
+    )
+
     print(json.dumps(out))
     spark.stop()
 
