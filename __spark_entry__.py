@@ -1494,6 +1494,29 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_docs(spark, sf_dir), n=1, threshold=0.3)
 
 
+CONTAM_BENCH_IDS = (3, 17, 41)
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dts.dedup.contamination_pairs): corpus
+    docs sharing ≥2 distinct token 6-grams with an eval document. The
+    bench set is synthesized deterministically from the corpus itself —
+    the first 60 tokens of three fixed docs — so the leak is planted and
+    the oracle replays it exactly. One broadcast join + hash agg; the
+    corpus never shuffles."""
+    from dts.dedup import contamination_pairs
+
+    docs = _docs(spark, sf_dir)
+    bt = F.expr(
+        f"array_join(slice(regexp_extract_all(lower(coalesce(text, '')),"
+        f" '{TOK}', 0), 1, 60), ' ')"
+    )
+    bench = docs.filter(F.col("doc_id").isin(list(CONTAM_BENCH_IDS))).select(
+        F.col("doc_id").alias("bench_id"), bt.alias("text")
+    )
+    return contamination_pairs(docs, bench, n=6, min_shared=2)
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: jaccard pairs (unigram shingles, ≥0.5)
     composed with iterative min-label connected components (dts.cluster).
@@ -1754,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup": _q_exact_dup,
         "minhash_bands": _q_minhash_bands,
         "jaccard_pairs": _q_jaccard_pairs,
+        "contamination": _q_contamination,
         "token_stats": _q_token_stats,
         "quality": _q_quality,
         "lang_id": _q_lang_id,
@@ -1903,6 +1927,38 @@ pairs AS (
 SELECT a, b, round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jac6
 FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.doc_id
 WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 6) >= 0.3
+""",
+        "contamination": f"""
+WITH b AS (
+  SELECT doc_id AS bench_id,
+         array_to_string(list_slice({_D_TOKS}, 1, 60), ' ') AS btext
+  FROM documents WHERE doc_id IN (3, 17, 41)
+),
+btoks AS (
+  SELECT bench_id,
+         regexp_extract_all(lower(coalesce(btext, '')), '{TOK}') AS toks
+  FROM b
+),
+bsh AS (
+  SELECT bench_id, unnest(
+    CASE WHEN len(toks) < 6 THEN [array_to_string(toks, ' ')]
+    ELSE list_distinct(list_transform(range(0, len(toks) - 5),
+         i -> array_to_string(list_slice(toks, (i + 1)::INTEGER, (i + 6)::INTEGER), ' ')))
+    END) AS shingle
+  FROM btoks
+),
+dsh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len({_D_TOKS}) < 6 THEN [array_to_string({_D_TOKS}, ' ')]
+    ELSE list_distinct(list_transform(range(0, len({_D_TOKS}) - 5),
+         i -> array_to_string(list_slice({_D_TOKS}, (i + 1)::INTEGER, (i + 6)::INTEGER), ' ')))
+    END) AS shingle
+  FROM documents
+)
+SELECT dsh.doc_id, bsh.bench_id, count(*)::BIGINT AS n_shared
+FROM dsh JOIN bsh USING (shingle)
+GROUP BY 1, 2
+HAVING count(*) >= 2
 """,
         "token_stats": f"""
 SELECT doc_id,

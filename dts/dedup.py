@@ -365,3 +365,44 @@ def embedding_dup_pairs_ivf(
         )
         .filter(F.col("cos6") >= tau)
     )
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """(doc_id, bench_id, n_shared): corpus docs sharing ≥ ``min_shared``
+    DISTINCT token n-grams with a benchmark/eval document — the
+    decontamination primitive of a training-data pipeline (drop or flag
+    training docs that leak eval content; n=8 is the
+    common published contamination window, e.g. GPT-3 appendix C used
+    13-grams, open replications typically 8–13).
+
+    Scale shape: the benchmark side is CLIENT-sized by contract (an eval
+    set) and broadcasts; the corpus side shingles map-side with the same
+    100%-JVM n-gram exprs the dedup suite uses (array_distinct ⇒
+    counting shared DISTINCT shingles is a plain count), so the whole op
+    is one broadcast-join + hash agg over the corpus scan — no shuffle
+    of the corpus. Docs shorter than ``n`` tokens fall back to a single
+    whole-text shingle (shingle_col's documented behavior): they flag
+    only against equally short identical bench texts."""
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    d = docs.select(
+        "doc_id", F.explode(shingle_col(text_col, n)).alias("shingle")
+    )
+    b = bench.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(shingle_col(bench_text_col, n)).alias("shingle"),
+    )
+    return (
+        d.join(F.broadcast(b), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -586,3 +586,56 @@ def test_embedding_dup_pairs_ivf_vs_replay(spark):
     for k_ in got:
         assert abs(got[k_] - want[k_]) < 2e-6, k_
     assert (3, 7) in got and (20, 25) in got  # planted dups survive
+
+
+def test_contamination_pairs_vs_replay(spark, corpus_pd):
+    from dts.dedup import contamination_pairs
+
+    def toks_of(text):
+        return re.findall(r"[a-z0-9]+", (text or "").lower())
+
+    def shingles(text, n):
+        toks = toks_of(text)
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    docs = spark.createDataFrame(
+        corpus_pd.head(80).rename(columns={"content": "text"})[
+            ["doc_id", "text"]
+        ]
+    )
+    # bench: two leaked corpus excerpts + one clean text (source docs
+    # chosen long enough to carry >= min_shared n-grams)
+    longs = [
+        i for i in range(80)
+        if len(toks_of(corpus_pd["content"].iloc[i])) >= 40
+    ]
+    i0, i1 = longs[0], longs[1]
+    t0 = " ".join(toks_of(corpus_pd["content"].iloc[i0])[:20])
+    t1 = " ".join(toks_of(corpus_pd["content"].iloc[i1])[10:40])
+    bench_rows = [(0, t0), (1, t1), (2, "totally novel zzz words qqq")]
+    bench = spark.createDataFrame(bench_rows, "bench_id long, text string")
+    n, ms = 6, 2
+    got = {
+        (int(r["doc_id"]), int(r["bench_id"])): int(r["n_shared"])
+        for r in contamination_pairs(
+            docs, bench, n=n, min_shared=ms
+        ).collect()
+    }
+    want = {}
+    bsh = {bid: shingles(t, n) for bid, t in bench_rows}
+    for _, row in corpus_pd.head(80).iterrows():
+        dsh = shingles(row["content"], n)
+        for bid, bs in bsh.items():
+            k = len(dsh & bs)
+            if k >= ms:
+                want[(int(row["doc_id"]), bid)] = k
+    assert got == want
+    assert (int(corpus_pd["doc_id"].iloc[i0]), 0) in got
+    assert (int(corpus_pd["doc_id"].iloc[i1]), 1) in got  # planted leaks flag
+    assert not any(b == 2 for _, b in got)   # clean bench text stays clean
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="min_shared"):
+        contamination_pairs(docs, bench, min_shared=0).collect()
