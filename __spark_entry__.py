@@ -1494,6 +1494,41 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_docs(spark, sf_dir), n=1, threshold=0.3)
 
 
+def _q_sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms (dts.facet.significant_terms): terms
+    overrepresented in each boolean query's matched docs vs the corpus
+    background, JLH-scored, top-5 per query. Background answered by the
+    index's persisted term_stats (significant_terms_indexed) — the
+    corpus is only tokenized for the hit-sized foreground."""
+    from dts.boolquery import boolean_match_docs
+    from dts.facet import significant_terms_indexed
+
+    bq = spark.createDataFrame(
+        BOOL_QUERIES, "bq_id long, must string, must_not string"
+    )
+    idx = _pos_index(spark, sf_dir)
+    matches = boolean_match_docs(spark, idx, bq)
+    return significant_terms_indexed(
+        spark, idx, matches, _docs(spark, sf_dir), key="bq_id",
+        size=5, min_doc_count=2,
+    )
+
+
+def _q_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_hits sub-aggregation (dts.facet.top_hits): per
+    (query, lang) group, the 2 best BM25 hits — deterministic
+    (score6 desc, doc_id asc) within each facet bucket."""
+    from dts.facet import top_hits
+
+    scores = _bm25_scored(spark, sf_dir).select(
+        "query_id", "doc_id", "score6"
+    )
+    return top_hits(
+        scores, _docs(spark, sf_dir), "lang", key="query_id", n=2,
+        score_col="score6",
+    )
+
+
 CONTAM_BENCH_IDS = (3, 17, 41)
 
 
@@ -1763,6 +1798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_and": _q_bm25_topk_and,
         "facet_lang": _q_facet_lang,
         "facet_lang_sidecar": _q_facet_lang_sidecar,
+        "sig_terms": _q_sig_terms,
+        "top_hits": _q_top_hits,
         "range_search": _q_range_search,
         "sort_by_meta": _q_sort_by_meta,
         "collapse_source": _q_collapse_source,
@@ -2833,6 +2870,53 @@ GROUP BY 1, 2
     # The sidecar probe answers from the index's doc_meta projection; the
     # ground truth is the same documents-join facet.
     extra["facet_lang_sidecar"] = extra["facet_lang"]
+    extra["sig_terms"] = f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+bq(bq_id, must, must_not) AS (VALUES {", ".join(
+    "({}, [{}], {})".format(
+        i,
+        ",".join(f"'{w}'" for w in m.split()),
+        "[" + ",".join(f"'{w}'" for w in n.split()) + "]" if n else "[]::VARCHAR[]",
+    )
+    for i, m, n in BOOL_QUERIES
+)}),
+m AS (
+  SELECT bq_id::BIGINT AS bq_id, doc_id
+  FROM t CROSS JOIN bq
+  WHERE list_has_all(toks, must) AND NOT list_has_any(toks, must_not)
+),
+fgsize AS (SELECT bq_id, count(*)::BIGINT AS fg_size FROM m GROUP BY 1),
+dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t),
+fg AS (
+  SELECT m.bq_id, dt.term, count(*)::BIGINT AS fg_count
+  FROM m JOIN dt USING (doc_id) GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+bg AS (SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1),
+nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+sc AS (
+  SELECT fg.bq_id, fg.term, fg.fg_count,
+         round((fg.fg_count / fg_size - df / n_docs)
+               * (fg.fg_count / fg_size) / (df / n_docs), 6) AS jlh6
+  FROM fg JOIN fgsize USING (bq_id) JOIN bg USING (term) CROSS JOIN nd
+)
+SELECT bq_id, term, fg_count, jlh6, rank::INTEGER AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY bq_id ORDER BY jlh6 DESC, term) AS rank
+  FROM sc WHERE jlh6 > 0
+) WHERE rank <= 5
+"""
+    extra["top_hits"] = _BM25_SQL_CTE + """
+SELECT query_id, lang, doc_id, score6, hit_rank::INTEGER AS hit_rank
+FROM (
+  SELECT scored.query_id, d.lang, scored.doc_id, scored.score6,
+         row_number() OVER (
+           PARTITION BY scored.query_id, d.lang
+           ORDER BY scored.score6 DESC, scored.doc_id) AS hit_rank
+  FROM scored JOIN documents d USING (doc_id)
+) WHERE hit_rank <= 2
+"""
     # Tombstone phase: FULL-corpus stats (the scored CTE is unchanged),
     # deleted docs filtered out just before ranking — Lucene's live-docs
     # semantics, which the engine implements between delete and compact.

@@ -12,7 +12,7 @@ facet-value distribution itself).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -141,6 +141,123 @@ def facet_histogram(
     return facet_counts(
         matches, side, "bucket_lo", key,
         broadcast_matches=broadcast_matches, pushdown_hits=pushdown_hits,
+    )
+
+
+def significant_terms(
+    matches: DataFrame,
+    docs: DataFrame,
+    key: str,
+    text_col: str = "text",
+    size: int = 10,
+    min_doc_count: int = 1,
+    bg_stats: DataFrame | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """ES significant_terms aggregation: terms OVERREPRESENTED in each
+    query's matched docs relative to the corpus background, scored with
+    the JLH heuristic (ES's classic default):
+
+        jlh = (fg% − bg%) · (fg% / bg%)
+
+    where fg% = fg_count / fg_size (share of matched docs containing the
+    term) and bg% = df / n_docs. Terms with jlh ≤ 0 (not overrepresented)
+    or fg_count < ``min_doc_count`` drop; top ``size`` per key by
+    (jlh desc, term asc) with a ``rank`` column.
+
+    Scale shape: the foreground is hit-sized by contract (a query's
+    matches) — the doc join is the facet_counts join; per-key doc counts
+    and per-(key, term) counts are partial+final hash aggs. The
+    background is ONE distinct-token df agg over the corpus (or pass
+    ``bg_stats`` = the index's persisted term_stats via
+    :func:`significant_terms_indexed` and skip the scan entirely). The
+    fg⋈bg join is term-keyed, fg-vocab-sized on the probe side. 100% JVM
+    expressions — the score is computed in the same operation order as
+    the DuckDB oracle so round-6 values are bit-identical.
+    """
+    from dts.dedup import tokens_col
+
+    m = matches.select(key, "doc_id").distinct()
+    fg_size = m.groupBy(key).agg(F.count("*").alias("fg_size"))
+    dterms = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("term"),
+    )
+    fg = (
+        dterms.join(F.broadcast(m), "doc_id")
+        .groupBy(key, "term")
+        .agg(F.count("*").alias("fg_count"))
+        .filter(F.col("fg_count") >= int(min_doc_count))
+    )
+    if bg_stats is None:
+        bg = dterms.groupBy("term").agg(F.count("*").alias("df"))
+    else:
+        bg = bg_stats.select("term", "df")
+    if n_docs is None:
+        n_docs = docs.count()
+    fgp = F.col("fg_count") / F.col("fg_size")
+    bgp = F.col("df") / F.lit(float(n_docs))
+    scored = (
+        fg.join(F.broadcast(fg_size), key)
+        .join(bg, "term")
+        .withColumn("jlh6", F.round((fgp - bgp) * fgp / bgp, 6))
+        .filter(F.col("jlh6") > 0)
+    )
+    w = Window.partitionBy(key).orderBy(F.col("jlh6").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(size))
+        .select(key, "term", "fg_count", "jlh6", "rank")
+    )
+
+
+def significant_terms_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    matches: DataFrame,
+    docs: DataFrame,
+    key: str,
+    **kw,
+) -> DataFrame:
+    """significant_terms with the BACKGROUND answered by the index's own
+    persisted term_stats (term → df) and meta n_docs — no corpus-wide
+    tokenize at query time; only the hit-sized foreground touches text."""
+    from dts.index_build import load_meta
+
+    bg = spark.read.parquet(f"{index_dir}/term_stats").select("term", "df")
+    n_docs = int(load_meta(index_dir)["n_docs"])
+    return significant_terms(
+        matches, docs, key, bg_stats=bg, n_docs=n_docs, **kw
+    )
+
+
+def top_hits(
+    matches: DataFrame,
+    docs: DataFrame,
+    field: str,
+    key: str,
+    n: int = 3,
+    score_col: str = "score",
+) -> DataFrame:
+    """ES top_hits sub-aggregation: for each (key, ``docs.field`` value)
+    group, the top-``n`` matched docs by score — "best 3 hits per
+    language" next to the facet counts. Deterministic order
+    (score desc, doc_id asc); ``hit_rank`` is 1-based within the group.
+
+    Scale shape: one join (facet_counts policy — scored match sets from
+    top-k pages broadcast; corpus-scale ones shuffle on doc_id) + one
+    window whose partitions are (key, facet-value) groups — bounded by
+    the per-group hit count, never a global sort."""
+    m = matches.select(key, "doc_id", score_col)
+    side = docs.select("doc_id", field)
+    joined = side.join(m, "doc_id")
+    w = Window.partitionBy(key, field).orderBy(
+        F.col(score_col).desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("hit_rank", F.row_number().over(w))
+        .filter(F.col("hit_rank") <= int(n))
+        .select(key, field, "doc_id", score_col, "hit_rank")
     )
 
 

@@ -232,3 +232,114 @@ def test_facet_sidecar_tracks_merge_and_compaction(
     top = bm25_topk_indexed(spark, d, q, k=25)
     out = facet_counts_indexed(spark, d, top, "lang", key="query_id")
     assert out.count() > 0
+
+
+def test_significant_terms_vs_replay(spark, corpus_pd):
+    import re
+    from collections import Counter
+
+    from dts.facet import significant_terms
+
+    tok = lambda t: re.findall(r"[a-z0-9]+", (t or "").lower())
+    dsets = {
+        int(r["doc_id"]): set(tok(r["content"]))
+        for _, r in corpus_pd.iterrows()
+    }
+    n = float(len(dsets))
+    bg = Counter(t for s in dsets.values() for t in s)
+    # two foregrounds: docs containing a mid-df selector term each
+    mids = sorted(t for t, c in bg.items() if 8 <= c <= 60)
+    sel = {0: mids[0], 1: mids[len(mids) // 2]}
+    fgdocs = {
+        k: sorted(d for d, s in dsets.items() if t in s)
+        for k, t in sel.items()
+    }
+    matches = spark.createDataFrame(
+        [(k, d) for k, ds in fgdocs.items() for d in ds],
+        "k long, doc_id long",
+    )
+    docs = spark.createDataFrame(corpus_pd[["doc_id", "content"]])
+    got = (
+        significant_terms(
+            matches, docs, key="k", text_col="content", size=5,
+            min_doc_count=2,
+        )
+        .orderBy("k", "rank")
+        .collect()
+    )
+    want = {}
+    for k, ds in fgdocs.items():
+        fg_size = float(len(ds))
+        cnt = Counter(t for d in ds for t in dsets[d])
+        scored = [
+            (round((c / fg_size - bg[t] / n) * (c / fg_size) / (bg[t] / n), 6), t, c)
+            for t, c in cnt.items()
+            if c >= 2
+        ]
+        scored = [s for s in scored if s[0] > 0]
+        scored.sort(key=lambda s: (-s[0], s[1]))
+        want[k] = scored[:5]
+    for k in sel:
+        rows = [r for r in got if int(r["k"]) == k]
+        assert [(r["term"], int(r["fg_count"])) for r in rows] == [
+            (t, c) for _, t, c in want[k]
+        ]
+        for r, (j, _, _) in zip(rows, want[k]):
+            assert abs(float(r["jlh6"]) - j) < 2e-6
+        assert [int(r["rank"]) for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_significant_terms_indexed_matches_direct(spark, tmp_path):
+    """On a plain-word corpus (engine tokenizer == the simple regex) the
+    index-backed background must reproduce the direct corpus scan."""
+    from dts.facet import significant_terms, significant_terms_indexed
+    from dts.index_build import build_index
+
+    words = ["apple", "berry", "cacao", "dates", "elder", "figs", "grape"]
+    rows = []
+    for i in range(60):
+        ws = [words[i % 7], words[(i * 3 + 1) % 7], words[(i * 5 + 2) % 7]]
+        if i % 4 == 0:
+            ws += ["apple", "berry"]  # planted co-occurrence
+        rows.append((i, " ".join(ws)))
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    d = str(tmp_path / "sig_idx")
+    build_index(spark, docs, d, bucket_size=16)
+    matches = docs.filter(F.col("content").contains("apple")).select(
+        F.lit(0).cast("long").alias("k"), "doc_id"
+    )
+    kw = dict(key="k", text_col="content", size=10, min_doc_count=2)
+    direct = significant_terms(matches, docs, **kw).orderBy("rank").collect()
+    via_idx = (
+        significant_terms_indexed(spark, d, matches, docs, **kw)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [tuple(r) for r in direct] == [tuple(r) for r in via_idx]
+    assert len(direct) > 0 and direct[0]["term"] in ("apple", "berry")
+
+
+def test_top_hits_replay(spark):
+    from dts.facet import top_hits
+
+    matches = spark.createDataFrame(
+        [(0, d, float(100 - d)) for d in range(10)]
+        + [(1, d, 5.0) for d in range(6)],  # all-tied scores: doc_id breaks
+        "q long, doc_id long, score double",
+    )
+    docs = spark.createDataFrame(
+        [(d, "py" if d % 2 == 0 else "rs") for d in range(10)],
+        "doc_id long, lang string",
+    )
+    got = {
+        (int(r["q"]), r["lang"], int(r["hit_rank"])): int(r["doc_id"])
+        for r in top_hits(
+            matches, docs, "lang", key="q", n=2, score_col="score"
+        ).collect()
+    }
+    assert got[(0, "py", 1)] == 0 and got[(0, "py", 2)] == 2
+    assert got[(0, "rs", 1)] == 1 and got[(0, "rs", 2)] == 3
+    # ties: ascending doc_id within each lang group
+    assert got[(1, "py", 1)] == 0 and got[(1, "py", 2)] == 2
+    assert got[(1, "rs", 1)] == 1 and got[(1, "rs", 2)] == 3
+    assert len(got) == 8
