@@ -394,6 +394,7 @@ def _pos_index(spark: SparkSession, sf_dir: str) -> str:
             idx_dir,
             bucket_size=256,
             positions=True,
+            store_term_vectors=True,
         )
         _POS_IDX_CACHE[sf_dir] = idx_dir
     return _POS_IDX_CACHE[sf_dir]
@@ -1494,6 +1495,20 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_docs(spark, sf_dir), n=1, threshold=0.3)
 
 
+TV_FETCH_IDS = (2, 5, 11, 42)
+
+
+def _q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene TermVectors (dts.termvectors): per-doc (term, tf) for a
+    client-sized page of docs, answered by the doc-major sidecar with
+    IN-list row-group pushdown — no postings decode, no corpus scan."""
+    from dts.termvectors import term_vectors
+
+    return term_vectors(
+        spark, _pos_index(spark, sf_dir), doc_ids=list(TV_FETCH_IDS)
+    )
+
+
 def _q_sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES significant_terms (dts.facet.significant_terms): terms
     overrepresented in each boolean query's matched docs vs the corpus
@@ -1800,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_lang_sidecar": _q_facet_lang_sidecar,
         "sig_terms": _q_sig_terms,
         "top_hits": _q_top_hits,
+        "term_vectors": _q_term_vectors,
         "range_search": _q_range_search,
         "sort_by_meta": _q_sort_by_meta,
         "collapse_source": _q_collapse_source,
@@ -2870,6 +2886,13 @@ GROUP BY 1, 2
     # The sidecar probe answers from the index's doc_meta projection; the
     # ground truth is the same documents-join facet.
     extra["facet_lang_sidecar"] = extra["facet_lang"]
+    extra["term_vectors"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_D_TOKS}) AS term
+  FROM documents WHERE doc_id IN {TV_FETCH_IDS}
+)
+SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+"""
     extra["sig_terms"] = f"""
 WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
 bq(bq_id, must, must_not) AS (VALUES {", ".join(

@@ -245,6 +245,7 @@ def build_index(
     codec: str = "varint",
     extra_meta: dict | None = None,
     store_fields: list[str] | None = None,
+    store_term_vectors: bool = False,
 ) -> dict:
     """Build + persist the full index. `docs` needs (doc_id, content).
 
@@ -263,6 +264,14 @@ def build_index(
     stats give hit-list IN-list pushdown. The sidecar follows index
     mutations: merge appends the new docs' rows, deletion-applying
     compaction drops tombstoned rows.
+
+    ``store_term_vectors`` (Lucene TermVectors analogue): persist a
+    ``term_vectors`` sidecar — the doc-major (doc_id, term, tf)
+    projection of the already-computed tf frame, doc_id-range-partitioned
+    and sorted so per-doc fetches prune to one row-group — giving O(doc)
+    "what terms does this doc contain" reads (MLT seeds, highlighters,
+    explain UIs) without decoding term-major postings. Follows merges
+    (append) and compaction (tombstoned rows dropped), like doc_meta.
     """
     import time
 
@@ -326,6 +335,18 @@ def build_index(
             .parquet(f"{out_dir}/doc_meta"),
         )
         meta["store_fields"] = list(store_fields)
+    if store_term_vectors:
+        # Doc-major projection of the cached tf frame (no re-tokenize);
+        # range partitioning's sampling job reads the cache, not content.
+        timed(
+            "term_vectors",
+            lambda: tf.select("doc_id", "term", "tf")
+            .repartitionByRange(max(1, par // 4), "doc_id")
+            .sortWithinPartitions("doc_id", "term")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/term_vectors"),
+        )
+        meta["store_term_vectors"] = True
     # NOTE: no repartitionByRange here — RangePartitioner's sampling job
     # would recompute the whole encode a second time. Sorting WITHIN each
     # encode task's output by term gives parquet row-group min/max stats
@@ -589,6 +610,13 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
             ).write.mode("overwrite").parquet(tmp_dm)
             shutil.rmtree(f"{index_dir}/doc_meta")
             os.replace(tmp_dm, f"{index_dir}/doc_meta")
+        if os.path.isdir(f"{index_dir}/term_vectors"):
+            tmp_tv = f"{index_dir}/term_vectors_new"
+            spark.read.parquet(f"{index_dir}/term_vectors").join(
+                dh, "doc_id", "left_anti"
+            ).write.mode("overwrite").parquet(tmp_tv)
+            shutil.rmtree(f"{index_dir}/term_vectors")
+            os.replace(tmp_tv, f"{index_dir}/term_vectors")
         meta.setdefault("next_doc_id", meta["n_docs"])  # pre-watermark indexes
         meta["n_docs"] -= n_live_deleted
         meta["total_tokens"] -= dl_deleted
@@ -831,6 +859,12 @@ def merge_index(
             )
         nd.select("doc_id", *sf).write.mode("append").parquet(
             f"{index_dir}/doc_meta"
+        )
+    if meta.get("store_term_vectors") and os.path.isdir(
+        f"{index_dir}/term_vectors"
+    ):
+        tf.select("doc_id", "term", "tf").write.mode("append").parquet(
+            f"{index_dir}/term_vectors"
         )
 
     min_encode = min(meta.get("min_encode_avgdl", meta["avgdl"]), new_avgdl)

@@ -79,3 +79,65 @@ def test_merge_matches_oracle_on_combined_corpus(spark, corpus_pd, tmp_path):
         for r in bm25_topk_indexed(spark, idx, q, k=10, strategy="bmw").collect()
     )
     assert before == after_taat == after_bmw
+
+
+def test_term_vectors_lifecycle(spark, corpus_pd, tmp_path):
+    """TermVectors sidecar: build fetch == tokenize replay; merge appends
+    the new docs' vectors; deletion masks before compact; compact drops
+    the rows physically."""
+    from collections import Counter
+
+    from dts.delete import delete_docs
+    from dts.index_build import compact_index
+    from dts.termvectors import term_vectors
+    from dts.tokenizer import tokenize_text
+
+    idx = str(tmp_path / "tv_idx")
+    split = 150
+    build_index(
+        spark, spark.createDataFrame(corpus_pd.iloc[:split]), idx,
+        bucket_size=64, store_term_vectors=True,
+    )
+
+    def replay(i):
+        return Counter(tokenize_text(corpus_pd["content"].iloc[i]))
+
+    got = {
+        (int(r["doc_id"]), r["term"]): int(r["tf"])
+        for r in term_vectors(spark, idx, doc_ids=[0, 7]).collect()
+    }
+    want = {
+        (i, t): c for i in (0, 7) for t, c in replay(i).items()
+    }
+    assert got == want
+
+    merge_index(
+        spark, idx,
+        spark.createDataFrame(corpus_pd.iloc[split:].drop(columns=["doc_id"])),
+    )
+    new_id = split  # first merged doc gets the watermark id
+    got_new = {
+        r["term"]: int(r["tf"])
+        for r in term_vectors(spark, idx, doc_ids=[new_id]).collect()
+    }
+    assert got_new == dict(replay(split))
+
+    delete_docs(spark, idx, [7])
+    assert term_vectors(spark, idx, doc_ids=[0, 7]).filter(
+        "doc_id = 7"
+    ).count() == 0  # masked while tombstoned
+    assert term_vectors(
+        spark, idx, doc_ids=[0, 7], mask_deleted=False
+    ).filter("doc_id = 7").count() > 0
+    compact_index(spark, idx)
+    assert term_vectors(
+        spark, idx, doc_ids=[7], mask_deleted=False
+    ).count() == 0  # physically gone
+
+    with pytest.raises(ValueError, match="term_vectors"):
+        idx2 = str(tmp_path / "no_tv_idx")
+        build_index(
+            spark, spark.createDataFrame(corpus_pd.iloc[:20]), idx2,
+            bucket_size=64,
+        )
+        term_vectors(spark, idx2)
