@@ -1567,6 +1567,16 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_pairs(docs, bench, n=6, min_shared=2)
 
 
+def _q_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing shared-span pairs (dts.dedup.winnowed_span_pairs, MOSS /
+    Lee-et-al exact-substring dedup): doc pairs sharing a winnowed token
+    6-gram fingerprint — guaranteed to catch any verbatim run ≥ 9 tokens
+    while sampling ~1/2.5 of the grams."""
+    from dts.dedup import winnowed_span_pairs
+
+    return winnowed_span_pairs(_docs(spark, sf_dir), k=6, w=4)
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: jaccard pairs (unigram shingles, ≥0.5)
     composed with iterative min-label connected components (dts.cluster).
@@ -1831,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": _q_minhash_bands,
         "jaccard_pairs": _q_jaccard_pairs,
         "contamination": _q_contamination,
+        "span_pairs": _q_span_pairs,
         "token_stats": _q_token_stats,
         "quality": _q_quality,
         "lang_id": _q_lang_id,
@@ -1980,6 +1991,31 @@ pairs AS (
 SELECT a, b, round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jac6
 FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.doc_id
 WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 6) >= 0.3
+""",
+        "span_pairs": f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(0, len(toks) - 5),
+           i -> md5(array_to_string(
+                  list_slice(toks, (i + 1)::INTEGER, (i + 6)::INTEGER), ' ')))
+           AS grams,
+         toks
+  FROM t
+),
+fp AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) < 6 THEN [md5(array_to_string(toks, ' '))]
+    ELSE list_distinct(list_transform(
+           range(1, greatest(len(grams) - 4 + 1, 1) + 1),
+           j -> list_min(list_slice(grams, j::INTEGER, (j + 3)::INTEGER))))
+    END) AS fp
+  FROM g
+)
+SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS n_shared
+FROM fp x JOIN fp y USING (fp)
+WHERE x.doc_id < y.doc_id
+GROUP BY 1, 2
 """,
         "contamination": f"""
 WITH b AS (

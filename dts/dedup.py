@@ -367,6 +367,79 @@ def embedding_dup_pairs_ivf(
     )
 
 
+def winnow_col(text_col: str, k: int = 8, w: int = 4):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS) as
+    array<string>: md5 of each ORDERED token k-gram, then the distinct
+    set of per-window minima over every w consecutive gram hashes.
+
+    Guarantee: two docs sharing a contiguous run of ≥ k + w − 1 tokens
+    share at least one selected fingerprint (the shared run contains a
+    full hash window, identical in both docs, whose minimum both select).
+    Docs shorter than k tokens fall back to one whole-text gram; gram
+    sequences shorter than w collapse to a single whole-sequence window.
+    100% JVM expressions, md5-portable to the DuckDB oracle."""
+    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOK}', 0)"
+    grams = (
+        f"transform(sequence(0, size({toks}) - {k}),"
+        f" i -> md5(concat_ws(' ', slice({toks}, i + 1, {k}))))"
+    )
+    return F.expr(
+        f"""
+        CASE WHEN size({toks}) < {k} THEN array(md5(array_join({toks}, ' ')))
+        ELSE array_distinct(transform(
+            sequence(1, greatest(size({grams}) - {w} + 1, 1)),
+            j -> array_min(slice({grams}, j, {w}))))
+        END
+        """
+    )
+
+
+def winnowed_span_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 1,
+    max_fp_df: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, n_shared): doc pairs sharing ≥ ``min_shared`` winnowing
+    fingerprints — the exact-substring-duplication detector (Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" find
+    ≥50-token verbatim spans; MOSS finds shared code). Any pair sharing
+    a verbatim run of ≥ k + w − 1 tokens IS reported (winnow_col's
+    guarantee); each selected fingerprint pins an exact shared k-gram.
+
+    vs jaccard_pairs: that measures SET overlap of unordered shingles
+    (near-duplicate whole docs); this detects contiguous verbatim spans
+    inside otherwise-different docs — the copy-paste/boilerplate case —
+    while sampling only ~1/((w+1)/2) of the grams, so the inverted join
+    is w-fold cheaper at equal recall for long spans.
+
+    Scale shape: fingerprints are map-side exprs; the pair join is the
+    same df-capped inverted join as jaccard_pairs (``max_fp_df`` drops
+    boilerplate fingerprints before the self-join — the df² blowup
+    killer; default off so probe semantics stay exact)."""
+    fp = docs.select(
+        "doc_id", F.explode(winnow_col(text_col, k, w)).alias("fp")
+    )
+    if max_fp_df is not None:
+        ok = (
+            fp.groupBy("fp")
+            .agg(F.count("*").alias("fdf"))
+            .filter(F.col("fdf") <= max_fp_df)
+            .select("fp")
+        )
+        fp = fp.join(ok, "fp")
+    return (
+        fp.alias("x")
+        .join(fp.alias("y"), "fp")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+
+
 def contamination_pairs(
     docs: DataFrame,
     bench: DataFrame,

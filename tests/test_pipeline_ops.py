@@ -639,3 +639,51 @@ def test_contamination_pairs_vs_replay(spark, corpus_pd):
 
     with _pt.raises(ValueError, match="min_shared"):
         contamination_pairs(docs, bench, min_shared=0).collect()
+
+
+def test_winnowed_span_pairs_guarantee_and_replay(spark):
+    import hashlib
+    import itertools
+
+    from dts.dedup import winnowed_span_pairs
+
+    k, w = 4, 3
+    rng_words = [f"w{i:03d}" for i in range(400)]
+    span = " ".join(f"leak{i}" for i in range(k + w - 1))  # 6 tokens
+    rows = [
+        # docs 0/1: different bodies, same planted >= k+w-1 run
+        (0, " ".join(rng_words[0:40]) + " " + span + " " + " ".join(rng_words[40:60])),
+        (1, " ".join(rng_words[100:130]) + " " + span),
+        # doc 2: shares nothing contiguous
+        (2, " ".join(rng_words[200:260])),
+        # doc 3: short doc (< k tokens) falls back to whole-text gram
+        (3, "tiny doc here"),
+        (4, "tiny doc here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (int(r["a"]), int(r["b"])): int(r["n_shared"])
+        for r in winnowed_span_pairs(docs, k=k, w=w).collect()
+    }
+    assert (0, 1) in got          # the guarantee: >= k+w-1 shared run
+    assert (3, 4) in got          # identical short docs pair up
+    assert not any(2 in p for p in got)
+
+    # full replay
+    def fps(text):
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        if len(toks) < k:
+            return {hashlib.md5(" ".join(toks).encode()).hexdigest()}
+        grams = [
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+            for i in range(len(toks) - k + 1)
+        ]
+        nw = max(len(grams) - w + 1, 1)
+        return {min(grams[j : j + w]) for j in range(nw)}
+    want = {}
+    sets = {i: fps(t) for i, t in rows}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        n = len(sets[a] & sets[b])
+        if n >= 1:
+            want[(a, b)] = n
+    assert got == want
