@@ -1509,6 +1509,25 @@ def _q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lmd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable similarity #3: Lucene LMDirichletSimilarity (μ=2000,
+    Dirichlet-smoothed query likelihood, per-term floor at 0) over the
+    same index that serves BM25 and ClassicSimilarity — term_stats
+    already persists cf, so one build serves all three kernels
+    (dts.score.lmd_impact)."""
+    from dts.score_index import bm25_topk_indexed
+
+    q = spark.createDataFrame(
+        [(i, t, 0) for i, t in PROBE_QUERIES],
+        "query_id long, text string, fuzzy_k int",
+    )
+    return _rerank6_top10(
+        bm25_topk_indexed(
+            spark, _pos_index(spark, sf_dir), q, k=10**6, similarity="lmd",
+        )
+    )
+
+
 def _q_sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES significant_terms (dts.facet.significant_terms): terms
     overrepresented in each boolean query's matched docs vs the corpus
@@ -1826,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sig_terms": _q_sig_terms,
         "top_hits": _q_top_hits,
         "term_vectors": _q_term_vectors,
+        "lmd_topk": _q_lmd_topk,
         "range_search": _q_range_search,
         "sort_by_meta": _q_sort_by_meta,
         "collapse_source": _q_collapse_source,
@@ -3452,6 +3472,42 @@ scored AS (
   JOIN dfreq USING (term)
   JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+    extra["lmd_topk"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '{TOK}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(coalesce(text, '')), '{TOK}'))::BIGINT AS dl
+  FROM documents
+),
+tot AS (SELECT count(*)::DOUBLE AS total_tokens FROM tok),
+cfreq AS (SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY 1),
+q(query_id, text) AS (VALUES {VALUES_QUERIES}),
+qterms AS (SELECT query_id::BIGINT AS query_id, unnest(string_split(text, ' ')) AS term FROM q),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         round(sum(
+           greatest(
+             ln(1.0 + tf.tf / (2000.0 * (cfreq.cf / tot.total_tokens)))
+             + ln(2000.0 / (dl.dl + 2000.0)),
+             0.0)
+         ), 6) AS score6
+  FROM qterms
+  JOIN tf USING (term)
+  JOIN cfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN tot
   GROUP BY 1, 2
 )
 SELECT query_id, doc_id, rank::INTEGER AS rank FROM (

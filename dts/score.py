@@ -173,3 +173,26 @@ def bm25_topk_dataframe(docs: DataFrame, queries: DataFrame, k: int = 10) -> Dat
     qterms = query_terms_df(queries)
     contribs = score_contributions(tf, df_, tok, qterms, n_docs, avgdl)
     return deterministic_sum_topk(contribs, k)
+
+LMD_MU = 2000.0
+
+
+def lmd_impact(tf, dl, cf: float, total_tokens: float, mu: float = LMD_MU):
+    """Lucene LMDirichletSimilarity per-(term, doc) score: with collection
+    language model p = cf / total_tokens,
+
+        max( ln(1 + tf / (mu * p)) + ln(mu / (dl + mu)), 0 )
+
+    — Dirichlet-smoothed query likelihood (Zhai & Lafferty), floored at 0
+    per matching term exactly as Lucene's LMDirichletSimilarity.score
+    does. mu defaults to Lucene's 2000. The second addend is tf-free but
+    per-MATCHING-term (Lucene adds it once per matched term); the floor
+    keeps high-frequency terms in very long docs from going negative.
+    Numpy arrays in, float64 out."""
+    import numpy as np
+
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    p = float(cf) / float(total_tokens)
+    s = np.log(1.0 + tf / (mu * p)) + np.log(mu / (dl + mu))
+    return np.maximum(s, 0.0)

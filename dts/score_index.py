@@ -184,6 +184,7 @@ def _scorer_fn(
     similarity: str = "bm25",
     after_map: dict[int, tuple[float, int]] | None = None,
     dv_spec: tuple[str, float, str, float] | None = None,
+    total_tokens: float = 0.0,
 ):
     """Tombstones arrive COLOCATED on the posting rows as a ``_del_ids``
     column (dts.delete.join_deletes — per-bucket sorted arrays, joined by
@@ -268,10 +269,23 @@ def _scorer_fn(
             from dts.score import classic_impact, classic_weight
 
             idf = classic_weight(float(n_docs), df_arr)
-            _impact = lambda tf, dl: classic_impact(tf, dl)  # noqa: E731
+            _impact = lambda i, tf, dl: classic_impact(tf, dl)  # noqa: E731
+        elif similarity == "lmd":
+            # LM Dirichlet: the whole per-(term, doc) score lives in the
+            # impact (it needs the row term's cf and is floored at 0, so
+            # it doesn't factor into weight × impact); row weight is 1
+            # (boosts still fold in below, matching Lucene's boost-inside
+            # -the-floor semantics for positive boosts).
+            from dts.score import lmd_impact
+
+            cf_arr = pdf["cf"].to_numpy(np.float64)
+            idf = np.ones(len(pdf), dtype=np.float64)
+            _impact = lambda i, tf, dl: lmd_impact(  # noqa: E731
+                tf, dl, cf_arr[i], total_tokens
+            )
         else:
             idf = np.log(1.0 + (n_docs - df_arr + 0.5) / (df_arr + 0.5))
-            _impact = lambda tf, dl: bm25_impact(tf, dl, avgdl)  # noqa: E731
+            _impact = lambda i, tf, dl: bm25_impact(tf, dl, avgdl)  # noqa: E731
         if "boost" in pdf.columns:
             # Per-row query boosts (Lucene ``^``): fold into the row
             # weight — covers TAAT accumulation, the BMW cursor weights
@@ -340,6 +354,7 @@ def _scorer_fn(
                         c = np.zeros(len(d), dtype=np.float64)
                     else:
                         c = float(idf[i]) * _impact(
+                            i,
                             np.asarray(tfs, dtype=np.int64),
                             np.asarray(
                                 pdf["_syn_dls"].iat[i], dtype=np.int64
@@ -347,7 +362,7 @@ def _scorer_fn(
                         )
                 else:
                     d, tf, dl = decode_postings(_pack(i))
-                    c = float(idf[i]) * _impact(tf, dl)
+                    c = float(idf[i]) * _impact(i, tf, dl)
                 docs_parts.append(d)
                 contrib_parts.append(c)
             if mode == "mixed_flags":
@@ -782,13 +797,13 @@ def _filter_by_qterms(
     if len(terms) <= max_isin_terms:
         postings = scan.filter(F.col("term").isin(terms))
         stats = idx["term_stats"].filter(F.col("term").isin(terms)).select(
-            "term", "df"
+            "term", "df", "cf"
         )
     else:
         postings = scan.join(F.broadcast(distinct_terms), "term", "left_semi")
         stats = idx["term_stats"].join(
             F.broadcast(distinct_terms), "term", "left_semi"
-        ).select("term", "df")
+        ).select("term", "df", "cf")
     return postings, stats, terms
 
 
@@ -882,8 +897,15 @@ def _score_filtered(
     n_buckets = -(-meta["n_docs"] // meta["bucket_size"])
     if distribute is None:
         distribute = auto_distribute(n_queries, n_buckets, meta["n_docs"])
-    if similarity not in ("bm25", "classic"):
+    if similarity not in ("bm25", "classic", "lmd"):
         raise ValueError(f"unknown similarity {similarity!r}")
+    if similarity == "lmd" and syn_rows is not None:
+        # Synthetic clause rows carry no collection frequency; LM
+        # Dirichlet needs cf per scoring row. Term queries only for now.
+        raise ValueError(
+            "similarity='lmd' does not support fused phrase/synonym "
+            "clause rows; use similarity='bm25'"
+        )
     if similarity != "bm25" and strategy == "bmw":
         # Stored block maxima are BM25 impact bounds — not sound for
         # other similarities (Lucene likewise keeps per-similarity
@@ -898,6 +920,7 @@ def _score_filtered(
         meta["n_docs"], meta["avgdl"], k, strategy, meta["block_size"],
         meta.get("codec", "varint"), mode, m_map, filter_qids,
         similarity, after_map, dv_spec,
+        total_tokens=float(meta.get("total_tokens", 0.0)),
     )
     if distribute == "bucket":
         # Cap group count: per-group applyInPandas overhead is real, so
@@ -969,7 +992,7 @@ def score_expanded_terms(
         postings = term_filter(scan, all_terms, max_isin_terms)
         stats = term_filter(
             idx["term_stats"], all_terms, max_isin_terms
-        ).select("term", "df")
+        ).select("term", "df", "cf")
     else:
         postings, stats, _ = _filter_by_qterms(
             idx, scan, qterms, max_isin_terms
@@ -977,7 +1000,7 @@ def score_expanded_terms(
         if postings is None and syn_rows is not None:
             postings = term_filter(scan, [], max_isin_terms)
             stats = idx["term_stats"].filter(F.lit(False)).select(
-                "term", "df"
+                "term", "df", "cf"
             )
     if postings is None:
         return spark.createDataFrame([], TOPK_SCHEMA)
@@ -1023,10 +1046,13 @@ def bm25_topk_indexed(
     ``"classic"`` (Lucene ClassicSimilarity: sqrt(tf) · idf² · 1/sqrt(dl)
     with idf = 1 + ln(N/(df+1)); exact dl instead of Lucene's lossy norm
     byte — documented delta; spec dts.score.classic_weight /
-    classic_impact). The index is similarity-agnostic (it stores tf/dl);
-    only the kernel's weight and impact formulas switch, so one build
-    serves both. ``"classic"`` requires strategy='taat' (stored block
-    maxima are BM25 bounds).
+    classic_impact) or ``"lmd"`` (Lucene LMDirichletSimilarity, μ=2000:
+    per matched term max(ln(1 + tf/(μ·cf/total_tokens)) + ln(μ/(dl+μ)),
+    0) — Dirichlet-smoothed query likelihood; spec dts.score.lmd_impact).
+    The index is similarity-agnostic (it stores tf/dl and term_stats
+    keeps cf); only the kernel's weight and impact formulas switch, so
+    one build serves all three. Non-BM25 similarities require
+    strategy='taat' (stored block maxima are BM25 bounds).
 
     ``doc_filter`` (Lucene filter context — round 4): a DataFrame with a
     ``doc_id`` column; only member docs are RANKED (masked before top-k
@@ -1137,7 +1163,7 @@ def _prepare_query_scan(
         postings = term_filter(scan, all_terms, max_isin_terms)
         stats = term_filter(
             idx["term_stats"], all_terms, max_isin_terms
-        ).select("term", "df")
+        ).select("term", "df", "cf")
     else:
         m_map = None
         qterms = expanded_query_terms(
@@ -1265,7 +1291,7 @@ def shard_candidates_mixed(
         postings = term_filter(scan, all_terms, max_isin_terms)
         stats = term_filter(
             idx["term_stats"], all_terms, max_isin_terms
-        ).select("term", "df")
+        ).select("term", "df", "cf")
     else:
         postings, stats, _ = _filter_by_qterms(
             idx, scan, qterms, max_isin_terms
@@ -1273,7 +1299,7 @@ def shard_candidates_mixed(
         if postings is None and syn_rows is not None:
             postings = term_filter(scan, [], max_isin_terms)
             stats = idx["term_stats"].filter(F.lit(False)).select(
-                "term", "df"
+                "term", "df", "cf"
             )
     if postings is None:
         return spark.createDataFrame([], SHARD_FLAGS_SCHEMA)
