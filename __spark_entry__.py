@@ -1563,6 +1563,49 @@ def _q_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bool_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dts.boolquery import boolean_match_docs
+
+    bq = spark.createDataFrame(
+        BOOL_QUERIES, "bq_id long, must string, must_not string"
+    )
+    return boolean_match_docs(spark, _pos_index(spark, sf_dir), bq)
+
+
+def _q_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats aggregation (dts.facet.facet_stats): n/min/max/
+    sum/avg/variance of n_chars over each boolean query's matches —
+    variance from integer power sums, engine-portable bit-for-bit."""
+    from dts.facet import facet_stats
+
+    return facet_stats(
+        _bool_matches(spark, sf_dir), _docs(spark, sf_dir), "n_chars",
+        key="bq_id",
+    )
+
+
+def _q_facet_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality aggregation (dts.facet.facet_cardinality, exact
+    probe path; approx_count_distinct HLL++ is the 100-TB path)."""
+    from dts.facet import facet_cardinality
+
+    return facet_cardinality(
+        _bool_matches(spark, sf_dir), _docs(spark, sf_dir), "source",
+        key="bq_id",
+    )
+
+
+def _q_facet_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles aggregation (dts.facet.facet_percentiles, exact
+    linear-interpolation path; percentile_approx t-digest at scale)."""
+    from dts.facet import facet_percentiles
+
+    return facet_percentiles(
+        _bool_matches(spark, sf_dir), _docs(spark, sf_dir), "n_chars",
+        key="bq_id",
+    )
+
+
 CONTAM_BENCH_IDS = (3, 17, 41)
 
 
@@ -1846,6 +1889,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hits": _q_top_hits,
         "term_vectors": _q_term_vectors,
         "lmd_topk": _q_lmd_topk,
+        "facet_stats": _q_facet_stats,
+        "facet_cardinality": _q_facet_cardinality,
+        "facet_percentiles": _q_facet_percentiles,
         "range_search": _q_range_search,
         "sort_by_meta": _q_sort_by_meta,
         "collapse_source": _q_collapse_source,
@@ -3479,6 +3525,59 @@ SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 10
+"""
+    _bqv = ", ".join(
+        "({}, [{}], {})".format(
+            i,
+            ",".join(f"'{w}'" for w in m.split()),
+            "[" + ",".join(f"'{w}'" for w in n.split()) + "]" if n else "[]::VARCHAR[]",
+        )
+        for i, m, n in BOOL_QUERIES
+    )
+    _bm_cte = f"""t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+bq(bq_id, must, must_not) AS (VALUES {_bqv}),
+m AS (
+  SELECT bq_id::BIGINT AS bq_id, doc_id
+  FROM t CROSS JOIN bq
+  WHERE list_has_all(toks, must) AND NOT list_has_any(toks, must_not)
+)"""
+    extra["facet_stats"] = f"""
+WITH {_bm_cte}
+SELECT m.bq_id,
+       count(*)::BIGINT AS n,
+       min(d.n_chars)::BIGINT AS min,
+       max(d.n_chars)::BIGINT AS max,
+       sum(d.n_chars)::BIGINT AS sum,
+       round(sum(d.n_chars)::BIGINT / count(*), 6) AS avg6,
+       CASE WHEN count(*) > 1 THEN round(
+         (sum(d.n_chars * d.n_chars)::BIGINT
+          - sum(d.n_chars)::BIGINT * sum(d.n_chars)::BIGINT / count(*))
+         / (count(*) - 1), 6)
+       ELSE 0.0 END AS var6
+FROM m JOIN documents d USING (doc_id)
+WHERE d.n_chars IS NOT NULL
+GROUP BY 1
+"""
+    extra["facet_cardinality"] = f"""
+WITH {_bm_cte}
+SELECT m.bq_id, count(DISTINCT d.source)::BIGINT AS n_distinct
+FROM m JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+    extra["facet_percentiles"] = f"""
+WITH {_bm_cte},
+j AS (
+  SELECT m.bq_id, d.n_chars
+  FROM m JOIN documents d USING (doc_id)
+  WHERE d.n_chars IS NOT NULL
+)
+SELECT bq_id, p::DOUBLE AS p, round(v::DOUBLE, 6) AS value6 FROM (
+  SELECT bq_id, 0.5 AS p, quantile_cont(n_chars, 0.5) AS v FROM j GROUP BY 1
+  UNION ALL
+  SELECT bq_id, 0.9, quantile_cont(n_chars, 0.9) FROM j GROUP BY 1
+  UNION ALL
+  SELECT bq_id, 0.99, quantile_cont(n_chars, 0.99) FROM j GROUP BY 1
+)
 """
     extra["lmd_topk"] = f"""
 WITH tok AS (

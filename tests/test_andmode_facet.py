@@ -343,3 +343,54 @@ def test_top_hits_replay(spark):
     assert got[(1, "py", 1)] == 0 and got[(1, "py", 2)] == 2
     assert got[(1, "rs", 1)] == 1 and got[(1, "rs", 2)] == 3
     assert len(got) == 8
+
+
+def test_facet_stats_cardinality_percentiles_replay(spark):
+    from dts.facet import facet_cardinality, facet_percentiles, facet_stats
+
+    vals = [3, 7, 7, 10, 22, 40, 41, 41, 100, 6]
+    docs = spark.createDataFrame(
+        [(d, int(v), f"s{d % 3}") for d, v in enumerate(vals)],
+        "doc_id long, x long, src string",
+    )
+    matches = spark.createDataFrame(
+        [(0, d) for d in range(10)] + [(1, d) for d in (0, 2, 4)],
+        "k long, doc_id long",
+    )
+
+    st = {int(r["k"]): r for r in facet_stats(matches, docs, "x", "k").collect()}
+    n, s, sq = 10, sum(vals), sum(v * v for v in vals)
+    assert (st[0]["n"], st[0]["min"], st[0]["max"], st[0]["sum"]) == (n, 3, 100, s)
+    assert abs(st[0]["avg6"] - round(s / n, 6)) < 1e-9
+    assert abs(st[0]["var6"] - round((sq - s * s / n) / (n - 1), 6)) < 1e-9
+    sub = [vals[0], vals[2], vals[4]]
+    assert (st[1]["n"], st[1]["sum"]) == (3, sum(sub))
+
+    card = {
+        int(r["k"]): int(r["n_distinct"])
+        for r in facet_cardinality(matches, docs, "src", "k").collect()
+    }
+    assert card[0] == 3 and card[1] == len({d % 3 for d in (0, 2, 4)})
+    approx = {
+        int(r["k"]): int(r["n_distinct"])
+        for r in facet_cardinality(
+            matches, docs, "src", "k", exact=False
+        ).collect()
+    }
+    assert approx[0] == 3  # HLL++ exact at tiny cardinality
+
+    pct = {
+        (int(r["k"]), float(r["p"])): float(r["value6"])
+        for r in facet_percentiles(
+            matches, docs, "x", "k", percentiles=(0.5,)
+        ).collect()
+    }
+    assert abs(pct[(0, 0.5)] - float(np.percentile(vals, 50))) < 1e-6
+    assert abs(pct[(1, 0.5)] - float(np.percentile(sub, 50))) < 1e-6
+    papprox = {
+        (int(r["k"]), float(r["p"])): float(r["value6"])
+        for r in facet_percentiles(
+            matches, docs, "x", "k", percentiles=(0.5,), exact=False
+        ).collect()
+    }
+    assert papprox[(0, 0.5)] in vals  # t-digest-style returns a member
