@@ -1606,6 +1606,34 @@ def _q_facet_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (dts.textstats.pii_scrub): email/IPv4/phone redaction +
+    per-family counts, 100% JVM regexp in one map-side pass. The probe
+    plants deterministic PII derived from doc_id into every doc (the
+    synthetic corpus has none) and both engines scrub the same augmented
+    text; the redacted text is md5-compared."""
+    from dts.textstats import pii_scrub
+
+    aug = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1 555-000-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", aug.alias("text"))
+    out = pii_scrub(docs)
+    return out.select(
+        "doc_id",
+        F.md5("text_clean").alias("clean_md5"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+    )
+
+
 CONTAM_BENCH_IDS = (3, 17, 41)
 
 
@@ -1892,6 +1920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_stats": _q_facet_stats,
         "facet_cardinality": _q_facet_cardinality,
         "facet_percentiles": _q_facet_percentiles,
+        "pii_scrub": _q_pii_scrub,
         "range_search": _q_range_search,
         "sort_by_meta": _q_sort_by_meta,
         "collapse_source": _q_collapse_source,
@@ -3526,6 +3555,36 @@ SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
   FROM scored
 ) WHERE rank <= 10
 """
+    _pii_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _pii_ipv4 = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+    _pii_phone = "\\+?\\d[\\d\\- ]{7,}\\d"
+    extra["pii_scrub"] = """
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact user' || doc_id::VARCHAR
+         || '@example.com from 10.0.' || (doc_id % 256)::VARCHAR
+         || '.7 call +1 555-000-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+           AS t
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, len(regexp_extract_all(t, '{e}'))::BIGINT AS n_email,
+         regexp_replace(t, '{e}', '<EMAIL>', 'g') AS t
+  FROM aug
+),
+s2 AS (
+  SELECT doc_id, n_email, len(regexp_extract_all(t, '{i}'))::BIGINT AS n_ipv4,
+         regexp_replace(t, '{i}', '<IP>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         len(regexp_extract_all(t, '{p}'))::BIGINT AS n_phone,
+         regexp_replace(t, '{p}', '<PHONE>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, md5(t) AS clean_md5, n_email, n_ipv4, n_phone FROM s3
+""".format(e=_pii_email, i=_pii_ipv4, p=_pii_phone)
     _bqv = ", ".join(
         "({}, [{}], {})".format(
             i,

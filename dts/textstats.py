@@ -112,3 +112,34 @@ def fingerprints(docs: DataFrame, text_col: str = "text", k: int = 8, n: int = 3
             f"array_join(slice(array_sort(transform({sh}, s -> md5(s))), 1, {k}), '|')"
         ).alias("fp"),
     )
+
+
+# PII patterns — intersection of Java-regex and RE2 semantics (greedy,
+# no lookaround, no alternation-order dependence) so the Spark kernel
+# and the DuckDB oracle match byte-for-byte. Scrub order is fixed
+# (email → ipv4 → phone): counts are taken on the text as it stands
+# BEFORE that pattern's replacement, so overlapping families (an email's
+# host can contain digits) never double-count.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text_clean, n_email, n_ipv4, n_phone): redact PII-shaped
+    spans with typed placeholder tokens — the pre-training scrub pass
+    every published data pipeline runs (C4 removed pages on a blocklist;
+    modern pipelines redact in place). 100% JVM regexp expressions — one
+    map-side pass over the corpus, no shuffle, whole-stage codegen; at
+    100 TB this is scan-bound, exactly as it should be."""
+    out = docs.select("doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count("_t", F.lit(pat)))
+        out = out.withColumn("_t", F.regexp_replace("_t", pat, repl))
+        counts.append(f"n_{name}")
+    return out.select(
+        "doc_id", F.col("_t").alias("text_clean"), *counts
+    )

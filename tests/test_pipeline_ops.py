@@ -687,3 +687,27 @@ def test_winnowed_span_pairs_guarantee_and_replay(spark):
         if n >= 1:
             want[(a, b)] = n
     assert got == want
+
+
+def test_pii_scrub_replay(spark):
+    from dts.textstats import pii_scrub
+
+    rows = [
+        (0, "mail a.b+c@ex-ample.org or root@sub.domain.io now"),
+        (1, "server 192.168.0.1 and 10.0.0.255."),
+        (2, "call +1 555-123-4567 or 0800 11 22 33 ok"),
+        (3, "no pii here at all"),
+        (4, ""),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {int(r["doc_id"]): r for r in pii_scrub(docs).collect()}
+    assert got[0]["n_email"] == 2 and "<EMAIL>" in got[0]["text_clean"]
+    assert "@" not in got[0]["text_clean"]
+    assert got[1]["n_ipv4"] == 2
+    assert got[1]["text_clean"] == "server <IP> and <IP>."
+    assert got[2]["n_phone"] == 2
+    assert got[2]["text_clean"] == "call <PHONE> or <PHONE> ok"
+    assert got[3]["text_clean"] == "no pii here at all"
+    assert all(got[3][c] == 0 for c in ("n_email", "n_ipv4", "n_phone"))
+    assert got[4]["text_clean"] == "" and got[5]["text_clean"] == ""
