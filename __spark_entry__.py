@@ -1606,6 +1606,46 @@ def _q_facet_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANA_IDX_CACHE: dict[str, str] = {}
+
+
+def _ana_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index over the ANALYZED corpus (dts.analysis.en_light_analyze_col:
+    stopword removal + Lucene EnglishMinimalStemmer) — the analyzer
+    composes outside the engine, so one standard build over analyzed
+    text is the analyzed index."""
+    if sf_dir not in _ANA_IDX_CACHE:
+        import tempfile
+
+        from dts.analysis import en_light_analyze_col
+        from dts.index_build import build_index
+        from dts.io import driver_documents_as_source
+
+        docs = driver_documents_as_source(spark, sf_dir).withColumn(
+            "content", en_light_analyze_col("content")
+        )
+        idx_dir = tempfile.mkdtemp(prefix="dts_ana_idx_")
+        build_index(spark, docs, idx_dir, bucket_size=256)
+        _ANA_IDX_CACHE[sf_dir] = idx_dir
+    return _ANA_IDX_CACHE[sf_dir]
+
+
+def _q_stemmed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the analyzed index with analyzer-mirrored queries —
+    Lucene's index-time == query-time Analyzer contract: 'the databases'
+    and 'database' hit the same postings."""
+    from dts.analysis import en_light_analyze
+    from dts.score_index import bm25_topk_indexed
+
+    q = spark.createDataFrame(
+        [(i, en_light_analyze(t), 0) for i, t in PROBE_QUERIES],
+        "query_id long, text string, fuzzy_k int",
+    )
+    return _rerank6_top10(
+        bm25_topk_indexed(spark, _ana_index(spark, sf_dir), q, k=10**6)
+    )
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (dts.textstats.pii_scrub): email/IPv4/phone redaction +
     per-family counts, 100% JVM regexp in one map-side pass. The probe
@@ -1921,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_cardinality": _q_facet_cardinality,
         "facet_percentiles": _q_facet_percentiles,
         "pii_scrub": _q_pii_scrub,
+        "stemmed_topk": _q_stemmed_topk,
         "range_search": _q_range_search,
         "sort_by_meta": _q_sort_by_meta,
         "collapse_source": _q_collapse_source,
@@ -3541,6 +3582,51 @@ scored AS (
          round(sum(
            pow(1.0 + ln(stats.n_docs / (dfreq.df + 1.0)), 2)
            * sqrt(tf.tf) / sqrt(dl.dl)
+         ), 6) AS score6
+  FROM qterms
+  JOIN tf USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+    from dts.analysis import EN_STOPWORDS, en_light_analyze, stem_sql_duckdb
+
+    _stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    _ana_values = ", ".join(
+        f"({i}, '{en_light_analyze(t)}')" for i, t in PROBE_QUERIES
+    )
+    extra["stemmed_topk"] = f"""
+WITH t0 AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '{TOK}') AS tk
+  FROM documents
+),
+ana AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(tk, t -> NOT list_contains([{_stop}], t)),
+           t -> {stem_sql_duckdb('t')}) AS toks
+  FROM t0
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM ana),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM ana),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, text) AS (VALUES {_ana_values}),
+qterms AS (SELECT query_id::BIGINT AS query_id, unnest(string_split(text, ' ')) AS term FROM q),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         round(sum(
+           ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
          ), 6) AS score6
   FROM qterms
   JOIN tf USING (term)
