@@ -1606,6 +1606,44 @@ def _q_facet_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UPSERT_KEYS = (3, 7)
+UPSERT_TEXT = "fast join table scan replaces the old {k} body with query data"
+
+
+def _q_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document update lifecycle (dts.update.upsert_docs — Lucene
+    updateDocument): two docs replaced by external key (tombstone +
+    merge with fresh watermark ids), compacted, then BM25 top-10 — the
+    oracle scores the post-update corpus directly (old rows gone, new
+    rows at ids 500/501)."""
+    import tempfile
+
+    from dts.index_build import build_index, compact_index
+    from dts.io import driver_documents_as_source
+    from dts.score_index import bm25_topk_indexed
+    from dts.update import upsert_docs
+
+    docs = driver_documents_as_source(spark, sf_dir).withColumn(
+        "key", F.concat(F.lit("k"), F.col("doc_id").cast("string"))
+    )
+    idx_dir = tempfile.mkdtemp(prefix="dts_upsert_idx_")
+    build_index(spark, docs, idx_dir, bucket_size=256, store_fields=["key"])
+    new = spark.createDataFrame(
+        [
+            (f"k{k}", f"k{k}", UPSERT_TEXT.format(k=f"k{k}"))
+            for k in UPSERT_KEYS
+        ],
+        "path string, key string, content string",
+    )
+    upsert_docs(spark, idx_dir, new, "key")
+    compact_index(spark, idx_dir)
+    q = spark.createDataFrame(
+        [(i, t, 0) for i, t in PROBE_QUERIES],
+        "query_id long, text string, fuzzy_k int",
+    )
+    return _rerank6_top10(bm25_topk_indexed(spark, idx_dir, q, k=10**6))
+
+
 _ANA_IDX_CACHE: dict[str, str] = {}
 
 
@@ -1962,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_percentiles": _q_facet_percentiles,
         "pii_scrub": _q_pii_scrub,
         "stemmed_topk": _q_stemmed_topk,
+        "upsert_topk": _q_upsert_topk,
         "range_search": _q_range_search,
         "sort_by_meta": _q_sort_by_meta,
         "collapse_source": _q_collapse_source,
@@ -3582,6 +3621,50 @@ scored AS (
          round(sum(
            pow(1.0 + ln(stats.n_docs / (dfreq.df + 1.0)), 2)
            * sqrt(tf.tf) / sqrt(dl.dl)
+         ), 6) AS score6
+  FROM qterms
+  JOIN tf USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+    _up_rows = "\n  UNION ALL ".join(
+        f"SELECT {500 + j} AS doc_id, '{UPSERT_TEXT.format(k=f'k{k}')}' AS text"
+        for j, k in enumerate(UPSERT_KEYS)
+    )
+    extra["upsert_topk"] = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id NOT IN {UPSERT_KEYS}
+  UNION ALL {_up_rows}
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '{TOK}')) AS term
+  FROM base
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(coalesce(text, '')), '{TOK}'))::BIGINT AS dl
+  FROM base
+),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, text) AS (VALUES {VALUES_QUERIES}),
+qterms AS (SELECT query_id::BIGINT AS query_id, unnest(string_split(text, ' ')) AS term FROM q),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         round(sum(
+           ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
          ), 6) AS score6
   FROM qterms
   JOIN tf USING (term)

@@ -141,3 +141,78 @@ def test_term_vectors_lifecycle(spark, corpus_pd, tmp_path):
             bucket_size=64,
         )
         term_vectors(spark, idx2)
+
+
+def test_upsert_docs_lifecycle(spark, corpus_pd, tmp_path):
+    """updateDocument semantics: replace by external key (old content
+    unfindable pre-compaction via tombstone mask), insert unknown keys,
+    re-upsert the same key repeatedly, reject in-batch duplicates."""
+    from dts.score_index import bm25_topk_indexed
+    from dts.update import upsert_docs
+
+    idx = str(tmp_path / "up_idx")
+    base = corpus_pd.head(50).copy()
+    base["key"] = "k" + base["doc_id"].astype(str)
+    build_index(
+        spark, spark.createDataFrame(base), idx, bucket_size=16,
+        store_fields=["key"],
+    )
+
+    def top_ids(text):
+        q = spark.createDataFrame(
+            [(0, text, 0)], "query_id long, text string, fuzzy_k int"
+        )
+        return [
+            int(r["doc_id"])
+            for r in bm25_topk_indexed(spark, idx, q, k=50).collect()
+        ]
+
+    marker = "zzxqy unique marker phrase"
+    new = spark.createDataFrame(
+        [("k7", f"{marker} first rewrite"), ("knew", f"{marker} inserted")],
+        "key string, content string",
+    )
+    meta = upsert_docs(spark, idx, new, "key")
+    assert meta["next_doc_id"] == 52
+    hits = top_ids("zzxqy")
+    assert len(hits) == 2 and all(h >= 50 for h in hits)  # new ids only
+    old_text_tok = None
+    import re as _re
+    for t in _re.findall(r"[a-z0-9]+", corpus_pd["content"].iloc[7].lower()):
+        if t not in ("the", "a"):
+            old_text_tok = t
+            break
+    assert 7 not in top_ids(old_text_tok)  # tombstone masks old doc 7
+
+    # re-upsert the SAME key: must tombstone the generation-2 doc
+    meta = upsert_docs(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [("k7", f"{marker} second rewrite")], "key string, content string"
+        ),
+        "key",
+    )
+    assert meta["next_doc_id"] == 53
+    hits = top_ids("zzxqy")
+    assert len(hits) == 2  # knew + the latest k7 generation only
+
+    with pytest.raises(ValueError, match="duplicate"):
+        upsert_docs(
+            spark,
+            idx,
+            spark.createDataFrame(
+                [("kx", "a"), ("kx", "b")], "key string, content string"
+            ),
+            "key",
+        )
+    with pytest.raises(ValueError, match="stored field"):
+        idx2 = str(tmp_path / "up_idx2")
+        build_index(
+            spark, spark.createDataFrame(base), idx2, bucket_size=16
+        )
+        upsert_docs(
+            spark, idx2,
+            spark.createDataFrame([("k1", "x")], "key string, content string"),
+            "key",
+        )
