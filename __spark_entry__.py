@@ -655,6 +655,28 @@ def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECAY_ORIGIN, DECAY_SCALE = 200.0, 150.0
+
+
+def _q_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES decay function scoring (dts.docvalues.decay_score_topk): rank
+    by bm25 · gauss(n_chars; origin=200, scale=150, decay=0.5) — the
+    recency/proximity-boost shape, applied inside the kernel over the
+    bucket-colocated doc-value arrays."""
+    from dts.docvalues import decay_score_topk
+
+    q = spark.createDataFrame(
+        [(i, t) for i, t in PROBE_QUERIES], "query_id long, text string"
+    )
+    return _rerank6_top10(
+        decay_score_topk(
+            spark, _dv_index(spark, sf_dir), q, "n_chars",
+            origin=DECAY_ORIGIN, scale=DECAY_SCALE, kind="gauss",
+            k=10**6,
+        )
+    )
+
+
 _MI_IDX_CACHE: dict[str, tuple[str, str]] = {}
 
 
@@ -2001,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "stemmed_topk": _q_stemmed_topk,
         "upsert_topk": _q_upsert_topk,
+        "decay_topk": _q_decay_topk,
         "range_search": _q_range_search,
         "sort_by_meta": _q_sort_by_meta,
         "collapse_source": _q_collapse_source,
@@ -3338,6 +3361,40 @@ scored AS (
 ),
 fs AS (
   SELECT s.query_id, s.doc_id, round(s.s * ln(1 + d.n_chars), 6) AS s6
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, doc_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY s6 DESC, doc_id ASC
+  ) AS rank FROM fs
+) WHERE rank <= 10
+"""
+    extra["decay_topk"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_D_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_D_TOKS})::BIGINT AS dl FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, text) AS (VALUES {VALUES_QUERIES}),
+qterms AS (SELECT query_id::BIGINT AS query_id, unnest(string_split(text, ' ')) AS term FROM q),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum(
+           ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS s
+  FROM qterms JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  GROUP BY 1, 2
+),
+fs AS (
+  SELECT s.query_id, s.doc_id,
+         round(s.s * (1.0 * exp(
+           -(greatest(abs(d.n_chars - {DECAY_ORIGIN}) - 0.0, 0.0)
+             * greatest(abs(d.n_chars - {DECAY_ORIGIN}) - 0.0, 0.0))
+           / (2.0 * (-({DECAY_SCALE} * {DECAY_SCALE}) / (2.0 * ln(0.5))))
+         )), 6) AS s6
   FROM scored s JOIN documents d ON s.doc_id = d.doc_id
 )
 SELECT query_id, doc_id, rank::INTEGER AS rank FROM (

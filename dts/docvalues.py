@@ -257,24 +257,96 @@ def function_score_topk(
     bucket-key shuffle instead. Requires strategy='taat' semantics (the
     stored block maxima bound raw BM25 only; Lucene likewise cannot use
     impacts under score transforms)."""
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError(f"unknown boost_mode {boost_mode!r}")
+    if modifier not in ("log1p", "sqrt", "none"):
+        raise ValueError(f"unknown modifier {modifier!r}")
+    return _dv_scored(
+        spark, index_dir, queries, field, k,
+        (modifier, float(factor), boost_mode, float(missing)),
+        distribute, broadcast_dv,
+    )
+
+
+def decay_score_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    field: str,
+    origin: float,
+    scale: float,
+    kind: str = "gauss",
+    offset: float = 0.0,
+    decay: float = 0.5,
+    k: int = 10,
+    boost_mode: str = "multiply",
+    missing: float | None = None,
+    distribute: str | None = None,
+    broadcast_dv: bool = True,
+) -> DataFrame:
+    """ES decay functions (function_score decay): rank by ``bm25 OP
+    f(dist)`` where dist = max(|field − origin| − offset, 0) and f is
+
+        gauss:  exp(−dist² / 2σ²),       σ² = −scale² / (2·ln decay)
+        exp:    exp(λ·dist),             λ  = ln(decay) / scale
+        linear: max((s − dist) / s, 0),  s  = scale / (1 − decay)
+
+    — each parameterized so f(scale+offset) = ``decay``, exactly ES's
+    contract ("documents at distance *scale* score *decay*"). The
+    recency/geo-proximity boost of every search UI, here over any stored
+    numeric doc value. ``missing`` defaults to ``origin`` (neutral:
+    f(0 distance) = 1). Applied inside the kernel like
+    function_score_topk — same colocated-bucket plumbing, same
+    exact-before-truncation ranking."""
+    if kind not in ("gauss", "exp", "linear"):
+        raise ValueError(f"unknown decay kind {kind!r}")
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError(f"unknown boost_mode {boost_mode!r}")
+    if scale <= 0:
+        raise ValueError("scale must be > 0")
+    if not (0.0 < decay < 1.0):
+        raise ValueError("decay must be in (0, 1)")
+    if missing is None:
+        missing = float(origin)
+    spec = (
+        (kind, float(origin), float(scale), float(offset), float(decay)),
+        1.0,
+        boost_mode,
+        float(missing),
+    )
+    return _dv_scored(
+        spark, index_dir, queries, field, k, spec, distribute, broadcast_dv
+    )
+
+
+def _dv_scored(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    field: str,
+    k: int,
+    dv_spec: tuple,
+    distribute: str | None,
+    broadcast_dv: bool,
+) -> DataFrame:
+    """Shared doc-value scoring plumbing: sidecar values → per-bucket
+    sorted (ids, vals) arrays colocated on the posting rows (the
+    tombstone join shape) → the TAAT kernel applies ``dv_spec``."""
     from pyspark.sql.types import NumericType
 
     from dts.index_build import load_meta
     from dts.score_index import (
+        MAX_ISIN_TERMS,
         TOPK_SCHEMA,
         _prepare_query_scan,
         _score_filtered,
         load_index,
     )
 
-    if boost_mode not in ("multiply", "sum"):
-        raise ValueError(f"unknown boost_mode {boost_mode!r}")
-    if modifier not in ("log1p", "sqrt", "none"):
-        raise ValueError(f"unknown modifier {modifier!r}")
     side = sidecar(spark, index_dir, [field])
     if not isinstance(side.schema[field].dataType, NumericType):
         raise ValueError(
-            f"function_score needs a numeric field, got "
+            f"doc-value scoring needs a numeric field, got "
             f"{side.schema[field].dataType.simpleString()} for {field!r}"
         )
     meta = load_meta(index_dir)
@@ -294,8 +366,6 @@ def function_score_topk(
             F.transform("s", lambda x: x["v"]).alias("_dv_vals"),
         )
     )
-    from dts.score_index import MAX_ISIN_TERMS
-
     idx = load_index(spark, index_dir)
     prep = _prepare_query_scan(
         spark, idx, index_dir, queries, MAX_ISIN_TERMS,
@@ -307,6 +377,5 @@ def function_score_topk(
     return _score_filtered(
         spark, idx["meta"], postings, stats, qterms, n_queries, k,
         "taat", distribute, index_dir,
-        dv=dv, dv_spec=(modifier, float(factor), boost_mode, float(missing)),
-        broadcast_dv=broadcast_dv,
+        dv=dv, dv_spec=dv_spec, broadcast_dv=broadcast_dv,
     )

@@ -648,7 +648,28 @@ def _scorer_fn(
                     )
                     hitv = dv_ids[pos] == uniq
                     vals[hitv] = dv_vals[pos[hitv]]
-                if modifier == "log1p":
+                if isinstance(modifier, tuple):
+                    # ES decay functions (gauss/exp/linear): shape over
+                    # dist = max(|v − origin| − offset, 0), parameterized
+                    # so f(scale) = decay — the exact ES formulas.
+                    kind, origin, scale_p, offset, decay = modifier
+                    dist = np.maximum(
+                        np.abs(vals - float(origin)) - float(offset), 0.0
+                    )
+                    if kind == "gauss":
+                        sigma2 = -(float(scale_p) ** 2) / (
+                            2.0 * np.log(float(decay))
+                        )
+                        fv = np.exp(-(dist * dist) / (2.0 * sigma2))
+                    elif kind == "exp":
+                        lam = np.log(float(decay)) / float(scale_p)
+                        fv = np.exp(lam * dist)
+                    elif kind == "linear":
+                        s_ = float(scale_p) / (1.0 - float(decay))
+                        fv = np.maximum((s_ - dist) / s_, 0.0)
+                    else:
+                        raise ValueError(f"unknown decay kind {kind!r}")
+                elif modifier == "log1p":
                     fv = np.log1p(vals)
                 elif modifier == "sqrt":
                     fv = np.sqrt(vals)

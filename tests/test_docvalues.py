@@ -347,3 +347,72 @@ def test_facet_histogram(spark, dv_idx, corpus_pd, meta_pd):
         facet_histogram_indexed(spark, dv_idx, "n_chars", 0).collect()
     with _pt.raises(ValueError, match="key"):
         facet_histogram_indexed(spark, dv_idx, "n_chars", 10.0, matches=top).collect()
+
+
+def _decay_f(kind, v, origin, scale, offset, decay):
+    import math
+
+    dist = max(abs(v - origin) - offset, 0.0)
+    if kind == "gauss":
+        sigma2 = -(scale ** 2) / (2.0 * math.log(decay))
+        return math.exp(-(dist * dist) / (2.0 * sigma2))
+    if kind == "exp":
+        return math.exp(math.log(decay) / scale * dist)
+    s = scale / (1.0 - decay)
+    return max((s - dist) / s, 0.0)
+
+
+def test_decay_score_vs_replay(spark, dv_idx, corpus_pd, meta_pd):
+    import numpy as np
+
+    from dts.docvalues import decay_score_topk
+    from dts.oracle import OracleIndex
+
+    oracle = OracleIndex(
+        list(zip(corpus_pd["doc_id"].astype(int), corpus_pd["content"]))
+    )
+    text = _terms(corpus_pd, 2)
+    nv = meta_pd["n_chars"].to_dict()
+    q = spark.createDataFrame([(0, text)], "query_id long, text string")
+    origin, scale = 600.0, 300.0
+    for kind, offset, decay, bm in [
+        ("gauss", 0.0, 0.5, "multiply"),
+        ("exp", 50.0, 0.3, "multiply"),
+        ("linear", 0.0, 0.5, "sum"),
+    ]:
+        got = (
+            decay_score_topk(
+                spark, dv_idx, q, "n_chars", origin=origin, scale=scale,
+                kind=kind, offset=offset, decay=decay, k=10, boost_mode=bm,
+            )
+            .toPandas()
+            .sort_values("rank")
+        )
+        base = {d: s for _, d, s in oracle.score_query(text, topk=10**6)}
+        out = {}
+        for d, s in base.items():
+            fv = _decay_f(kind, float(nv[d]), origin, scale, offset, decay)
+            out[d] = s * fv if bm == "multiply" else s + fv
+        want = sorted(
+            out.items(), key=lambda kv: (-round(kv[1], 9), kv[0])
+        )[:10]
+        assert list(got["doc_id"].astype(int)) == [d for d, _ in want], kind
+        assert np.allclose(got["score"], [s for _, s in want], rtol=1e-9)
+    # contract: a doc AT distance scale(+offset) scores exactly `decay`
+    assert abs(_decay_f("gauss", origin + scale, origin, scale, 0, 0.5) - 0.5) < 1e-12
+    assert abs(_decay_f("exp", origin + scale, origin, scale, 0, 0.3) - 0.3) < 1e-12
+    assert abs(_decay_f("linear", origin + scale, origin, scale, 0, 0.5) - 0.5) < 1e-12
+
+
+def test_decay_score_validation(spark, dv_idx):
+    import pytest as _pt
+
+    from dts.docvalues import decay_score_topk
+
+    q = spark.createDataFrame([(0, "x")], "query_id long, text string")
+    with _pt.raises(ValueError, match="decay kind"):
+        decay_score_topk(spark, dv_idx, q, "n_chars", 0, 1, kind="triangle")
+    with _pt.raises(ValueError, match="scale"):
+        decay_score_topk(spark, dv_idx, q, "n_chars", 0, 0)
+    with _pt.raises(ValueError, match="decay must"):
+        decay_score_topk(spark, dv_idx, q, "n_chars", 0, 1, decay=1.0)
