@@ -1400,8 +1400,9 @@ MLT_MAX_TERMS, MLT_MIN_DF = 25, 2
 
 
 def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-4 MoreLikeThis (dts.mlt): seed term vectors reconstructed
-    from the bucket-colocated postings, top-25 tf·idf terms (df ≥ 2,
+    """Round-4 MoreLikeThis (dts.mlt): seed term vectors from the stored
+    sidecar when the index has one (round-5 — this one does; falls back
+    to bucket-postings reconstruction), top-25 tf·idf terms (df ≥ 2,
     round-9 tiebreak by term), disjunctive BM25 over the selection with
     the seed excluded from its own results. Oracle: the same selection +
     scoring in SQL."""

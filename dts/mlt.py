@@ -104,7 +104,16 @@ def more_like_this(
     idx = load_index(spark, index_dir)
     meta = idx["meta"]
     n_docs = meta["n_docs"]
-    vectors = doc_term_vectors(spark, index_dir, doc_ids)
+    if meta.get("store_term_vectors"):
+        # Lucene behavior: use STORED term vectors when the index has
+        # them (an IN-list-pruned read of the doc-major sidecar) instead
+        # of reconstructing from bucket postings — same (doc_id, term,
+        # tf) rows (test-pinned), no posting decode.
+        from dts.termvectors import term_vectors as tv_read
+
+        vectors = tv_read(spark, index_dir, doc_ids=list(doc_ids))
+    else:
+        vectors = doc_term_vectors(spark, index_dir, doc_ids)
     stats = idx["term_stats"].select("term", "df").filter(
         F.col("df") >= min_df
     )

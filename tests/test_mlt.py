@@ -91,3 +91,36 @@ def test_more_like_this_duplicate_seed_finds_twin(spark, mlt_index, corpus_pd):
     got = more_like_this(spark, mlt_index, [twins[0]], k=3).toPandas()
     top1 = int(got.sort_values("rank")["doc_id"].iloc[0])
     assert top1 in set(twins[1:]), (twins, top1)
+
+
+def test_mlt_stored_term_vectors_identical(spark, corpus_pd, tmp_path):
+    """An index WITH the term_vectors sidecar must produce bit-identical
+    MLT output to one without (Lucene: stored vectors vs re-analysis are
+    the same vector), and the sidecar read must equal the bucket-postings
+    reconstruction row-for-row."""
+    from dts.index_build import build_index
+    from dts.mlt import doc_term_vectors, more_like_this
+    from dts.termvectors import term_vectors
+
+    docs = spark.createDataFrame(corpus_pd.head(120))
+    a = str(tmp_path / "mlt_plain")
+    b = str(tmp_path / "mlt_tv")
+    build_index(spark, docs, a, bucket_size=32)
+    build_index(spark, docs, b, bucket_size=32, store_term_vectors=True)
+    seeds = [1, 17, 63]
+    rec = {
+        (int(r["doc_id"]), r["term"]): int(r["tf"])
+        for r in doc_term_vectors(spark, a, seeds).collect()
+    }
+    sid = {
+        (int(r["doc_id"]), r["term"]): int(r["tf"])
+        for r in term_vectors(spark, b, doc_ids=seeds).collect()
+    }
+    assert rec == sid
+    key = lambda df: sorted(  # noqa: E731
+        (int(r["query_id"]), int(r["rank"]), int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in df.collect()
+    )
+    assert key(more_like_this(spark, a, seeds, k=5)) == key(
+        more_like_this(spark, b, seeds, k=5)
+    )
