@@ -25,6 +25,9 @@ Prints ONE JSON line: {"metric", "value" (total sec), "unit": "sec",
   span_near8       8 ordered span-near queries (total-span budget)
   synonym_batch8   8 queries with blended SynonymQuery clauses
   rescore8         8-query phrase-rescored window (top-50 → top-10)
+  sig_terms8       significant_terms over 8 top-100 hit sets — round 5 late
+  lmd_batch8       8-query LM Dirichlet scoring (cf-aware kernel plug)
+  pii_scrub_docs   corpus-wide PII redaction counts (one codegen pass)
   delete_compact   tombstone 1% of docs + compaction re-encode
 
 The N-vs-4N scaling evidence lives in scripts/scaling_bench.py → BENCH/.
@@ -306,6 +309,38 @@ def main() -> None:
         lambda: rescore_topk(
             spark, pos_idx_dir, rs_qs, k=10, window=50
         ).count(),
+    )
+
+    agg_qs = spark.createDataFrame(
+        [
+            (i, f"{vocab[(i * 7) % len(vocab)]} {vocab[(i * 7 + 1) % len(vocab)]}")
+            for i in range(8)
+        ],
+        "query_id long, text string",
+    )
+    from dts.facet import significant_terms_indexed
+
+    agg_matches = bm25_topk_indexed(spark, idx_dir, agg_qs, k=100)
+    stage(
+        "sig_terms8",
+        lambda: significant_terms_indexed(
+            spark, idx_dir, agg_matches, docs, key="query_id",
+            text_col="content", size=10, min_doc_count=3,
+        ).count(),
+    )
+    stage(
+        "lmd_batch8",
+        lambda: bm25_topk_indexed(
+            spark, idx_dir, agg_qs, k=10, similarity="lmd"
+        ).count(),
+    )
+    from dts.textstats import pii_scrub
+
+    stage(
+        "pii_scrub_docs",
+        lambda: pii_scrub(docs, text_col="content")
+        .agg(F.sum("n_email"), F.sum("n_ipv4"), F.sum("n_phone"))
+        .collect(),
     )
 
     def _delete_compact() -> None:

@@ -34,6 +34,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", default="/dev/shm/dts_bench/corpus_480000_ids")
     ap.add_argument("--base", default="/dev/shm/dts_bench")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="run only these stages (default all)")
     args = ap.parse_args()
 
     spark = get_spark("r5cops", master="local[8]", shuffle_partitions=16)
@@ -61,6 +63,8 @@ def main() -> None:
     ]
 
     def stage(name, fn, reps=2):
+        if args.only is not None and name not in args.only:
+            return
         best = None
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -68,7 +72,7 @@ def main() -> None:
             w = time.perf_counter() - t0
             best = w if best is None else min(best, w)
         out[name] = round(best, 2)
-        print(f"# {name}: {out[name]}", file=sys.stderr)
+        print(f"# {name}: {out[name]}", file=sys.stderr, flush=True)
 
     from dts.facet import (
         facet_cardinality,
@@ -132,6 +136,16 @@ def main() -> None:
         ).count(),
     )
 
+    from dts.docvalues import decay_score_topk
+
+    stage(
+        "decay8",
+        lambda: decay_score_topk(
+            spark, dv_idx, qs, "n_chars", origin=2000.0, scale=1500.0,
+            kind="gauss", k=10,
+        ).count(),
+    )
+
     from dts.termvectors import term_vectors
 
     fetch_ids = [int(i * 30011) % 480000 for i in range(16)]
@@ -142,11 +156,15 @@ def main() -> None:
 
     from dts.dedup import contamination_pairs, winnowed_span_pairs
 
+    # max_fp_df=20: the boilerplate cap is the production config — a
+    # fingerprint shared by >20 docs is license-header-grade and its
+    # df² join term is exactly the blowup the cap exists to kill.
     stage(
         "span_pairs_480k",
         lambda: winnowed_span_pairs(
-            docs, k=8, w=4, max_fp_df=200, text_col="content"
+            docs, k=8, w=4, max_fp_df=20, text_col="content", hash="fast"
         ).count(),
+        reps=1,
     )
     bench = docs.filter(F.col("doc_id") % 7501 == 3).select(
         F.col("doc_id").alias("bench_id"),
@@ -160,6 +178,7 @@ def main() -> None:
         lambda: contamination_pairs(
             docs, bench, n=8, min_shared=2, text_col="content"
         ).count(),
+        reps=1,
     )
 
     from dts.textstats import pii_scrub

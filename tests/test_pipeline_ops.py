@@ -669,6 +669,22 @@ def test_winnowed_span_pairs_guarantee_and_replay(spark):
     assert (3, 4) in got          # identical short docs pair up
     assert not any(2 in p for p in got)
 
+    # the vectorized production hash keeps the guarantee (different
+    # sampled fingerprints, same span detection + determinism)
+    fast1 = {
+        (int(r["a"]), int(r["b"]))
+        for r in winnowed_span_pairs(docs, k=k, w=w, hash="fast").collect()
+    }
+    fast2 = {
+        (int(r["a"]), int(r["b"]))
+        for r in winnowed_span_pairs(docs, k=k, w=w, hash="fast").collect()
+    }
+    assert (0, 1) in fast1 and (3, 4) in fast1
+    assert not any(2 in p for p in fast1)
+    assert fast1 == fast2  # run-to-run deterministic (no process salt)
+    with pytest.raises(ValueError, match="unknown hash"):
+        winnowed_span_pairs(docs, hash="sha1")
+
     # full replay
     def fps(text):
         toks = re.findall(r"[a-z0-9]+", text.lower())
