@@ -182,6 +182,17 @@ def cmd_compact(args) -> None:
     print(_json.dumps(compact_index(spark, args.index), sort_keys=True))
 
 
+def cmd_check(args) -> None:
+    """Index integrity verification (Lucene CheckIndex analogue)."""
+    import json as _json
+
+    from dts.check import check_index
+
+    spark = get_spark("dts-check")
+    report = check_index(spark, args.index, strict=args.strict)
+    print(_json.dumps(report, sort_keys=True))
+
+
 def cmd_bool(args) -> None:
     """Boolean MUST/MUST_NOT matching; prints one JSON line per doc."""
     from dts.boolquery import boolean_match_docs
@@ -333,6 +344,11 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("--multifield", action="store_true")
     g.add_argument("--default-field", default=None, dest="default_field")
     g.set_defaults(fn=cmd_search)
+
+    g = sub.add_parser("check")
+    g.add_argument("--index", required=True)
+    g.add_argument("--strict", action="store_true")
+    g.set_defaults(fn=cmd_check)
 
     g = sub.add_parser("compact")
     g.add_argument("--index", required=True)

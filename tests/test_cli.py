@@ -152,17 +152,18 @@ def test_cli_search_multifield(spark, corpus_pd, tmp_path, capsys):
     assert lines and all(r["rank"] == i + 1 for i, r in enumerate(lines))
 
 
-def test_cli_complete_and_explain(cli_dirs, corpus_pd, capsys):
+def test_cli_complete_and_explain(cli_dirs, corpus_pd, tmp_path, capsys):
+    """(Own index dir: the shared cli fixture is tombstoned/compacted by
+    test_cli_delete_query_compact, but the oracle below scores the FULL
+    corpus — stats would drift and explain totals would mismatch.)"""
     from dts.oracle import OracleIndex
     from dts.tokenizer import tokenize_text
 
-    import os
-
-    docs_dir, idx_dir = cli_dirs
-    if not os.path.exists(f"{idx_dir}/meta.json"):
-        main(["build", "--docs", docs_dir, "--out", idx_dir,
-              "--bucket-size", "64", "--positions"])
-        capsys.readouterr()
+    docs_dir, _ = cli_dirs
+    idx_dir = str(tmp_path / "cli_explain_idx")
+    main(["build", "--docs", docs_dir, "--out", idx_dir,
+          "--bucket-size", "64", "--positions"])
+    capsys.readouterr()
     toks = tokenize_text(corpus_pd["content"].iloc[0])
     main(["complete", "--index", idx_dir, "--prefix", toks[0][:2], "--n", "3"])
     lines = [
