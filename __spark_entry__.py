@@ -655,6 +655,29 @@ def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PS_QUERIES = [
+    (0, "fastt joinn"),
+    (1, "tabel scann"),
+    (2, "merg tabel"),
+    (3, "hashh joinn"),
+]
+
+
+def _q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester (dts.phrasesuggest.suggest_phrases): per-token
+    edit-distance candidates (the term suggester's trigram-floored spec)
+    composed and re-ranked by a corpus bigram LM with Stupid Backoff —
+    whole-query did-you-mean. Oracle replicates candidates, composition
+    and the LM bit-for-bit."""
+    from dts.phrasesuggest import bigram_counts, suggest_phrases
+
+    bg = bigram_counts(_docs(spark, sf_dir), text_col="text")
+    return suggest_phrases(
+        spark, _pos_index(spark, sf_dir), PS_QUERIES, bg,
+        max_k=1, per_token=3, n=3,
+    )
+
+
 DECAY_ORIGIN, DECAY_SCALE = 200.0, 150.0
 
 
@@ -2025,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stemmed_topk": _q_stemmed_topk,
         "upsert_topk": _q_upsert_topk,
         "decay_topk": _q_decay_topk,
+        "phrase_suggest": _q_phrase_suggest,
         "range_search": _q_range_search,
         "sort_by_meta": _q_sort_by_meta,
         "collapse_source": _q_collapse_source,
@@ -3325,6 +3349,74 @@ SELECT input, suggestion, distance, cf, rank::INTEGER AS rank FROM (
     PARTITION BY input ORDER BY distance ASC, cf DESC, suggestion ASC
   ) AS rank FROM cand
 ) WHERE rank <= 5
+"""
+    _ps_vals = ", ".join(
+        "({}, '{}', '{}')".format(i, *t.split()) for i, t in PS_QUERIES
+    )
+    extra["phrase_suggest"] = f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+tok AS (SELECT unnest(toks) AS term FROM t),
+uni AS (SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY 1),
+tot AS (SELECT sum(cf)::DOUBLE AS total FROM uni),
+big AS (
+  SELECT s['w1'] AS w1, s['w2'] AS w2, count(*)::BIGINT AS c FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                  i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS s
+    FROM t
+  ) GROUP BY 1, 2
+),
+inp(query_id, t1, t2) AS (VALUES {_ps_vals}),
+toks_in AS (
+  SELECT DISTINCT input FROM (
+    SELECT t1 AS input FROM inp UNION SELECT t2 FROM inp
+  )
+),
+vt AS (SELECT term, cf, {_D_TRI.format(c="term")} AS tri FROM uni),
+qt AS (SELECT input, {_D_TRI.format(c="input")} AS tri FROM toks_in),
+cand AS (
+  SELECT input, term AS suggestion,
+         levenshtein(input, term)::INTEGER AS distance, cf
+  FROM vt CROSS JOIN qt
+  WHERE len(list_intersect(vt.tri, qt.tri)) >= greatest(1, len(qt.tri) - 3)
+    AND abs(length(term) - length(input)) <= 1
+    AND levenshtein(input, term) <= 1
+),
+c3 AS (
+  SELECT input, suggestion, cf FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY input ORDER BY distance ASC, cf DESC, suggestion ASC
+    ) AS r FROM cand
+  ) WHERE r <= 3
+),
+-- engine fallback: a token with NO reachable candidate keeps itself
+-- (necessarily OOV — in-vocab tokens self-suggest at distance 0), cf 0
+cands AS (
+  SELECT input, suggestion, cf FROM c3
+  UNION ALL
+  SELECT input, input AS suggestion, 0::BIGINT AS cf FROM toks_in
+  WHERE input NOT IN (SELECT input FROM c3)
+),
+phr AS (
+  SELECT i.query_id::BIGINT AS query_id,
+         a.suggestion AS w1, a.cf AS cf1,
+         b.suggestion AS w2, b.cf AS cf2
+  FROM inp i JOIN cands a ON a.input = i.t1 JOIN cands b ON b.input = i.t2
+),
+scored AS (
+  SELECT query_id, phr.w1 || ' ' || phr.w2 AS suggestion,
+         round(
+           ln((cf1 + 0.5) / tot.total)
+           + CASE WHEN bg.c IS NOT NULL THEN ln(bg.c / cf1)
+             ELSE ln(0.4 * (cf2 + 0.5) / tot.total) END, 6) AS score6
+  FROM phr
+  LEFT JOIN big bg ON bg.w1 = phr.w1 AND bg.w2 = phr.w2
+  CROSS JOIN tot
+)
+SELECT query_id, suggestion, score6, rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score6 DESC, suggestion ASC
+  ) AS rank FROM scored
+) WHERE rank <= 3
 """
     # Histogram facet: floor-bucketed n_chars over each query's top-10.
     extra["facet_histogram"] = _BM25_SQL_CTE + f"""

@@ -1,0 +1,179 @@
+"""Phrase suggester — whole-query did-you-mean (ES phrase suggester).
+
+The term suggester (dts.suggest) corrects words in isolation; the
+phrase suggester corrects QUERIES: per-token candidates from the same
+trigram-prefiltered edit-distance machinery, composed into candidate
+phrases and re-ranked by a corpus bigram language model with Stupid
+Backoff smoothing (Brants et al. 2007 — what ES's phrase suggester
+calls stupid_backoff, its default):
+
+    score(w1..wm) = ln P(w1) + Σ_i ln P(w_i | w_{i-1})
+    P(w|v) = c(v,w) / c(v,·)          when the bigram was seen
+           = alpha · cf(w) / total    otherwise (backoff, alpha=0.4)
+
+so "fost join" beats "fast jain" iff the corpus says so — exactly the
+real-word-error ranking a unigram speller cannot do.
+
+Scale shape: the bigram table is ONE tokenize pass + hash agg over the
+corpus (materialize it next to the index — build-sized, not
+query-sized); query batches are client-sized (spell-assist), candidate
+composition is driver-side over per_token^m ≤ beam-capped phrases, and
+scoring is one broadcast join of the candidate pairs against the bigram
+and term stats. Nothing corpus-sized moves at query time.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TOK = "[a-z0-9]+"
+ALPHA = 0.4  # ES stupid_backoff default discount
+
+PHRASE_SUGGEST_SCHEMA = (
+    "query_id long, suggestion string, score6 double, rank int"
+)
+
+
+def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w1, w2, c): adjacent-token bigram counts over the corpus —
+    100% JVM expressions, one scan + partial/final hash agg. Materialize
+    once per corpus (it is the suggester's language model)."""
+    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOK}', 0)"
+    pairs = F.expr(
+        f"""
+        CASE WHEN size({toks}) < 2 THEN array()
+        ELSE transform(sequence(1, size({toks}) - 1),
+                       i -> struct({toks}[i - 1] AS w1, {toks}[i] AS w2))
+        END
+        """
+    )
+    return (
+        docs.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def suggest_phrases(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    bigrams: DataFrame,
+    max_k: int = 1,
+    per_token: int = 3,
+    n: int = 3,
+    alpha: float = ALPHA,
+    max_candidates: int = 256,
+) -> DataFrame:
+    """(query_id, suggestion, score6, rank): top-``n`` corrected phrases
+    per input query. Per-token candidates = the term suggester's top
+    ``per_token`` within edit distance ``max_k`` (the token itself
+    included when in-vocabulary, distance 0); composition enumerates the
+    cross product, beam-capped at ``max_candidates`` phrases per query
+    (first by composed edit distance, then lexicographic — ES's
+    candidate-generator cap analogue). Tokens with NO candidate in the
+    vocabulary keep themselves (scored through backoff: unseen words get
+    the floor probability cf=0 → 1/(2·total), so hopeless queries still
+    rank their best repair)."""
+    from dts.suggest import suggest_terms
+
+    toks_by_q = {
+        int(qid): re.findall(TOK, text.lower()) for qid, text in queries
+    }
+    all_toks = sorted({t for ts in toks_by_q.values() for t in ts})
+    if not all_toks:
+        return spark.createDataFrame([], PHRASE_SUGGEST_SCHEMA)
+    cand_rows = suggest_terms(
+        spark, index_dir, all_toks, max_k=max_k, n=per_token,
+        include_exact=True,
+    ).collect()
+    cands: dict[str, list[tuple[str, int]]] = {}
+    for r in cand_rows:
+        cands.setdefault(r["input"], []).append(
+            (r["suggestion"], int(r["distance"]))
+        )
+    # compose (driver-side: queries are client-sized, fan-out capped)
+    phrases: list[tuple[int, str]] = []
+    for qid, toks in toks_by_q.items():
+        if not toks:
+            continue
+        per = [cands.get(t) or [(t, 0)] for t in toks]
+        combos = sorted(
+            itertools.product(*per),
+            key=lambda c: (sum(d for _, d in c), tuple(w for w, _ in c)),
+        )[:max_candidates]
+        for combo in combos:
+            phrases.append((qid, " ".join(w for w, _ in combo)))
+    if not phrases:
+        return spark.createDataFrame([], PHRASE_SUGGEST_SCHEMA)
+
+    # scoring: explode candidate phrases into (prev, word) pairs, join
+    # bigram + unigram stats (broadcast — candidate side is tiny)
+    stats = spark.read.parquet(f"{index_dir}/term_stats").select("term", "cf")
+    total = stats.agg(F.sum("cf")).collect()[0][0] or 1
+    pf = spark.createDataFrame(phrases, "query_id long, suggestion string")
+    words = pf.select(
+        "query_id", "suggestion",
+        F.posexplode(F.split("suggestion", " ")).alias("pos", "w"),
+    )
+    words = words.withColumn(
+        "prev",
+        F.lag("w").over(
+            Window.partitionBy("query_id", "suggestion").orderBy("pos")
+        ),
+    )
+    uni = stats.withColumnRenamed("term", "w").withColumnRenamed("cf", "cfw")
+    vtot = stats.withColumnRenamed("term", "prev").withColumnRenamed(
+        "cf", "cfprev"
+    )
+    bg = bigrams.select(
+        F.col("w1").alias("prev"), F.col("w2").alias("w"),
+        F.col("c").alias("bc"),
+    )
+    j = (
+        words.join(uni, "w", "left")
+        .join(vtot, "prev", "left")
+        .join(bg, ["prev", "w"], "left")
+    )
+    # ln P: unigram for pos 0; bigram w/ stupid backoff after. Unseen
+    # unigrams floor at cf=0.5 (half a count) so ln stays finite and
+    # engine-portable.
+    lp = F.when(
+        F.col("prev").isNull(),
+        F.log(
+            (F.coalesce(F.col("cfw"), F.lit(0)) + F.lit(0.5))
+            / F.lit(float(total))
+        ),
+    ).otherwise(
+        F.when(
+            F.col("bc").isNotNull(),
+            F.log(F.col("bc") / F.col("cfprev")),
+        ).otherwise(
+            F.log(
+                F.lit(float(alpha))
+                * (F.coalesce(F.col("cfw"), F.lit(0)) + F.lit(0.5))
+                / F.lit(float(total))
+            )
+        )
+    )
+    scored = (
+        j.withColumn("lp", lp)
+        .groupBy("query_id", "suggestion")
+        .agg(F.round(F.sum("lp"), 6).alias("score6"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score6").desc(), F.col("suggestion").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= int(n))
+        .select(
+            "query_id", "suggestion", "score6",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
