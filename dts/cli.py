@@ -193,6 +193,28 @@ def cmd_check(args) -> None:
     print(_json.dumps(report, sort_keys=True))
 
 
+def cmd_stats(args) -> None:
+    """Index statistics (no Spark job)."""
+    import json as _json
+
+    from dts.snapshot import index_stats
+
+    print(_json.dumps(index_stats(args.index), sort_keys=True))
+
+
+def cmd_snapshot(args) -> None:
+    """Point-in-time hard-link snapshot (or restore with --restore-to)."""
+    import json as _json
+
+    from dts.snapshot import restore_index, snapshot_index
+
+    if args.restore_to:
+        man = restore_index(args.snap, args.restore_to)
+    else:
+        man = snapshot_index(args.index, args.snap)
+    print(_json.dumps({"files": len(man["files"])}, sort_keys=True))
+
+
 def cmd_bool(args) -> None:
     """Boolean MUST/MUST_NOT matching; prints one JSON line per doc."""
     from dts.boolquery import boolean_match_docs
@@ -349,6 +371,16 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("--index", required=True)
     g.add_argument("--strict", action="store_true")
     g.set_defaults(fn=cmd_check)
+
+    g = sub.add_parser("stats")
+    g.add_argument("--index", required=True)
+    g.set_defaults(fn=cmd_stats)
+
+    g = sub.add_parser("snapshot")
+    g.add_argument("--index", default=None)
+    g.add_argument("--snap", required=True)
+    g.add_argument("--restore-to", default=None, dest="restore_to")
+    g.set_defaults(fn=cmd_snapshot)
 
     g = sub.add_parser("compact")
     g.add_argument("--index", required=True)
