@@ -655,6 +655,35 @@ def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DVU_IDS = (2, 5, 8, 11)
+
+
+def _q_dv_update_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene doc-values updates (dts.docvalues.update_doc_values):
+    stored-field values changed WITHOUT reindexing — a fresh index's
+    n_chars is rewritten for four docs (to doc_id·3+7, all below the
+    corpus minimum of 48), then a range query over the sidecar must see
+    exactly the updated values."""
+    import tempfile
+
+    from dts.docvalues import range_docs, update_doc_values
+    from dts.index_build import build_index
+    from dts.io import driver_documents_as_source
+
+    docs = driver_documents_as_source(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"), "doc_id"
+    )
+    idx = tempfile.mkdtemp(prefix="dts_dvu_idx_")
+    build_index(
+        spark, docs, idx, bucket_size=256, store_fields=["n_chars"]
+    )
+    ups = spark.createDataFrame(
+        [(d, d * 3 + 7) for d in DVU_IDS], "doc_id long, n_chars long"
+    )
+    update_doc_values(spark, idx, ups, ["n_chars"])
+    return range_docs(spark, idx, "n_chars", 0, 45)
+
+
 PS_QUERIES = [
     (0, "fastt joinn"),
     (1, "tabel scann"),
@@ -2049,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_topk": _q_upsert_topk,
         "decay_topk": _q_decay_topk,
         "phrase_suggest": _q_phrase_suggest,
+        "dv_update_range": _q_dv_update_range,
         "range_search": _q_range_search,
         "sort_by_meta": _q_sort_by_meta,
         "collapse_source": _q_collapse_source,
@@ -3349,6 +3379,14 @@ SELECT input, suggestion, distance, cf, rank::INTEGER AS rank FROM (
     PARTITION BY input ORDER BY distance ASC, cf DESC, suggestion ASC
   ) AS rank FROM cand
 ) WHERE rank <= 5
+"""
+    extra["dv_update_range"] = f"""
+SELECT doc_id FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id IN {DVU_IDS} THEN doc_id * 3 + 7
+              ELSE n_chars END AS v
+  FROM documents
+) WHERE v BETWEEN 0 AND 45
 """
     _ps_vals = ", ".join(
         "({}, '{}', '{}')".format(i, *t.split()) for i, t in PS_QUERIES

@@ -48,6 +48,74 @@ def sidecar(spark: SparkSession, index_dir: str, need: list[str]) -> DataFrame:
     return spark.read.parquet(f"{index_dir}/doc_meta")
 
 
+def update_doc_values(
+    spark: SparkSession,
+    index_dir: str,
+    updates: DataFrame,
+    fields: list[str],
+) -> dict:
+    """Lucene doc-values updates: change STORED FIELD values of existing
+    docs without touching postings — the metadata-refresh path (a doc's
+    popularity score, its freshness timestamp, a moderation flag) that
+    must not cost a reindex. ``updates`` carries (doc_id, *fields);
+    listed fields are overwritten for the given docs (others keep their
+    values), unknown doc_ids are ignored (they have no sidecar row to
+    update — use upsert_docs/merge_index to add docs).
+
+    Mechanics: ONE left join of the doc_id-sorted sidecar against the
+    updates (broadcast when small — AQE decides), rewritten to a `_new`
+    dir and os.replace'd, meta revision bumped so every process-level
+    cache invalidates. Old files stay immutable (snapshots keep working).
+    Every doc-value surface (range/sort/collapse/function_score/decay/
+    facet sidecar) reads the new values immediately."""
+    from dts.index_build import load_meta, save_meta
+
+    import os
+    import shutil
+
+    meta = load_meta(index_dir)
+    stored = meta.get("store_fields") or []
+    missing = [f for f in fields if f not in stored]
+    if missing:
+        raise ValueError(
+            f"fields {missing} not stored in this index "
+            f"(store_fields={stored})"
+        )
+    bad_cols = [c for c in fields if c not in updates.columns]
+    if bad_cols or "doc_id" not in updates.columns:
+        raise ValueError(
+            f"updates must carry doc_id + {fields}; has {updates.columns}"
+        )
+    dm = spark.read.parquet(f"{index_dir}/doc_meta")
+    up = updates.select(
+        "doc_id", *[F.col(f).alias(f"_up_{f}") for f in fields]
+    )
+    dup = up.groupBy("doc_id").count().filter("count > 1").limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"duplicate doc_id {int(dup[0]['doc_id'])} in updates batch"
+        )
+    merged = dm.join(up, "doc_id", "left").select(
+        "doc_id",
+        *[
+            (
+                F.coalesce(F.col(f"_up_{f}"), F.col(f)).alias(f)
+                if f in fields
+                else F.col(f)
+            )
+            for f in stored
+        ],
+    )
+    par = spark.sparkContext.defaultParallelism
+    tmp = f"{index_dir}/doc_meta_new"
+    merged.repartitionByRange(max(1, par // 4), "doc_id").sortWithinPartitions(
+        "doc_id"
+    ).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(f"{index_dir}/doc_meta")
+    os.replace(tmp, f"{index_dir}/doc_meta")
+    return save_meta(index_dir, meta)
+
+
 def _range_pred(side: DataFrame, rng: tuple) -> F.Column:
     """Boolean column for one (field, lo, hi, lo_incl, hi_incl) range.
     Endpoint literals are cast to the COLUMN's type (a numeric sidecar

@@ -416,3 +416,74 @@ def test_decay_score_validation(spark, dv_idx):
         decay_score_topk(spark, dv_idx, q, "n_chars", 0, 0)
     with _pt.raises(ValueError, match="decay must"):
         decay_score_topk(spark, dv_idx, q, "n_chars", 0, 1, decay=1.0)
+
+
+def test_update_doc_values(spark, corpus_pd, tmp_path):
+    """DV updates rewrite stored values without reindexing: every
+    doc-value surface sees new values; unknown ids ignored; validation
+    (unstored field, missing col, duplicate ids); null update keeps old
+    value (coalesce semantics, documented)."""
+    import pytest as _pt
+
+    from dts.docvalues import (
+        function_score_topk,
+        range_docs,
+        update_doc_values,
+    )
+    from dts.index_build import build_index, load_meta
+
+    docs = spark.createDataFrame(corpus_pd.head(40)).withColumn(
+        "grp", (F.col("doc_id") % 3).cast("long")
+    )
+    d = str(tmp_path / "dvu")
+    build_index(spark, docs, d, bucket_size=16, store_fields=["grp", "lang"])
+    rev0 = load_meta(d)["revision"]
+
+    ups = spark.createDataFrame(
+        [(0, 99, "zz"), (7, 99, None), (10 ** 6, 99, "xx")],
+        "doc_id long, grp long, lang string",
+    )
+    update_doc_values(spark, d, ups, ["grp", "lang"])
+    assert load_meta(d)["revision"] > rev0  # caches invalidate
+
+    got = {
+        int(r["doc_id"])
+        for r in range_docs(spark, d, "grp", 99, 99).collect()
+    }
+    assert got == {0, 7}  # unknown id 10^6 ignored
+    side = {
+        int(r["doc_id"]): (int(r["grp"]), r["lang"])
+        for r in spark.read.parquet(f"{d}/doc_meta").collect()
+    }
+    assert side[0] == (99, "zz")
+    assert side[7][0] == 99
+    assert side[7][1] == corpus_pd["lang"].iloc[7]  # null kept old value
+    assert side[3] == (0, corpus_pd["lang"].iloc[3])  # untouched row
+    assert len(side) == 40  # no rows added or lost
+
+    # scoring surface reads updates immediately
+    from dts.tokenizer import tokenize_text
+
+    text = " ".join(tokenize_text(corpus_pd["content"].iloc[0])[:2])
+    q = spark.createDataFrame([(0, text)], "query_id long, text string")
+    s = function_score_topk(
+        spark, d, q, "grp", k=5, modifier="none", boost_mode="sum",
+        factor=1.0, missing=0.0,
+    ).collect()
+    assert any(float(r["score"]) > 50 for r in s if int(r["doc_id"]) == 0)
+
+    with _pt.raises(ValueError, match="not stored"):
+        update_doc_values(spark, d, ups, ["n_chars"])
+    with _pt.raises(ValueError, match="must carry"):
+        update_doc_values(
+            spark, d,
+            spark.createDataFrame([(1,)], "doc_id long"), ["grp"],
+        )
+    with _pt.raises(ValueError, match="duplicate"):
+        update_doc_values(
+            spark, d,
+            spark.createDataFrame(
+                [(1, 5, "a"), (1, 6, "b")], "doc_id long, grp long, lang string"
+            ),
+            ["grp"],
+        )
