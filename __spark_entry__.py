@@ -1874,6 +1874,22 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(emb, queries, k=10)
 
 
+def _q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered kNN (ES pre-filter semantics): exact top-10 among ONLY
+    the eligible vectors (vec_id ≡ 0 mod 3) — the filter semi-joins the
+    corpus before ranking, so the page is full-length from the allowed
+    set, never a post-filtered stub."""
+    from dts.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("qvec"),
+    )
+    allow = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    return cosine_topk_bruteforce(emb, queries, k=10, allow=allow)
+
+
 IVF_CENTROIDS, IVF_NPROBE, IVF_SEED = 16, 4, "ivf"
 
 
@@ -2101,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "simhash": _q_simhash,
         "ann_topk": _q_ann_topk,
+        "ann_filtered": _q_ann_filtered,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "emb_ivf_pairs": _q_emb_ivf_pairs,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -2347,6 +2364,17 @@ FROM documents
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS q_id, v AS w FROM e WHERE vec_id < 5),
 s AS (SELECT q_id, vec_id, {_D_COS} AS cos6 FROM e CROSS JOIN q)
+SELECT q_id, vec_id, cos6, rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id ASC) AS rank FROM s
+) WHERE rank <= 10
+""",
+        "ann_filtered": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS w FROM e WHERE vec_id < 5),
+s AS (
+  SELECT q_id, vec_id, {_D_COS} AS cos6
+  FROM e CROSS JOIN q WHERE e.vec_id % 3 = 0
+)
 SELECT q_id, vec_id, cos6, rank::INTEGER AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id ASC) AS rank FROM s
 ) WHERE rank <= 10

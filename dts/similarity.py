@@ -35,11 +35,20 @@ def _as_double(col: str):
 
 
 def cosine_topk_bruteforce(
-    emb: DataFrame, queries: DataFrame, k: int = 10
+    emb: DataFrame, queries: DataFrame, k: int = 10,
+    allow: DataFrame | None = None,
 ) -> DataFrame:
     """queries(q_id, qvec array<double>) × emb(vec_id, embedding) → exact
-    top-k by cosine: (q_id, vec_id, cos6, rank). Query side broadcast."""
+    top-k by cosine: (q_id, vec_id, cos6, rank). Query side broadcast.
+
+    ``allow``: ES filtered-kNN PRE-filter semantics — a (vec_id)
+    DataFrame restricting the candidate universe BEFORE ranking, so the
+    top-k is the best of the eligible set (post-filtering would return
+    fewer than k). The filter is a semi-join pushed ahead of the scoring
+    cross: at corpus scale it prunes the scan, it never re-ranks."""
     e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    if allow is not None:
+        e = e.join(allow.select("vec_id").distinct(), "vec_id", "left_semi")
     q = queries.select("q_id", F.col("qvec").alias("w"))
     dot = F.expr("aggregate(zip_with(v, w, (a, b) -> a * b), cast(0.0 as double), (acc, z) -> acc + z)")
     nv = F.expr("sqrt(aggregate(transform(v, a -> a * a), cast(0.0 as double), (acc, z) -> acc + z))")
@@ -236,6 +245,7 @@ def ivf_topk(
     seed: str = "ivf",
     lloyd_iters: int = 0,
     max_cell_size: int | None = None,
+    allow: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign every vector to its nearest centroid
     (cosine, round-6 tie-broken by centroid id), probe each query's
@@ -281,6 +291,15 @@ def ivf_topk(
     assigned = e.withColumn(
         "c_id", ivf_assign_udf(cent_ids, cent_mat)(F.col("v"))
     )
+    if allow is not None:
+        # Filtered kNN (ES pre-filter semantics): restrict CANDIDATES,
+        # keep the quantizer trained on the full corpus — the filter
+        # applies after cell assignment, before re-rank. Recall caveat
+        # (as in ES/FAISS): a highly selective filter concentrated
+        # outside the probed cells needs a larger nprobe.
+        assigned = assigned.join(
+            allow.select("vec_id").distinct(), "vec_id", "left_semi"
+        )
     dot_vc = F.expr("aggregate(zip_with(v, c, (a, b) -> a * b), cast(0.0 as double), (acc, z) -> acc + z)")
     nv = F.expr("sqrt(aggregate(transform(v, a -> a * a), cast(0.0 as double), (acc, z) -> acc + z))")
     nc = F.expr("sqrt(aggregate(transform(c, a -> a * a), cast(0.0 as double), (acc, z) -> acc + z))")

@@ -727,3 +727,36 @@ def test_pii_scrub_replay(spark):
     assert got[3]["text_clean"] == "no pii here at all"
     assert all(got[3][c] == 0 for c in ("n_email", "n_ipv4", "n_phone"))
     assert got[4]["text_clean"] == "" and got[5]["text_clean"] == ""
+
+
+def test_filtered_knn_prefilter_semantics(spark):
+    from dts.similarity import cosine_topk_bruteforce, ivf_topk
+
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((60, 8)).astype(np.float64)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[0]])], "q_id long, qvec array<double>"
+    )
+    allow = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id")
+    got = cosine_topk_bruteforce(emb, q, k=10, allow=allow).collect()
+    assert len(got) == 10                     # full page from allowed set
+    assert all(int(r["vec_id"]) % 2 == 1 for r in got)  # pre-filter
+    assert all(int(r["vec_id"]) != 0 for r in got)      # self is even
+
+    # equals brute force computed over the allowed subset only
+    sub = cosine_topk_bruteforce(
+        emb.filter(F.col("vec_id") % 2 == 1), q, k=10
+    ).collect()
+    key = lambda rows: [(r["rank"], r["vec_id"], r["cos6"]) for r in  # noqa: E731
+                        sorted(rows, key=lambda x: x["rank"])]
+    assert key(got) == key(sub)
+
+    # IVF with nprobe == n_cells is exact under any filter
+    ivf = ivf_topk(
+        emb, q, k=10, n_centroids=6, nprobe=6, allow=allow
+    ).collect()
+    assert key(ivf) == key(sub)
