@@ -1890,6 +1890,25 @@ def _q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(emb, queries, k=10, allow=allow)
 
 
+SQ_RERANK = 30
+
+
+def _q_sq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized vector search (dts.similarity.sq_topk —
+    Lucene int8 / FAISS SQ8 shape): rank by quantized cosine over the
+    4×-smaller representation (per-vector scales cancel for cosine),
+    exact-rescore the top 30, emit top-10. Oracle replicates the
+    quantization (floor(x/scale + 0.5)) and both stages bit-for-bit."""
+    from dts.similarity import sq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("qvec"),
+    )
+    return sq_topk(emb, queries, k=10, rerank=SQ_RERANK)
+
+
 IVF_CENTROIDS, IVF_NPROBE, IVF_SEED = 16, 4, "ivf"
 
 
@@ -2118,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_topk": _q_ann_topk,
         "ann_filtered": _q_ann_filtered,
+        "sq_ann_topk": _q_sq_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "emb_ivf_pairs": _q_emb_ivf_pairs,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -2366,6 +2386,40 @@ q AS (SELECT vec_id AS q_id, v AS w FROM e WHERE vec_id < 5),
 s AS (SELECT q_id, vec_id, {_D_COS} AS cos6 FROM e CROSS JOIN q)
 SELECT q_id, vec_id, cos6, rank::INTEGER AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id ASC) AS rank FROM s
+) WHERE rank <= 10
+""",
+        "sq_ann_topk": f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+enc AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> floor(x /
+           greatest(list_max(list_transform(v, y -> abs(y))) / 127.0, 1e-30)
+           + 0.5)) AS qv
+  FROM e0
+),
+encn AS (
+  SELECT vec_id, v, qv, sqrt(list_dot_product(qv, qv)) AS qn FROM enc
+),
+q AS (
+  SELECT vec_id AS q_id, v AS w, qv AS qw, qn AS qwn
+  FROM encn WHERE vec_id < 5
+),
+cand AS (
+  SELECT q_id, e.vec_id, e.v, q.w,
+         round(list_dot_product(e.qv, q.qw) / (e.qn * q.qwn), 6) AS qcos6
+  FROM encn e CROSS JOIN q
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY q_id ORDER BY qcos6 DESC, vec_id ASC) AS r
+    FROM cand
+  ) WHERE r <= {SQ_RERANK}
+),
+s AS (SELECT q_id, vec_id, {_D_COS} AS cos6 FROM top)
+SELECT q_id, vec_id, cos6, rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY cos6 DESC, vec_id ASC) AS rank FROM s
 ) WHERE rank <= 10
 """,
         "ann_filtered": f"""

@@ -760,3 +760,46 @@ def test_filtered_knn_prefilter_semantics(spark):
         emb, q, k=10, n_centroids=6, nprobe=6, allow=allow
     ).collect()
     assert key(ivf) == key(sub)
+
+
+def test_sq_topk_quantization_and_rescore(spark):
+    from dts.similarity import cosine_topk_bruteforce, sq_encode, sq_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((70, 10))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(70)],
+        "vec_id long, embedding array<float>",
+    )
+    enc = {int(r["vec_id"]): list(r["qv"]) for r in sq_encode(emb).collect()}
+    for i, qv in enc.items():
+        assert max(abs(x) for x in qv) == 127  # scale hits full range
+        assert all(-127 <= x <= 127 for x in qv)
+        # quantization error bounded by half a step
+        v32 = vecs[i].astype(np.float32).astype(np.float64)
+        scale = max(np.abs(v32).max() / 127.0, 1e-30)
+        assert np.allclose(
+            np.array(qv), np.floor(v32 / scale + 0.5), atol=0
+        )
+
+    q = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(3)],
+        "q_id long, qvec array<double>",
+    )
+    key = lambda rows: sorted(  # noqa: E731
+        (r.q_id, r.rank, r.vec_id, r.cos6) for r in rows
+    )
+    exact = cosine_topk_bruteforce(emb, q, k=5).collect()
+    # degenerate rerank = corpus size -> identical to brute force
+    assert key(sq_topk(emb, q, k=5, rerank=70).collect()) == key(exact)
+    # practical rerank: high recall, self always top
+    got = sq_topk(emb, q, k=5, rerank=15).collect()
+    gs, es = {}, {}
+    for r in got:
+        gs.setdefault(r.q_id, set()).add(r.vec_id)
+    for r in exact:
+        es.setdefault(r.q_id, set()).add(r.vec_id)
+    assert np.mean([len(gs[i] & es[i]) / 5 for i in es]) >= 0.8
+    assert all(int(r["vec_id"]) == int(r["q_id"]) for r in got if r["rank"] == 1)
+    with pytest.raises(ValueError, match="rerank"):
+        sq_topk(emb, q, k=5, rerank=3)
