@@ -101,10 +101,23 @@ def sq_topk(
     4×-smaller data), keep the top ``rerank`` per query, then exact
     float re-rank of only those — (q_id, vec_id, cos6, rank) with cos6
     the EXACT cosine of the survivors. rerank ≥ k bounds the quality
-    trade; rerank = corpus size degenerates to brute force."""
+    trade; rerank = corpus size degenerates to brute force.
+
+    ``emb`` may be raw (vec_id, embedding) — encoded on the fly, fine
+    for tests — or an ALREADY-ENCODED frame from :func:`sq_encode`
+    (columns v/qv/qn). Materialize the encoding once per corpus: it IS
+    the vector index (measured at 100k×64: 6.1 s re-encoding per batch
+    vs 2.8 s over a persisted encoding — wall-parity with float brute
+    force at this expr-bound toy scale; the persisted int8 table's 4×
+    size win is what matters when 10⁹ vectors make the scan
+    memory/IO-bound)."""
     if rerank < k:
         raise ValueError("rerank must be >= k")
-    e = sq_encode(emb)
+    e = (
+        emb
+        if {"v", "qv", "qn"}.issubset(set(emb.columns))
+        else sq_encode(emb)
+    )
     q = sq_encode(
         queries.select(F.col("q_id").alias("vec_id"), F.col("qvec").alias("embedding"))
     ).select(

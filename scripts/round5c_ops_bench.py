@@ -181,6 +181,88 @@ def main() -> None:
         reps=1,
     )
 
+    # --- latest surfaces: phrase suggester, SQ/filtered ANN, DV update
+    from dts.phrasesuggest import bigram_counts, suggest_phrases
+
+    bg_path = f"{args.base}/bigrams_480k"
+    if not os.path.exists(bg_path):
+        t0 = time.perf_counter()
+        bigram_counts(docs, text_col="content").write.parquet(bg_path)
+        out["prep_bigrams"] = round(time.perf_counter() - t0, 2)
+    bg = spark.read.parquet(bg_path)
+    ps_qs = [(i, f"{vocab[(i * 13) % 400]}x {vocab[(i * 13 + 1) % 400]}")
+             for i in range(8)]
+    stage(
+        "phrase_suggest8",
+        lambda: suggest_phrases(
+            spark, dv_idx, ps_qs, bg, max_k=1, per_token=3, n=3
+        ).count(),
+    )
+
+    emb100k = spark.range(100_000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), d -> cast(conv(substring(md5("
+            "concat('v', cast(id as string), ':', cast(d as string))), 1, 8),"
+            " 16, 10) as double) / 4294967296.0 - 0.5)"
+        ).alias("embedding"),
+    )
+    qv100k = emb100k.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("qvec"),
+    )
+    from dts.similarity import cosine_topk_bruteforce, sq_topk
+
+    stage(
+        "sq_100k_5q",
+        lambda: sq_topk(emb100k, qv100k, k=10, rerank=50).count(),
+    )
+    from dts.similarity import sq_encode
+
+    sq_path = f"{args.base}/sq_100k"
+    if not os.path.exists(sq_path):
+        t0 = time.perf_counter()
+        sq_encode(emb100k).write.parquet(sq_path)
+        out["prep_sq_encode"] = round(time.perf_counter() - t0, 2)
+    sq_enc = spark.read.parquet(sq_path)
+    stage(
+        "sq_100k_5q_encoded",
+        lambda: sq_topk(sq_enc, qv100k, k=10, rerank=50).count(),
+    )
+    stage(
+        "brute_100k_5q",
+        lambda: cosine_topk_bruteforce(emb100k, qv100k, k=10).count(),
+    )
+    allow100k = emb100k.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    stage(
+        "filtered_100k_5q",
+        lambda: cosine_topk_bruteforce(
+            emb100k, qv100k, k=10, allow=allow100k
+        ).count(),
+    )
+
+    # DV update benchmarked on a hard-link SNAPSHOT of the shared index
+    # (instant to take; keeps the tmpfs fixture immutable for others).
+    import shutil
+    import tempfile
+
+    from dts.docvalues import update_doc_values
+    from dts.snapshot import snapshot_index
+
+    ups = spark.range(10_000).select(
+        (F.col("id") * 48 % 480000).alias("doc_id"),
+        (F.col("id") % 4096).cast("long").alias("n_chars"),
+    )
+
+    def _dv_update():
+        snap = tempfile.mkdtemp(prefix="dts_dvu_snap_")
+        shutil.rmtree(snap)
+        snapshot_index(dv_idx, snap)
+        update_doc_values(spark, snap, ups, ["n_chars"])
+        shutil.rmtree(snap)
+
+    stage("dv_update_10k", _dv_update, reps=1)
+
     from dts.textstats import pii_scrub
 
     stage(
