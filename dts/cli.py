@@ -291,7 +291,8 @@ def cmd_explain(args) -> None:
     spark = get_spark("dts-explain")
     q = spark.createDataFrame([(0, args.text)], "query_id long, text string")
     rows = explain_scores(
-        spark, args.index, q, {0: [args.doc_id]}
+        spark, args.index, q, {0: [args.doc_id]},
+        similarity=args.similarity,
     ).orderBy("clause").collect()
     total = 0.0
     for r in rows:
@@ -415,6 +416,8 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("--index", required=True)
     g.add_argument("--text", required=True)
     g.add_argument("--doc-id", type=int, required=True, dest="doc_id")
+    g.add_argument("--similarity", choices=["bm25", "classic", "lmd"],
+                   default="bm25")
     g.set_defaults(fn=cmd_explain)
 
     g = sub.add_parser("count")

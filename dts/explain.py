@@ -32,8 +32,27 @@ EXPLAIN_SCHEMA = (
 
 
 def _explain_fn(n_docs: int, avgdl: float, block_size: int, codec: str,
-                targets: dict[int, np.ndarray]):
+                targets: dict[int, np.ndarray], similarity: str = "bm25",
+                total_tokens: float = 0.0):
     from dts.codec import PackedPostings, bm25_impact, decode_postings
+
+    def weight_impact(df: int, cf: int, tf: int, dl: int) -> float:
+        """Per-(clause, doc) contribution under the selected similarity —
+        the SAME formulas as the kernel (dts.score_index / dts.score)."""
+        tf_a = np.asarray([tf], dtype=np.int64)
+        dl_a = np.asarray([dl], dtype=np.int64)
+        if similarity == "classic":
+            from dts.score import classic_impact, classic_weight
+
+            return float(classic_weight(float(n_docs), df)) * float(
+                classic_impact(tf_a, dl_a)[0]
+            )
+        if similarity == "lmd":
+            from dts.score import lmd_impact
+
+            return float(lmd_impact(tf_a, dl_a, cf, total_tokens)[0])
+        idf = float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+        return idf * float(bm25_impact(tf_a, dl_a, avgdl)[0])
 
     def explain_group(pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = int(pdf["query_id"].iloc[0])
@@ -70,17 +89,10 @@ def _explain_fn(n_docs: int, avgdl: float, block_size: int, codec: str,
             hit = docs[pos] == want
             if not np.any(hit):
                 continue
-            df = int(r["df"])
-            idf = float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+            df, cf = int(r["df"]), int(r["cf"])
             for d, i in zip(want[hit], pos[hit]):
                 tf, dl = int(tfs[i]), int(dls[i])
-                contrib = idf * float(
-                    bm25_impact(
-                        np.asarray([tf], dtype=np.int64),
-                        np.asarray([dl], dtype=np.int64),
-                        avgdl,
-                    )[0]
-                )
+                contrib = weight_impact(df, cf, tf, dl)
                 rows["query_id"].append(query_id)
                 rows["doc_id"].append(int(d))
                 rows["clause"].append(int(r["clause"]))
@@ -103,6 +115,7 @@ def explain_scores(
     queries: DataFrame,
     doc_ids: dict[int, list[int]],
     max_isin_terms: int = MAX_ISIN_TERMS,
+    similarity: str = "bm25",
 ) -> DataFrame:
     """Per-clause score breakdown for the given (query, doc) pairs.
     ``queries`` needs (query_id, text); ``doc_ids`` maps query_id → the
@@ -110,7 +123,11 @@ def explain_scores(
     per-(query, doc) contribution sum equals the scorer's output
     bit-for-bit given the same accumulation order (tested). Docs not
     matching a clause simply emit no row for it (Lucene's non-match
-    explanation)."""
+    explanation). ``similarity`` mirrors bm25_topk_indexed's — Lucene's
+    explain() works under any Similarity, so does this one (same
+    weight/impact formulas as the kernel, incl. LMD's per-term floor)."""
+    if similarity not in ("bm25", "classic", "lmd"):
+        raise ValueError(f"unknown similarity {similarity!r}")
     idx = load_index(spark, index_dir)
     meta = idx["meta"]
     rows = [
@@ -148,7 +165,7 @@ def explain_scores(
                     idx["term_stats"],
                     sorted({t for *_, t in qt_rows}),
                     max_isin_terms,
-                ).select("term", "df")
+                ).select("term", "df", "cf")
             ),
             "term",
         )
@@ -156,7 +173,8 @@ def explain_scores(
     return postings.groupBy("query_id", "bucket").applyInPandas(
         _explain_fn(
             meta["n_docs"], meta["avgdl"], meta["block_size"],
-            meta.get("codec", "varint"), targets,
+            meta.get("codec", "varint"), targets, similarity,
+            float(meta.get("total_tokens", 0.0)),
         ),
         EXPLAIN_SCHEMA,
     )

@@ -71,3 +71,38 @@ def test_explain_empty_and_missing(spark, ex_index, queries_pd):
     # a doc matching nothing yields no rows; empty targets yield none
     assert explain_scores(spark, ex_index, q, {qid: [10**9]}).count() == 0
     assert explain_scores(spark, ex_index, q, {}).count() == 0
+
+
+@pytest.mark.parametrize("similarity", ["classic", "lmd"])
+def test_explain_matches_kernel_other_similarities(
+    spark, ex_index, corpus_pd, similarity
+):
+    """Lucene explain() works under any Similarity: the per-clause sums
+    must equal bm25_topk_indexed(similarity=...) scores bit-for-bit."""
+    from dts.explain import explain_scores
+    from dts.score_index import bm25_topk_indexed
+    from dts.tokenizer import tokenize_text
+
+    text = " ".join(tokenize_text(corpus_pd["content"].iloc[0])[:3])
+    q = spark.createDataFrame(
+        [(0, text, 0)], "query_id long, text string, fuzzy_k int"
+    )
+    top = bm25_topk_indexed(
+        spark, ex_index, q, k=5, similarity=similarity
+    ).collect()
+    want = {int(r["doc_id"]): float(r["score"]) for r in top}
+    qx = spark.createDataFrame([(0, text)], "query_id long, text string")
+    rows = explain_scores(
+        spark, ex_index, qx, {0: list(want)}, similarity=similarity
+    ).collect()
+    got = {}
+    for r in rows:
+        got[int(r["doc_id"])] = got.get(int(r["doc_id"]), 0.0) + float(
+            r["contribution"]
+        )
+    for d, s in want.items():
+        assert abs(got.get(d, 0.0) - s) < 1e-12, (similarity, d)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown similarity"):
+        explain_scores(spark, ex_index, qx, {0: [1]}, similarity="dfr")
