@@ -1787,6 +1787,26 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (dts.textstats.gopher_repetition, Rae et
+    al. 2021 Table A1): dup line/paragraph fractions, top-n-gram and
+    dup-n-gram character fractions — one map-side codegen pass. The
+    synthetic corpus has no newlines, so the probe plants them
+    deterministically in BOTH engines (' table ' → \\n, ' row ' → \\n\\n)
+    to make the line/paragraph stats non-degenerate."""
+    from dts.textstats import gopher_repetition
+
+    aug = F.replace(
+        F.replace(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(" table "), F.lit("\n")
+        ),
+        F.lit(" row "),
+        F.lit("\n\n"),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", aug.alias("text"))
+    return gopher_repetition(docs)
+
+
 CONTAM_BENCH_IDS = (3, 17, 41)
 
 
@@ -2109,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_cardinality": _q_facet_cardinality,
         "facet_percentiles": _q_facet_percentiles,
         "pii_scrub": _q_pii_scrub,
+        "gopher_repetition": _q_gopher,
         "stemmed_topk": _q_stemmed_topk,
         "upsert_topk": _q_upsert_topk,
         "decay_topk": _q_decay_topk,
@@ -4024,6 +4045,67 @@ s3 AS (
 )
 SELECT doc_id, md5(t) AS clean_md5, n_email, n_ipv4, n_phone FROM s3
 """.format(e=_pii_email, i=_pii_ipv4, p=_pii_phone)
+    extra["gopher_repetition"] = """
+WITH docs0 AS (
+  SELECT doc_id,
+         replace(replace(coalesce(text, ''), ' table ', chr(10)),
+                 ' row ', chr(10)||chr(10)) AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         list_filter(string_split(t, chr(10)), x -> x <> '') AS lines,
+         list_filter(string_split(t, chr(10)||chr(10)), x -> x <> '') AS paras,
+         regexp_extract_all(lower(t), '[a-z0-9]+') AS toks
+  FROM docs0
+),
+stats AS (
+  SELECT doc_id,
+         len(lines)::BIGINT AS n_lines,
+         len(list_distinct(lines))::BIGINT AS nd_lines,
+         coalesce(list_sum(list_transform(lines, x -> length(x))), 0)::BIGINT AS lc_all,
+         coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0)::BIGINT AS lc_dst,
+         len(paras)::BIGINT AS n_paras,
+         len(list_distinct(paras))::BIGINT AS nd_paras,
+         coalesce(list_sum(list_transform(paras, x -> length(x))), 0)::BIGINT AS pc_all,
+         coalesce(list_sum(list_transform(list_distinct(paras), x -> length(x))), 0)::BIGINT AS pc_dst,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS tokchars
+  FROM base
+),
+grams AS (
+  SELECT b.doc_id, nn.n, array_to_string(b.toks[i.i : i.i + nn.n - 1], ' ') AS gram
+  FROM base b,
+       unnest([2, 3, 4, 5, 10]) AS nn(n),
+       unnest(range(1, len(b.toks) - nn.n + 2)) AS i(i)
+),
+gc AS (
+  SELECT doc_id, n, gram, count(*)::BIGINT AS c,
+         (length(gram) - (n - 1))::BIGINT AS chars
+  FROM grams GROUP BY doc_id, n, gram
+),
+agg AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN c * chars END) AS top2,
+         max(CASE WHEN n = 3 THEN c * chars END) AS top3,
+         max(CASE WHEN n = 4 THEN c * chars END) AS top4,
+         sum(CASE WHEN n = 5 AND c > 1 THEN (c - 1) * chars ELSE 0 END) AS dup5,
+         sum(CASE WHEN n = 10 AND c > 1 THEN (c - 1) * chars ELSE 0 END) AS dup10
+  FROM gc GROUP BY doc_id
+)
+SELECT s.doc_id,
+       s.n_lines,
+       round((s.n_lines - s.nd_lines) / greatest(s.n_lines, 1), 6) AS dup_line_frac6,
+       round((s.lc_all - s.lc_dst) / greatest(s.lc_all, 1), 6) AS dup_line_char_frac6,
+       s.n_paras,
+       round((s.n_paras - s.nd_paras) / greatest(s.n_paras, 1), 6) AS dup_para_frac6,
+       round((s.pc_all - s.pc_dst) / greatest(s.pc_all, 1), 6) AS dup_para_char_frac6,
+       round(coalesce(a.top2, 0) / greatest(s.tokchars, 1), 6) AS top_2gram_char_frac6,
+       round(coalesce(a.top3, 0) / greatest(s.tokchars, 1), 6) AS top_3gram_char_frac6,
+       round(coalesce(a.top4, 0) / greatest(s.tokchars, 1), 6) AS top_4gram_char_frac6,
+       round(coalesce(a.dup5, 0) / greatest(s.tokchars, 1), 6) AS dup_5gram_char_frac6,
+       round(coalesce(a.dup10, 0) / greatest(s.tokchars, 1), 6) AS dup_10gram_char_frac6
+FROM stats s LEFT JOIN agg a USING (doc_id)
+"""
     _bqv = ", ".join(
         "({}, [{}], {})".format(
             i,

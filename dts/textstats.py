@@ -114,6 +114,145 @@ def fingerprints(docs: DataFrame, text_col: str = "text", k: int = 8, n: int = 3
     )
 
 
+def _runstat_top(grams, n: int):
+    """max over distinct grams of count·charlen via ONE pass over the
+    sorted gram array (run-length walk — O(G log G) per doc, no per-gram
+    refilter). charlen(g) = length(g) − (n−1) separators."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def close(a):
+        return F.greatest(
+            a.best,
+            a.run * F.greatest(F.length(a.prev).cast("long") - (n - 1), F.lit(0).cast("long")),
+        )
+
+    def merge(a, g):
+        return F.when(
+            g == a.prev,
+            F.struct(g.alias("prev"), (a.run + 1).alias("run"), a.best.alias("best")),
+        ).otherwise(
+            F.struct(
+                g.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                close(a).alias("best"),
+            )
+        )
+
+    return F.aggregate(F.array_sort(grams), init, merge, close)
+
+
+def _runstat_dup(grams, n: int):
+    """Σ over distinct grams with count>1 of (count−1)·charlen — same
+    one-pass sorted-run walk as :func:`_runstat_top`."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("acc"),
+    )
+
+    def close(a):
+        return a.acc + F.greatest(a.run - 1, F.lit(0).cast("long")) * F.greatest(
+            F.length(a.prev).cast("long") - (n - 1), F.lit(0).cast("long")
+        )
+
+    def merge(a, g):
+        return F.when(
+            g == a.prev,
+            F.struct(g.alias("prev"), (a.run + 1).alias("run"), a.acc.alias("acc")),
+        ).otherwise(
+            F.struct(
+                g.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                close(a).alias("acc"),
+            )
+        )
+
+    return F.aggregate(F.array_sort(grams), init, merge, close)
+
+
+def _grams(toks, n: int):
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_repetition(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021, Table A1): per-doc
+    repetition signals every published pre-training pipeline screens on.
+
+    - ``dup_line_frac6`` / ``dup_para_frac6``: fraction of non-empty
+      lines (split on ``\\n``) / paragraphs (split on ``\\n\\n``) that are
+      repeat occurrences ((total − distinct) / total).
+    - ``dup_line_char_frac6`` / ``dup_para_char_frac6``: fraction of
+      line/paragraph characters inside those repeat occurrences
+      (Σ_all len − Σ_distinct len) / Σ_all len.
+    - ``top_{n}gram_char_frac6`` (n ∈ top_ns): characters covered by the
+      most-repeated token n-gram — max_g count(g)·charlen(g) / Σ token
+      chars, charlen = gram length minus separators.
+    - ``dup_{n}gram_char_frac6`` (n ∈ dup_ns): characters in duplicate
+      n-gram occurrences — Σ_{g: count>1} (count−1)·charlen(g) / Σ token
+      chars (occurrence-count spec; overlaps are NOT merged — the
+      documented delta vs the paper's char-marking variant, same
+      monotonicity, strictly cheaper at scale).
+
+    100% built-in expressions, one map-side codegen pass per doc — no
+    shuffle, no Python; at 100 TB this is scan-bound and embarrassingly
+    parallel. Gram counting is a sorted run-length walk per doc
+    (O(G log G)), not a per-gram refilter (O(G·D)).
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(txt, "\n"), lambda x: x != F.lit(""))
+    paras = F.filter(F.split(txt, "\n\n"), lambda x: x != F.lit(""))
+    toks = F.expr(_toks(text_col))
+
+    def chars_of(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+        )
+
+    def frac6(num, den):
+        return F.round(num / F.greatest(den, F.lit(1)), 6)
+
+    tokchars = chars_of(toks)
+    cols = [F.col("doc_id")]
+    for unit, arr in (("line", lines), ("para", paras)):
+        n_all = F.size(arr).cast("long")
+        n_dst = F.size(F.array_distinct(arr)).cast("long")
+        c_all = chars_of(arr)
+        c_dst = chars_of(F.array_distinct(arr))
+        cols += [
+            n_all.alias(f"n_{unit}s"),
+            frac6(n_all - n_dst, n_all).alias(f"dup_{unit}_frac6"),
+            frac6(c_all - c_dst, c_all).alias(f"dup_{unit}_char_frac6"),
+        ]
+    for n in top_ns:
+        cols.append(
+            frac6(_runstat_top(_grams(toks, n), n), tokchars).alias(
+                f"top_{n}gram_char_frac6"
+            )
+        )
+    for n in dup_ns:
+        cols.append(
+            frac6(_runstat_dup(_grams(toks, n), n), tokchars).alias(
+                f"dup_{n}gram_char_frac6"
+            )
+        )
+    return docs.select(*cols)
+
+
 # PII patterns — intersection of Java-regex and RE2 semantics (greedy,
 # no lookaround, no alternation-order dependence) so the Spark kernel
 # and the DuckDB oracle match byte-for-byte. Scrub order is fixed

@@ -803,3 +803,58 @@ def test_sq_topk_quantization_and_rescore(spark):
     assert all(int(r["vec_id"]) == int(r["q_id"]) for r in got if r["rank"] == 1)
     with pytest.raises(ValueError, match="rerank"):
         sq_topk(emb, q, k=5, rerank=3)
+
+
+def test_gopher_repetition_vs_replay(spark):
+    """Full Python replay of every gopher_repetition column on docs with
+    duplicate lines/paragraphs and overlapping repeated n-grams."""
+    from collections import Counter
+
+    from dts.textstats import gopher_repetition
+
+    rows = [
+        (0, "aa bb\naa bb\ncc dd\n\npara one\n\npara one"),
+        (1, "x y x y x y x y"),          # overlapping grams, frac > 1
+        (2, None),
+        (3, ""),
+        (4, "unique words only here now"),
+        (5, "one\ntwo\nthree\n\n\none\n"),  # empty segments dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_repetition(docs).collect()}
+
+    def frac(num, den):
+        return round(num / max(den, 1), 6)
+
+    for doc_id, text in rows:
+        t = text or ""
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        tokchars = sum(len(x) for x in toks)
+        r = got[doc_id]
+        for unit, sep in (("line", "\n"), ("para", "\n\n")):
+            segs = [s for s in t.split(sep) if s]
+            dst = set(segs)
+            assert r[f"n_{unit}s"] == len(segs)
+            assert r[f"dup_{unit}_frac6"] == frac(len(segs) - len(dst), len(segs))
+            c_all = sum(len(s) for s in segs)
+            c_dst = sum(len(s) for s in dst)
+            assert r[f"dup_{unit}_char_frac6"] == frac(c_all - c_dst, c_all)
+        for n in (2, 3, 4):
+            cnt = Counter(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            best = max(
+                (c * (len(g) - (n - 1)) for g, c in cnt.items()), default=0
+            )
+            assert r[f"top_{n}gram_char_frac6"] == frac(best, tokchars), (doc_id, n)
+        for n in (5, 10):
+            cnt = Counter(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            dup = sum(
+                (c - 1) * (len(g) - (n - 1)) for g, c in cnt.items() if c > 1
+            )
+            assert r[f"dup_{n}gram_char_frac6"] == frac(dup, tokchars), (doc_id, n)
+    # the documented thresholds from the paper are on fractions in [0, 1+):
+    # overlap-counted top-gram fractions may exceed 1 (doc 1)
+    assert got[1]["top_4gram_char_frac6"] > 1.0
