@@ -1659,6 +1659,64 @@ def _q_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FACET_RANGES = (
+    ("short", None, 250.0),
+    ("mid", 250.0, 320.0),
+    ("long", 320.0, None),
+    ("all", None, None),          # overlaps every other bucket (ES allows)
+    ("none", 10000.0, None),      # empty — ES emits 0-count buckets
+)
+
+
+def _q_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range aggregation (dts.facet.facet_range): explicit
+    [from, to) buckets over n_chars per boolean query — overlapping
+    ranges count a doc in every containing bucket and empty buckets are
+    emitted at 0, both ES semantics."""
+    from dts.facet import facet_range
+
+    return facet_range(
+        _bool_matches(spark, sf_dir), _docs(spark, sf_dir), "n_chars",
+        list(FACET_RANGES), key="bq_id",
+    )
+
+
+def _q_facet_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram with CALENDAR intervals (dts.facet.
+    facet_date_histogram): corpus-wide weekly + daily buckets over the
+    events stream — week = ISO Monday truncation, identical in Spark and
+    DuckDB (the parity this probe pins)."""
+    from dts.facet import facet_date_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = None
+    for iv in ("week", "day"):
+        part = facet_date_histogram(None, ev, "ts", iv).select(
+            F.lit(iv).alias("calendar_interval"), "bucket_ts", "n"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+FACET_FILTERS = {
+    "short": "n_chars < 250",
+    "en": "lang = 'en'",
+    "impossible": "n_chars > 100000",
+}
+
+
+def _q_facet_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filters aggregation (dts.facet.facet_filters): named predicate
+    buckets compiled into ONE codegen pass per boolean query's matches;
+    every named bucket emitted even at 0."""
+    from dts.facet import facet_filters
+
+    return facet_filters(
+        _bool_matches(spark, sf_dir), _docs(spark, sf_dir),
+        dict(FACET_FILTERS), key="bq_id",
+    )
+
+
 def _q_facet_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES cardinality aggregation (dts.facet.facet_cardinality, exact
     probe path; approx_count_distinct HLL++ is the 100-TB path)."""
@@ -2126,6 +2184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors": _q_term_vectors,
         "lmd_topk": _q_lmd_topk,
         "facet_stats": _q_facet_stats,
+        "facet_range": _q_facet_range,
+        "facet_date_histogram": _q_facet_date_histogram,
+        "facet_filters": _q_facet_filters,
         "facet_cardinality": _q_facet_cardinality,
         "facet_percentiles": _q_facet_percentiles,
         "pii_scrub": _q_pii_scrub,
@@ -4137,6 +4198,59 @@ SELECT m.bq_id,
 FROM m JOIN documents d USING (doc_id)
 WHERE d.n_chars IS NOT NULL
 GROUP BY 1
+"""
+    _rvals = ", ".join(
+        "('{}', {}, {})".format(
+            lbl,
+            "NULL::DOUBLE" if lo is None else f"{lo}::DOUBLE",
+            "NULL::DOUBLE" if hi is None else f"{hi}::DOUBLE",
+        )
+        for lbl, lo, hi in FACET_RANGES
+    )
+    extra["facet_range"] = f"""
+WITH {_bm_cte},
+r(range_label, range_from, range_to) AS (VALUES {_rvals}),
+keys AS (SELECT DISTINCT bq_id FROM m),
+c AS (
+  SELECT m.bq_id, r.range_label, count(*)::BIGINT AS n
+  FROM m JOIN documents d USING (doc_id) CROSS JOIN r
+  WHERE d.n_chars IS NOT NULL
+    AND (r.range_from IS NULL OR d.n_chars >= r.range_from)
+    AND (r.range_to IS NULL OR d.n_chars < r.range_to)
+  GROUP BY 1, 2
+)
+SELECT k.bq_id, r.range_label, r.range_from, r.range_to,
+       coalesce(c.n, 0)::BIGINT AS n
+FROM keys k CROSS JOIN r
+LEFT JOIN c ON c.bq_id = k.bq_id AND c.range_label = r.range_label
+"""
+    extra["facet_date_histogram"] = """
+SELECT 'week' AS calendar_interval,
+       strftime(date_trunc('week', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+       count(*)::BIGINT AS n
+FROM events WHERE ts IS NOT NULL GROUP BY 2
+UNION ALL
+SELECT 'day', strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
+       count(*)::BIGINT
+FROM events WHERE ts IS NOT NULL GROUP BY 2
+"""
+    _fpred = " OR ".join(
+        f"(nm.bucket = '{n}' AND ({p}))" for n, p in sorted(FACET_FILTERS.items())
+    )
+    _fnames = ", ".join(f"('{n}')" for n in sorted(FACET_FILTERS))
+    extra["facet_filters"] = f"""
+WITH {_bm_cte},
+names(bucket) AS (VALUES {_fnames}),
+keys AS (SELECT DISTINCT bq_id FROM m),
+c AS (
+  SELECT m.bq_id, nm.bucket, count(*)::BIGINT AS n
+  FROM m JOIN documents d USING (doc_id) CROSS JOIN names nm
+  WHERE {_fpred}
+  GROUP BY 1, 2
+)
+SELECT k.bq_id, nm.bucket, coalesce(c.n, 0)::BIGINT AS n
+FROM keys k CROSS JOIN names nm
+LEFT JOIN c ON c.bq_id = k.bq_id AND c.bucket = nm.bucket
 """
     extra["facet_cardinality"] = f"""
 WITH {_bm_cte}

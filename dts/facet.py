@@ -263,6 +263,182 @@ def facet_percentiles(
     )
 
 
+def facet_range(
+    matches: DataFrame | None,
+    docs: DataFrame,
+    field: str,
+    ranges: list[tuple[str, float | None, float | None]],
+    key: str | None = None,
+    broadcast_matches: bool | None = None,
+) -> DataFrame:
+    """ES range aggregation: explicit (label, from, to) buckets over a
+    numeric field — ``from`` inclusive, ``to`` exclusive, ``None`` = open
+    end, exactly ES's range agg contract. A doc counts in EVERY range
+    containing its value (ES ranges may overlap), and every named bucket
+    is emitted even at count 0 (ES behavior), per query when ``matches``
+    (+ ``key``) is given, corpus-wide when ``matches=None``.
+
+    Scale shape: the ranges are a literal array baked into one codegen
+    filter+explode over the (doc_id, field) projection — no join against
+    a ranges table, no shuffle beyond the final hash agg; the zero-bucket
+    completion joins only (distinct keys × len(ranges)) rows."""
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    v = F.col(field).cast("double")
+    r_arr = F.array(
+        *[
+            F.struct(
+                F.lit(str(lbl)).alias("range_label"),
+                F.lit(None if lo is None else float(lo)).cast("double").alias("range_from"),
+                F.lit(None if hi is None else float(hi)).cast("double").alias("range_to"),
+            )
+            for lbl, lo, hi in ranges
+        ]
+    )
+    hit = F.explode(
+        F.filter(
+            r_arr,
+            lambda r: (r.range_from.isNull() | (v >= r.range_from))
+            & (r.range_to.isNull() | (v < r.range_to)),
+        )
+    ).alias("r")
+    side = docs.select("doc_id", field).filter(F.col(field).isNotNull())
+    spark = docs.sparkSession
+    r_rows = [
+        (str(lbl), None if lo is None else float(lo), None if hi is None else float(hi))
+        for lbl, lo, hi in ranges
+    ]
+    r_df = spark.createDataFrame(
+        r_rows, "range_label string, range_from double, range_to double"
+    )
+    if matches is None:
+        counted = (
+            side.select(hit)
+            .groupBy("r.range_label")
+            .agg(F.count("*").alias("n"))
+        )
+        return (
+            F.broadcast(r_df)
+            .join(counted, "range_label", "left")
+            .select(
+                "range_label", "range_from", "range_to",
+                F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            )
+        )
+    if key is None:
+        raise ValueError("key is required when matches is given")
+    m = _hits(matches, key, broadcast_matches)
+    counted = (
+        side.join(m, "doc_id")
+        .select(key, hit)
+        .groupBy(key, "r.range_label")
+        .agg(F.count("*").alias("n"))
+    )
+    base = matches.select(key).distinct().crossJoin(F.broadcast(r_df))
+    return base.join(counted, [key, "range_label"], "left").select(
+        key, "range_label", "range_from", "range_to",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+    )
+
+
+CALENDAR_INTERVALS = ("minute", "hour", "day", "week", "month", "quarter", "year")
+
+
+def facet_date_histogram(
+    matches: DataFrame | None,
+    docs: DataFrame,
+    field: str,
+    calendar_interval: str,
+    key: str | None = None,
+    broadcast_matches: bool | None = None,
+) -> DataFrame:
+    """ES date_histogram aggregation with CALENDAR intervals (month
+    lengths vary — a fixed-interval histogram can't express them):
+    bucket = date_trunc(calendar_interval, ts), emitted as a formatted
+    string for engine portability (week = ISO Monday start in both Spark
+    and DuckDB). Per query over matched docs with ``matches`` (+ ``key``),
+    corpus-wide with ``matches=None``. Null timestamps drop.
+
+    Delta vs ES: only observed buckets are emitted (ES min_doc_count=0
+    densifies the range between first and last bucket client-side — a
+    presentation concern, not an aggregation one). One scan + hash agg,
+    100% JVM."""
+    if calendar_interval not in CALENDAR_INTERVALS:
+        raise ValueError(
+            f"calendar_interval must be one of {CALENDAR_INTERVALS}"
+        )
+    bucket = F.date_format(
+        F.date_trunc(calendar_interval, F.col(field)), "yyyy-MM-dd HH:mm:ss"
+    ).alias("bucket_ts")
+    side = docs.filter(F.col(field).isNotNull())
+    if matches is None:
+        return side.select(bucket).groupBy("bucket_ts").agg(
+            F.count("*").alias("n")
+        )
+    if key is None:
+        raise ValueError("key is required when matches is given")
+    m = _hits(matches, key, broadcast_matches)
+    return (
+        side.select("doc_id", bucket)
+        .join(m, "doc_id")
+        .groupBy(key, "bucket_ts")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def facet_filters(
+    matches: DataFrame | None,
+    docs: DataFrame,
+    filters: dict[str, str],
+    key: str | None = None,
+    broadcast_matches: bool | None = None,
+) -> DataFrame:
+    """ES filters aggregation: named predicate buckets — each bucket
+    counts the docs satisfying its SQL predicate (predicates may overlap;
+    a doc lands in every bucket it satisfies). Every named bucket is
+    emitted even at 0, ES-style. Per query over matched docs with
+    ``matches`` (+ ``key``), corpus-wide with ``matches=None``.
+
+    The predicates are compiled into ONE codegen pass (an array of
+    when(pred, name) hits, null-filtered and exploded) — one scan however
+    many buckets, Catalyst prunes the doc columns to those the predicates
+    reference; the only shuffle is the final hash agg."""
+    if not filters:
+        raise ValueError("filters must be non-empty")
+    names = sorted(filters)
+    hits_arr = F.filter(
+        F.array(*[F.when(F.expr(filters[n]), F.lit(n)) for n in names]),
+        lambda x: x.isNotNull(),
+    )
+    hit = F.explode(hits_arr).alias("bucket")
+    spark = docs.sparkSession
+    n_df = spark.createDataFrame([(n,) for n in names], "bucket string")
+    if matches is None:
+        counted = docs.select(hit).groupBy("bucket").agg(
+            F.count("*").alias("n")
+        )
+        return (
+            F.broadcast(n_df)
+            .join(counted, "bucket", "left")
+            .select(
+                "bucket", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+            )
+        )
+    if key is None:
+        raise ValueError("key is required when matches is given")
+    m = _hits(matches, key, broadcast_matches)
+    counted = (
+        docs.select("doc_id", hit)
+        .join(m, "doc_id")
+        .groupBy(key, "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    base = matches.select(key).distinct().crossJoin(F.broadcast(n_df))
+    return base.join(counted, [key, "bucket"], "left").select(
+        key, "bucket", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+    )
+
+
 def significant_terms(
     matches: DataFrame,
     docs: DataFrame,

@@ -394,3 +394,73 @@ def test_facet_stats_cardinality_percentiles_replay(spark):
         ).collect()
     }
     assert papprox[(0, 0.5)] in vals  # t-digest-style returns a member
+
+
+def test_facet_range_date_histogram_filters_replay(spark):
+    """Python replay of the three ES bucket aggs added in round-5
+    session 6: range (overlap + empty buckets), calendar date_histogram
+    (week/month truncation), filters (named predicates, 0-completion)."""
+    import datetime as dt
+
+    from dts.facet import facet_date_histogram, facet_filters, facet_range
+
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 100, "en" if i % 3 == 0 else "de") for i in range(40)],
+        "doc_id long, x long, lang string",
+    )
+    matches = spark.createDataFrame(
+        [(0, i) for i in range(20)] + [(1, i) for i in range(5)],
+        "k long, doc_id long",
+    )
+    ranges = [("lo", None, 50.0), ("hi", 50.0, None), ("all", None, None),
+              ("none", 1000.0, None)]
+    got = {
+        (r.k, r.range_label): (r.range_from, r.range_to, r.n)
+        for r in facet_range(matches, docs, "x", ranges, key="k").collect()
+    }
+    vals = {i: (i * 37) % 100 for i in range(40)}
+    for k, ids in ((0, range(20)), (1, range(5))):
+        for lbl, lo, hi in ranges:
+            exp = sum(
+                1 for i in ids
+                if (lo is None or vals[i] >= lo) and (hi is None or vals[i] < hi)
+            )
+            assert got[(k, lbl)] == (lo, hi, exp), (k, lbl)
+    assert len(got) == 8  # every (key, bucket) emitted, incl. 0-count
+    # corpus-wide
+    cw = {r.range_label: r.n for r in facet_range(None, docs, "x", ranges).collect()}
+    assert cw["all"] == 40 and cw["none"] == 0 and cw["lo"] + cw["hi"] == 40
+
+    ev = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(days=i * 3)) for i in range(30)]
+        + [(99, None)],
+        "doc_id long, ts timestamp",
+    )
+    for iv, trunc in (
+        ("week", lambda d: d - dt.timedelta(days=d.weekday())),
+        ("month", lambda d: d.replace(day=1)),
+    ):
+        got_h = {
+            r.bucket_ts: r.n
+            for r in facet_date_histogram(None, ev, "ts", iv).collect()
+        }
+        exp_h: dict[str, int] = {}
+        for i in range(30):
+            d = (dt.datetime(2024, 1, 1) + dt.timedelta(days=i * 3)).date()
+            key = trunc(d).strftime("%Y-%m-%d 00:00:00")
+            exp_h[key] = exp_h.get(key, 0) + 1
+        assert got_h == exp_h, iv
+    with pytest.raises(ValueError, match="calendar_interval"):
+        facet_date_histogram(None, ev, "ts", "fortnight")
+
+    flt = {"lo": "x < 50", "en": "lang = 'en'", "never": "x > 1000"}
+    got_f = {
+        (r.k, r.bucket): r.n
+        for r in facet_filters(matches, docs, flt, key="k").collect()
+    }
+    for k, ids in ((0, range(20)), (1, range(5))):
+        assert got_f[(k, "lo")] == sum(1 for i in ids if vals[i] < 50)
+        assert got_f[(k, "en")] == sum(1 for i in ids if i % 3 == 0)
+        assert got_f[(k, "never")] == 0
+    cw_f = {r.bucket: r.n for r in facet_filters(None, docs, flt).collect()}
+    assert cw_f["en"] == sum(1 for i in range(40) if i % 3 == 0)
