@@ -1990,6 +1990,41 @@ def _q_sq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_CENTROIDS, IVF_NPROBE, IVF_SEED = 16, 4, "ivf"
 
 
+PQ_M = 16
+PQ_KSUB = 16
+PQ_SEED = "pqprobe"
+PQ_RERANK = 40
+
+
+def _pq_fold(m: int) -> str:
+    """Left-associated ADC sum ((p0 + p1) + p2) + … — the exact fold
+    order the engine's numpy loop uses, so both engines add the SAME
+    round6 doubles in the SAME order."""
+    expr = "p0"
+    for j in range(1, m):
+        expr = f"({expr} + p{j})"
+    return expr
+
+
+def _q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (dts.similarity.pq_train/pq_encode/
+    pq_topk — FAISS IndexPQ + rescore): deterministic md5-sampled
+    codebooks over normalized subvectors (iters=0, the oracle-exact
+    init), ADC ranking from round6 LUT gathers (left-fold sum), exact
+    cosine re-rank of the top rerank survivors. The oracle recomputes the
+    whole chain — init, code assignment, LUT, left-assoc ADC sum, rescore
+    — relationally."""
+    from dts.similarity import pq_encode, pq_topk, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("qvec"),
+    )
+    cb = pq_train(emb, m=PQ_M, ksub=PQ_KSUB, seed=PQ_SEED)
+    return pq_topk(pq_encode(emb, cb), q, cb, k=10, rerank=PQ_RERANK)
+
+
 def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 IVF ANN (dts.similarity.ivf_topk): deterministic
     md5-sampled centroids (engine-portable — the oracle recomputes the
@@ -2221,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_filtered": _q_ann_filtered,
         "sq_ann_topk": _q_sq_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
+        "pq_ann_topk": _q_pq_ann_topk,
         "emb_ivf_pairs": _q_emb_ivf_pairs,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "emb_top_pairs": _q_emb_top_pairs,
@@ -2510,6 +2546,72 @@ q AS (SELECT vec_id AS q_id, v AS w FROM e WHERE vec_id < 5),
 s AS (
   SELECT q_id, vec_id, {_D_COS} AS cos6
   FROM e CROSS JOIN q WHERE e.vec_id % 3 = 0
+)
+SELECT q_id, vec_id, cos6, rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id ASC) AS rank FROM s
+) WHERE rank <= 10
+""",
+        "pq_ann_topk": f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-30)) AS nv
+  FROM e0
+),
+samp AS (
+  SELECT vec_id, nv, code FROM (
+    SELECT vec_id, nv,
+           row_number() OVER (ORDER BY md5('{PQ_SEED}' || vec_id::VARCHAR), vec_id) - 1 AS code
+    FROM e
+  ) WHERE code < {PQ_KSUB}
+),
+cb AS (
+  SELECT j.j, s.code, s.nv[j.j*{64 // PQ_M}+1 : j.j*{64 // PQ_M}+{64 // PQ_M}] AS c
+  FROM samp s, unnest(range(0, {PQ_M})) AS j(j)
+),
+sv AS (
+  SELECT e.vec_id, j.j, e.nv[j.j*{64 // PQ_M}+1 : j.j*{64 // PQ_M}+{64 // PQ_M}] AS x
+  FROM e, unnest(range(0, {PQ_M})) AS j(j)
+),
+dist AS (
+  SELECT sv.vec_id, sv.j, cb.code,
+         round(list_dot_product(sv.x, sv.x) - 2*list_dot_product(sv.x, cb.c)
+               + list_dot_product(cb.c, cb.c), 6) AS d6
+  FROM sv JOIN cb ON cb.j = sv.j
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d6 ASC, code ASC) AS r
+    FROM dist
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS q_id, v, nv FROM e WHERE vec_id < 5),
+lut AS (
+  SELECT q.q_id, cb.j, cb.code,
+         round(list_dot_product(q.nv[cb.j*{64 // PQ_M}+1 : cb.j*{64 // PQ_M}+{64 // PQ_M}], cb.c), 6) AS p6
+  FROM q CROSS JOIN cb
+),
+adcp AS (
+  SELECT c.vec_id, l.q_id, {", ".join(f"max(CASE WHEN c.j={j} THEN l.p6 END) AS p{j}" for j in range(PQ_M))}
+  FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+  GROUP BY c.vec_id, l.q_id
+),
+adc AS (
+  SELECT vec_id, q_id,
+         round({_pq_fold(PQ_M)}, 6) AS adc6
+  FROM adcp
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc6 DESC, vec_id ASC) AS r
+    FROM adc
+  ) WHERE r <= {PQ_RERANK}
+),
+s AS (
+  SELECT t.q_id, t.vec_id,
+         round(list_dot_product(e.v, q.v) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cos6
+  FROM top t JOIN e ON e.vec_id = t.vec_id JOIN q ON q.q_id = t.q_id
 )
 SELECT q_id, vec_id, cos6, rank::INTEGER AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id ASC) AS rank FROM s

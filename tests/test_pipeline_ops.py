@@ -858,3 +858,108 @@ def test_gopher_repetition_vs_replay(spark):
     # the documented thresholds from the paper are on fractions in [0, 1+):
     # overlap-counted top-gram fractions may exceed 1 (doc 1)
     assert got[1]["top_4gram_char_frac6"] > 1.0
+
+
+def _planted_embeddings(spark, n_clusters=8, per=12, dim=32, noise=0.05):
+    rng = np.random.RandomState(7)
+    centers = rng.randn(n_clusters, dim)
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + noise * rng.randn(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_topk_degenerate_recall_and_lloyd(spark):
+    """PQ ANN: degenerate rerank == brute force bit-for-bit; high recall
+    on planted clusters at modest rerank; Lloyd iterations reduce the
+    quantization error; invalid configs rejected."""
+    from dts.similarity import (
+        _normalize_rows, _pq_assign, cosine_topk_bruteforce, pq_encode,
+        pq_topk, pq_train,
+    )
+
+    emb = _planted_embeddings(spark)
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    cb = pq_train(emb, m=8, ksub=16, seed="t")
+    enc = pq_encode(emb, cb)
+    key = lambda rows: sorted(  # noqa: E731
+        (r.q_id, r.rank, r.vec_id, r.cos6) for r in rows
+    )
+    exact = cosine_topk_bruteforce(emb, q, k=5).collect()
+    assert key(pq_topk(enc, q, cb, k=5, rerank=n).collect()) == key(exact)
+
+    got = pq_topk(enc, q, cb, k=5, rerank=15).collect()
+    gs, es = {}, {}
+    for r in got:
+        gs.setdefault(r.q_id, set()).add(r.vec_id)
+    for r in exact:
+        es.setdefault(r.q_id, set()).add(r.vec_id)
+    assert np.mean([len(gs[i] & es[i]) / 5 for i in es]) >= 0.8
+    assert all(int(r["vec_id"]) == int(r["q_id"]) for r in got if r["rank"] == 1)
+
+    # Lloyd refinement: quantization MSE (‖x̂ − decode(code)‖²) decreases
+    mat = _normalize_rows(
+        np.asarray(
+            [r["embedding"] for r in emb.orderBy("vec_id").collect()],
+            dtype=np.float64,
+        )
+    )
+
+    def mse(codebooks):
+        codes = _pq_assign(mat, codebooks)
+        m, ksub, dsub = codebooks.shape
+        rec = np.concatenate(
+            [codebooks[j][codes[:, j]] for j in range(m)], axis=1
+        )
+        return float(((mat - rec) ** 2).sum(axis=1).mean())
+
+    cb2 = pq_train(emb, m=8, ksub=16, iters=3, seed="t")
+    assert mse(cb2) < mse(cb)
+    # refined codebooks still search fine (degenerate == brute force)
+    assert key(pq_topk(emb, q, cb2, k=5, rerank=n).collect()) == key(exact)
+
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(emb, m=5, ksub=8)
+    with pytest.raises(ValueError, match="rerank"):
+        pq_topk(enc, q, cb, k=10, rerank=5)
+    with pytest.raises(ValueError, match="ksub"):
+        pq_train(emb, m=8, ksub=10**6)
+
+
+def test_pq_assign_matches_python_replay(spark):
+    """The numpy assignment (_pq_assign) equals a scalar Python replay of
+    the spec — per subspace, argmin over round6(‖x_j‖²−2x_j·c+‖c‖²) with
+    ties to the smallest code — on deterministic data."""
+    from dts.similarity import _normalize_rows, _pq_assign, pq_train
+
+    emb = _planted_embeddings(spark, n_clusters=4, per=6, dim=16)
+    cb = pq_train(emb, m=4, ksub=8, seed="s")
+    mat = _normalize_rows(
+        np.asarray(
+            [r["embedding"] for r in emb.orderBy("vec_id").collect()],
+            dtype=np.float64,
+        )
+    )
+    got = _pq_assign(mat, cb)
+    m, ksub, dsub = cb.shape
+
+    def r6(x):
+        import math
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    for i in range(len(mat)):
+        for j in range(m):
+            x = mat[i, j * dsub:(j + 1) * dsub]
+            best = None
+            for c in range(ksub):
+                cv = cb[j, c]
+                d = r6(float(x @ x) - 2.0 * float(x @ cv) + float(cv @ cv))
+                if best is None or d < best[0]:
+                    best = (d, c)
+            assert got[i, j] == best[1], (i, j)
