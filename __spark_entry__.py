@@ -922,6 +922,47 @@ def _q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# cross_fields probe: the second field ("head" = first 8 tokens of text)
+# SHARES vocabulary with text, so the df blend (max across fields) is
+# genuinely exercised; 2-token queries keep every float sum at ≤2
+# addends (cross-engine association safety).
+CF_QUERIES = [
+    (0, "fast join"),
+    (1, "table scan"),
+    (2, "key value"),
+    (3, "spark zzqq"),
+]
+CF_BOOSTS = {"text": 1.0, "head": 2.0}
+CF_TIE = 0.3
+_HEAD_SQL = (
+    "array_join(slice(regexp_extract_all(lower(coalesce(text, '')),"
+    f" '{TOK}', 0), 1, 8), ' ')"
+)
+
+
+def _q_cross_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match type=cross_fields (dts.multifield.cross_fields_topk):
+    term-centric blended-df scoring — per term, every field scores with
+    df replaced by max over fields (Lucene BlendedTermQuery), per-doc
+    dismax with tie_breaker across fields, sum over terms. The oracle
+    recomputes the blend relationally; ranks compared at 6 dp."""
+    import tempfile
+
+    from dts.io import driver_documents_as_source
+    from dts.multifield import build_multifield_index, cross_fields_topk
+
+    docs = (
+        driver_documents_as_source(spark, sf_dir)
+        .withColumnRenamed("content", "text")
+        .withColumn("head", F.expr(_HEAD_SQL))
+    )
+    d = tempfile.mkdtemp(prefix="dts_cf_idx_")
+    build_multifield_index(spark, docs, d, CF_BOOSTS, bucket_size=256)
+    q = spark.createDataFrame(CF_QUERIES, "query_id long, text string")
+    out = cross_fields_topk(spark, d, q, k=10, tie_breaker=CF_TIE)
+    return out.select("query_id", "doc_id", "rank")
+
+
 # Multi-field probe: text is the default field (boost 1.0), source is a
 # scoped field (boost 0.5); includes a source-only query and a miss.
 MF_QUERIES = [
@@ -2239,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "multifield_topk": _q_multifield_topk,
         "dismax_topk": _q_dismax_topk,
+        "cross_fields": _q_cross_fields,
         "search_fields": _q_search_fields,
         "phrase_scored": _q_phrase_scored,
         # training-data pipeline operators
@@ -3122,6 +3164,71 @@ SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
     FROM (SELECT * FROM scored_text UNION ALL SELECT * FROM scored_source)
     GROUP BY 1, 2
   )
+) WHERE rank <= 10
+"""
+    # cross_fields: term-centric blended-df scoring. Blend = max df over
+    # fields (BlendedTermQuery); per-term dismax with tie_breaker; sum
+    # over clauses. 2-token queries keep all float sums at 2 addends.
+    from dts.tokenizer import tokenize_text as _cf_tok
+
+    _cf_terms: dict[str, int] = {}
+    _cf_occ: list[tuple[int, int, int]] = []
+    for _qid, _text in CF_QUERIES:
+        for _clause, _t in enumerate(_cf_tok(_text)):
+            _tid = _cf_terms.setdefault(_t, len(_cf_terms))
+            _cf_occ.append((_qid, _clause, _tid))
+    _cf_qt = ", ".join(f"({tid}, '{t}')" for t, tid in _cf_terms.items())
+    _cf_occv = ", ".join(f"({q}, {c}, {t})" for q, c, t in _cf_occ)
+    _cf_boostv = ", ".join(f"('{f}', {b})" for f, b in sorted(CF_BOOSTS.items()))
+    extra["cross_fields"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '{TOK}') AS tk
+  FROM documents
+),
+fld AS (
+  SELECT 'text' AS f, doc_id, tk FROM toks
+  UNION ALL
+  SELECT 'head', doc_id, tk[1:8] FROM toks
+),
+tfc AS (
+  SELECT f, doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT f, doc_id, unnest(tk) AS term FROM fld)
+  GROUP BY 1, 2, 3
+),
+dl AS (SELECT f, doc_id, len(tk)::BIGINT AS dl FROM fld),
+stats AS (SELECT f, count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl GROUP BY 1),
+dfq AS (SELECT f, term, count(*)::BIGINT AS df FROM tfc GROUP BY 1, 2),
+qt(tid, term) AS (VALUES {_cf_qt}),
+dfb AS (
+  SELECT qt.tid, qt.term, max(dfq.df) AS dfb
+  FROM qt JOIN dfq USING (term) GROUP BY 1, 2
+),
+boost(f, b) AS (VALUES {_cf_boostv}),
+scored AS (
+  SELECT dfb.tid, tfc.doc_id,
+         boost.b * ln(1 + (stats.n_docs - dfb.dfb + 0.5) / (dfb.dfb + 0.5))
+         * tfc.tf * ({K1} + 1.0)
+         / (tfc.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS fscore
+  FROM dfb
+  JOIN tfc ON tfc.term = dfb.term
+  JOIN dl ON dl.f = tfc.f AND dl.doc_id = tfc.doc_id
+  JOIN stats ON stats.f = tfc.f
+  JOIN boost ON boost.f = tfc.f
+),
+pterm AS (
+  SELECT tid, doc_id,
+         max(fscore) + {CF_TIE} * (sum(fscore) - max(fscore)) AS tscore
+  FROM scored GROUP BY 1, 2
+),
+occ(query_id, clause, tid) AS (VALUES {_cf_occv}),
+total AS (
+  SELECT occ.query_id::BIGINT AS query_id, p.doc_id, sum(p.tscore) AS score
+  FROM occ JOIN pterm p USING (tid) GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM total
 ) WHERE rank <= 10
 """
     # Scored phrases (round 5): recount each phrase on the token stream

@@ -751,3 +751,130 @@ def bm25_topk_multifield(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def cross_fields_topk(
+    spark: SparkSession,
+    out_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    tie_breaker: float = 0.0,
+) -> DataFrame:
+    """ES ``multi_match type=cross_fields`` — the third multi_match type
+    beside most_fields (:func:`bm25_topk_multifield`'s weighted sum) and
+    best_fields (``combine="dismax"``): TERM-centric scoring where the
+    fields act as one big field. For each query term, a blended term
+    query runs against every field with the df REPLACED by the blended
+    df = max over fields (Lucene BlendedTermQuery's blend — it equalizes
+    idf so a term that is rare in one field but common in another can't
+    win on rarity alone), then per doc the term's score is
+    max + tie_breaker·(sum − max) over the per-field boosted scores, and
+    the query score is the sum over terms. Duplicate query terms score
+    once per occurrence (clause), like ES.
+
+    Implementation: BM25's impact is LINEAR in idf, so the blend needs no
+    kernel change — each field scores one-term pseudo-queries through the
+    unchanged :func:`bm25_topk_indexed` kernel, and the driver applies
+    boost_f · idf(df_blend)/idf(df_f) as a per-(field, term) multiplier
+    (dfs are client-sized: the distinct query terms against each field's
+    term_stats). One scoring job per field, then two map-side-combinable
+    hash aggs (per-term dismax, per-query sum) and the engine-standard
+    top-k window. The per-(term, field) match-set materialization is the
+    TAAT shape the kernel already uses, one row per posting of the query
+    terms — no corpus scan.
+
+    Deltas vs ES (documented): fuzziness is not composed (ES itself
+    rejects fuzziness with cross_fields); ttf blending is irrelevant (BM25
+    here doesn't use ttf); fields must share the analyzer (true by
+    construction — one tokenizer engine-wide).
+    """
+    import math
+
+    from dts.tokenizer import tokenize_text
+
+    meta = load_multifield_meta(out_dir)
+    boosts: dict[str, float] = meta["fields"]
+    rows = queries.select("query_id", "text").collect()
+    occ: list[tuple[int, int, int]] = []
+    terms_seen: dict[str, int] = {}
+    for r in rows:
+        for clause, t in enumerate(tokenize_text(r["text"])):
+            tid = terms_seen.setdefault(t, len(terms_seen))
+            occ.append((int(r["query_id"]), clause, tid))
+    empty = spark.createDataFrame([], TOPK_SCHEMA)
+    if not occ:
+        return empty
+    terms = sorted(terms_seen, key=terms_seen.get)
+    dfs: dict[str, dict[str, int]] = {}
+    n_docs = None
+    for f_name in sorted(boosts):
+        sub = f"{out_dir}/field={f_name}"
+        n_docs = int(load_meta(sub)["n_docs"])
+        st = (
+            spark.read.parquet(f"{sub}/term_stats")
+            .filter(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        dfs[f_name] = {r["term"]: int(r["df"]) for r in st}
+
+    def idf(df: int) -> float:
+        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    blend = {t: max(dfs[f].get(t, 0) for f in boosts) for t in terms}
+    parts = []
+    for f_name in sorted(boosts):
+        present = [t for t in terms if dfs[f_name].get(t)]
+        if not present:
+            continue
+        pq = spark.createDataFrame(
+            [(terms_seen[t], t) for t in present], "query_id long, text string"
+        )
+        mult = spark.createDataFrame(
+            [
+                (
+                    terms_seen[t],
+                    float(boosts[f_name]) * idf(blend[t]) / idf(dfs[f_name][t]),
+                )
+                for t in present
+            ],
+            "query_id long, mult double",
+        )
+        scored = bm25_topk_indexed(
+            spark, f"{out_dir}/field={f_name}", pq, k=n_docs
+        )
+        parts.append(
+            scored.join(F.broadcast(mult), "query_id").select(
+                F.col("query_id").alias("t_id"),
+                "doc_id",
+                (F.col("score") * F.col("mult")).alias("fscore"),
+            )
+        )
+    if not parts:
+        return empty
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    per_term = union.groupBy("t_id", "doc_id").agg(
+        (
+            F.max("fscore")
+            + F.lit(float(tie_breaker)) * (F.sum("fscore") - F.max("fscore"))
+        ).alias("tscore")
+    )
+    occ_df = spark.createDataFrame(occ, "query_id long, clause int, t_id long")
+    total = (
+        per_term.join(F.broadcast(occ_df), "t_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tscore").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), ROUND_RANK).desc(), F.col("doc_id").asc()
+    )
+    return (
+        total.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "doc_id", "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

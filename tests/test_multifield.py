@@ -460,3 +460,100 @@ def test_search_fields_dismax(spark, mfp_index, corpus_pd):
 
     with pytest.raises(ValueError, match="combine"):
         search_fields(spark, mfp_index, cases, combine="best")
+
+
+def test_cross_fields_vs_replay(spark, mf_index, corpus_pd):
+    """ES multi_match type=cross_fields (term-centric blended df): full
+    Python replay — per term, blended df = max over fields, per-doc
+    dismax with tie_breaker across boosted per-field scores, sum over
+    clauses — matches the engine for every (query, doc)."""
+    import math
+    from collections import Counter
+
+    from dts.multifield import cross_fields_topk
+
+    tie = 0.4
+    ctoks = tokenize_text(corpus_pd["content"].iloc[0])
+    ptoks = tokenize_text(corpus_pd["path"].iloc[4])
+    queries = [
+        (0, f"{ctoks[0]} {ptoks[0]}"),
+        (1, f"{ctoks[1]} {ctoks[2]}"),
+        (2, "zzqqxx"),
+    ]
+    q = spark.createDataFrame(queries, "query_id long, text string")
+    got = cross_fields_topk(
+        spark, mf_index, q, k=10**6, tie_breaker=tie
+    ).collect()
+
+    N = len(corpus_pd)
+
+    def stats(col):
+        tf: dict[str, dict[int, int]] = {}
+        dl: dict[int, int] = {}
+        for _, r in corpus_pd.iterrows():
+            toks = tokenize_text(r[col])
+            dl[int(r["doc_id"])] = len(toks)
+            for t, c in Counter(toks).items():
+                tf.setdefault(t, {})[int(r["doc_id"])] = c
+        return tf, dl, sum(dl.values()) / N
+
+    st = {f: stats(f) for f in FIELDS}
+    K1, Bp = 1.2, 0.75
+
+    def idf(df):
+        return math.log(1 + (N - df + 0.5) / (df + 0.5))
+
+    exp: dict[tuple[int, int], float] = {}
+    for qid, text in queries:
+        for t in tokenize_text(text):
+            dfb = max(len(st[f][0].get(t, {})) for f in FIELDS)
+            if dfb == 0:
+                continue
+            per_doc: dict[int, list[float]] = {}
+            for f, boost in FIELDS.items():
+                tf, dl, avgdl = st[f]
+                for did, c in tf.get(t, {}).items():
+                    s = (
+                        boost * idf(dfb) * c * (K1 + 1)
+                        / (c + K1 * (1 - Bp + Bp * dl[did] / avgdl))
+                    )
+                    per_doc.setdefault(did, []).append(s)
+            for did, ss in per_doc.items():
+                tsc = max(ss) + tie * (sum(ss) - max(ss))
+                exp[(qid, did)] = exp.get((qid, did), 0.0) + tsc
+    gotmap = {(int(r["query_id"]), int(r["doc_id"])): float(r["score"]) for r in got}
+    assert set(gotmap) == set(exp)
+    for key in exp:
+        assert np.isclose(gotmap[key], exp[key], rtol=1e-9), key
+
+
+def test_cross_fields_identical_fields_collapse(
+    spark, docs_sdf, corpus_pd, tmp_path_factory
+):
+    """With two IDENTICAL fields and tie_breaker=1 (pure sum), the blend
+    is a no-op and cross_fields degenerates to (b1+b2)·single-field BM25
+    — pinned against the OracleIndex replay."""
+    from pyspark.sql import functions as F
+
+    from dts.multifield import cross_fields_topk
+
+    d = str(tmp_path_factory.mktemp("cfid"))
+    docs2 = docs_sdf.withColumn("copy", F.col("content"))
+    build_multifield_index(
+        spark, docs2.select("doc_id", "content", "copy", "repo", "path", "commit"),
+        d, {"content": 1.0, "copy": 2.0}, bucket_size=64, block_size=16,
+    )
+    ctoks = tokenize_text(corpus_pd["content"].iloc[0])
+    text = f"{ctoks[0]} {ctoks[3]}"
+    q = spark.createDataFrame([(0, text)], "query_id long, text string")
+    got = {
+        int(r["doc_id"]): float(r["score"])
+        for r in cross_fields_topk(spark, d, q, k=10**6, tie_breaker=1.0).collect()
+    }
+    oracle = OracleIndex(
+        list(zip(corpus_pd["doc_id"].astype(int), corpus_pd["content"]))
+    )
+    exp = {did: sc for _, did, sc in oracle.score_query(text, topk=10**9)}
+    assert set(got) == set(exp)
+    for did in exp:
+        assert np.isclose(got[did], 3.0 * exp[did], rtol=1e-9), did
