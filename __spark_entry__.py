@@ -2066,6 +2066,31 @@ def _q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(pq_encode(emb, cb), q, cb, k=10, rerank=PQ_RERANK)
 
 
+IVFPQ_CENTS = 16
+IVFPQ_NPROBE = 4
+IVFPQ_SEED = "ivfpqc"
+
+
+def _q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (dts.similarity.ivfpq_topk — FAISS IndexIVFPQ,
+    by_residual=False): md5-sampled coarse cells prune the scan, shared
+    PQ codebooks compress it, ADC ranks inside the probed cells, exact
+    rescore finishes. The oracle composes the (already pinned) IVF assign
+    + probe CTEs with the PQ code/LUT/ADC chain."""
+    from dts.similarity import ivfpq_topk, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("qvec"),
+    )
+    cb = pq_train(emb, m=PQ_M, ksub=PQ_KSUB, seed=PQ_SEED)
+    return ivfpq_topk(
+        emb, q, cb, n_centroids=IVFPQ_CENTS, nprobe=IVFPQ_NPROBE,
+        k=10, rerank=PQ_RERANK, seed=IVFPQ_SEED,
+    )
+
+
 def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 IVF ANN (dts.similarity.ivf_topk): deterministic
     md5-sampled centroids (engine-portable — the oracle recomputes the
@@ -2299,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_ann_topk": _q_sq_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "pq_ann_topk": _q_pq_ann_topk,
+        "ivfpq_ann_topk": _q_ivfpq_ann_topk,
         "emb_ivf_pairs": _q_emb_ivf_pairs,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "emb_top_pairs": _q_emb_top_pairs,
@@ -2642,6 +2668,95 @@ adc AS (
   SELECT vec_id, q_id,
          round({_pq_fold(PQ_M)}, 6) AS adc6
   FROM adcp
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc6 DESC, vec_id ASC) AS r
+    FROM adc
+  ) WHERE r <= {PQ_RERANK}
+),
+s AS (
+  SELECT t.q_id, t.vec_id,
+         round(list_dot_product(e.v, q.v) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cos6
+  FROM top t JOIN e ON e.vec_id = t.vec_id JOIN q ON q.q_id = t.q_id
+)
+SELECT q_id, vec_id, cos6, rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id ASC) AS rank FROM s
+) WHERE rank <= 10
+""",
+        "ivfpq_ann_topk": f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-30)) AS nv
+  FROM e0
+),
+samp AS (
+  SELECT vec_id, nv, code FROM (
+    SELECT vec_id, nv,
+           row_number() OVER (ORDER BY md5('{PQ_SEED}' || vec_id::VARCHAR), vec_id) - 1 AS code
+    FROM e
+  ) WHERE code < {PQ_KSUB}
+),
+cb AS (
+  SELECT j.j, s.code, s.nv[j.j*{64 // PQ_M}+1 : j.j*{64 // PQ_M}+{64 // PQ_M}] AS c
+  FROM samp s, unnest(range(0, {PQ_M})) AS j(j)
+),
+sv AS (
+  SELECT e.vec_id, j.j, e.nv[j.j*{64 // PQ_M}+1 : j.j*{64 // PQ_M}+{64 // PQ_M}] AS x
+  FROM e, unnest(range(0, {PQ_M})) AS j(j)
+),
+dist AS (
+  SELECT sv.vec_id, sv.j, cb.code,
+         round(list_dot_product(sv.x, sv.x) - 2*list_dot_product(sv.x, cb.c)
+               + list_dot_product(cb.c, cb.c), 6) AS d6
+  FROM sv JOIN cb ON cb.j = sv.j
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d6 ASC, code ASC) AS r
+    FROM dist
+  ) WHERE r = 1
+),
+cents AS (
+  SELECT vec_id AS c_id, v AS c FROM e0
+  ORDER BY md5('{IVFPQ_SEED}' || vec_id::VARCHAR), vec_id LIMIT {IVFPQ_CENTS}
+),
+assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT e0.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY e0.vec_id
+             ORDER BY round(list_dot_product(e0.v, c.c) /
+                 (sqrt(list_dot_product(e0.v, e0.v)) * sqrt(list_dot_product(c.c, c.c))), 6) DESC,
+               c.c_id ASC) AS r
+    FROM e0 CROSS JOIN cents c) WHERE r = 1
+),
+q AS (SELECT vec_id AS q_id, v, nv FROM e WHERE vec_id < 5),
+probes AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, c.c_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round(list_dot_product(q.v, c.c) /
+                 (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.c, c.c))), 6) DESC,
+               c.c_id ASC) AS r
+    FROM q CROSS JOIN cents c) WHERE r <= {IVFPQ_NPROBE}
+),
+lut AS (
+  SELECT q.q_id, cb.j, cb.code,
+         round(list_dot_product(q.nv[cb.j*{64 // PQ_M}+1 : cb.j*{64 // PQ_M}+{64 // PQ_M}], cb.c), 6) AS p6
+  FROM q CROSS JOIN cb
+),
+adcp AS (
+  SELECT c.vec_id, l.q_id, {", ".join(f"max(CASE WHEN c.j={j} THEN l.p6 END) AS p{j}" for j in range(PQ_M))}
+  FROM codes c
+  JOIN assign a ON a.vec_id = c.vec_id
+  JOIN probes p ON p.c_id = a.c_id
+  JOIN lut l ON l.q_id = p.q_id AND l.j = c.j AND l.code = c.code
+  GROUP BY c.vec_id, l.q_id
+),
+adc AS (
+  SELECT vec_id, q_id, round({_pq_fold(PQ_M)}, 6) AS adc6 FROM adcp
 ),
 top AS (
   SELECT * FROM (

@@ -673,6 +673,156 @@ def ivf_topk(
     )
 
 
+def ivfpq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    cent_ids: np.ndarray,
+    cent_mat: np.ndarray,
+    src: str = "embedding",
+) -> DataFrame:
+    """(vec_id, v, c_id, codes): the full IVF-PQ index row — coarse cell
+    (map-side argmax UDF) + PQ codes (map-side argmin UDF) in one pass,
+    zero shuffle. Persist (vec_id, c_id, codes) partitioned by c_id and
+    it IS the FAISS-style IVFPQ index: cell-pruned scans over m-byte
+    codes."""
+    m, ksub, dsub = codebooks.shape
+    cb = np.ascontiguousarray(codebooks)
+
+    @F.pandas_udf("array<int>")
+    def assign_codes(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = _normalize_rows(np.asarray(vecs.tolist(), dtype=np.float64))
+        codes = _pq_assign(mat, cb)
+        return pd.Series([c.astype("int32").tolist() for c in codes])
+
+    return (
+        emb.select("vec_id", _as_double(src).alias("v"))
+        .withColumn("c_id", ivf_assign_udf(cent_ids, cent_mat)(F.col("v")))
+        .withColumn("codes", assign_codes(F.col("v")))
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    rerank: int = 40,
+    seed: str = "ivf",
+    lloyd_iters: int = 0,
+    cents: tuple[np.ndarray, np.ndarray] | None = None,
+) -> DataFrame:
+    """IVF-PQ search (the FAISS IndexIVFPQ composition — the production
+    shape for 10⁹+ vectors): the coarse quantizer prunes the SCAN to
+    nprobe/n_centroids of the corpus (IVF) and the scan itself reads
+    m-byte PQ codes instead of float vectors (ADC), then the top
+    ``rerank`` survivors per query get an exact float re-rank. Both
+    compressions compose multiplicatively: at n_centroids=√n, nprobe=8,
+    m=16 a query touches ~8/√n of the corpus at 16 bytes/vector.
+
+    PQ here is NON-residual (codes quantize the normalized vector, not
+    x − centroid — FAISS's by_residual=False variant): one shared
+    codebook set serves every cell, which keeps the ADC lookup table
+    per-query instead of per-(query, cell). Documented delta vs the
+    residual default; the exact-rescore window absorbs most of the
+    accuracy gap at these code sizes.
+
+    ``emb`` may be raw (vec_id, embedding) or a pre-encoded frame from
+    :func:`ivfpq_encode` (columns v/c_id/codes) — the persisted encoding
+    is the index; pass the SAME ``cents`` it was encoded with.
+    Exact at nprobe ≥ n_centroids ∧ rerank ≥ corpus (tested)."""
+    if rerank < k:
+        raise ValueError("rerank must be >= k")
+    m, ksub, dsub = codebooks.shape
+    spark = emb.sparkSession
+    pre_encoded = {"v", "c_id", "codes"}.issubset(set(emb.columns))
+    if cents is None:
+        if pre_encoded:
+            raise ValueError(
+                "pre-encoded input requires the cents=(ids, mat) it was "
+                "encoded with"
+            )
+        e0 = emb.select("vec_id", _as_double("embedding").alias("v"))
+        rows = _ivf_centroids(e0, n_centroids, seed).collect()
+        cent_ids = np.array([r["c_id"] for r in rows], dtype=np.int64)
+        cent_mat = np.array([r["c"] for r in rows], dtype=np.float64)
+        if lloyd_iters:
+            cent_mat = lloyd_refine(e0, cent_ids, cent_mat, lloyd_iters)
+    else:
+        cent_ids, cent_mat = cents
+    e = emb if pre_encoded else ivfpq_encode(emb, codebooks, cent_ids, cent_mat)
+
+    qrows = sorted(
+        queries.select("q_id", "qvec").collect(), key=lambda r: r["q_id"]
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "q_id long, vec_id long, cos6 double, rank int"
+        )
+    qmat = np.asarray([r["qvec"] for r in qrows], dtype=np.float64)
+    qn = _normalize_rows(qmat).reshape(len(qrows), m, dsub)
+    lut = _round6_away(np.einsum("qjd,jcd->qjc", qn, codebooks))
+
+    # nprobe nearest cells per query — client-sized (queries × centroids).
+    ncen = np.sqrt((cent_mat * cent_mat).sum(axis=1))
+    nq = np.sqrt((qmat * qmat).sum(axis=1))
+    ccos = _round6_away(
+        (qmat @ cent_mat.T) / (np.maximum(nq, 1e-30)[:, None] * ncen[None, :])
+    )
+    probe_rows = []
+    for qi, r in enumerate(qrows):
+        order = sorted(
+            range(len(cent_ids)), key=lambda i: (-ccos[qi, i], cent_ids[i])
+        )[: int(nprobe)]
+        for i in order:
+            probe_rows.append(
+                (qi, int(r["q_id"]), int(cent_ids[i]),
+                 [float(x) for x in r["qvec"]])
+            )
+    probes = spark.createDataFrame(
+        probe_rows, "q_idx int, q_id long, c_id long, w array<double>"
+    )
+
+    @F.pandas_udf("double")
+    def adc(codes: pd.Series, q_idx: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        cm = np.asarray(codes.tolist(), dtype=np.int64)
+        qi = q_idx.to_numpy(dtype=np.int64)
+        acc = lut[qi, 0, cm[:, 0]]
+        for j in range(1, m):
+            acc = acc + lut[qi, j, cm[:, j]]
+        return pd.Series(_round6_away(acc))
+
+    cand = (
+        e.join(F.broadcast(probes), "c_id")
+        .withColumn("adc6", adc(F.col("codes"), F.col("q_idx")))
+    )
+    w_c = Window.partitionBy("q_id").orderBy(
+        F.col("adc6").desc(), F.col("vec_id").asc()
+    )
+    cand = cand.withColumn("r", F.row_number().over(w_c)).filter(
+        F.col("r") <= int(rerank)
+    )
+    dot = F.expr("aggregate(zip_with(v, w, (a, b) -> a * b), cast(0.0 as double), (acc, z) -> acc + z)")
+    nv = F.expr("sqrt(aggregate(transform(v, a -> a * a), cast(0.0 as double), (acc, z) -> acc + z))")
+    nw = F.expr("sqrt(aggregate(transform(w, a -> a * a), cast(0.0 as double), (acc, z) -> acc + z))")
+    scored = cand.select(
+        "q_id", "vec_id", F.round(dot / (nv * nw), ROUND).alias("cos6")
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.col("cos6").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos6", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((dim, n_bits)).astype(np.float64)

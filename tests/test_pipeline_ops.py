@@ -963,3 +963,55 @@ def test_pq_assign_matches_python_replay(spark):
                 if best is None or d < best[0]:
                     best = (d, c)
             assert got[i, j] == best[1], (i, j)
+
+
+def test_ivfpq_topk_exactness_and_encoded_input(spark):
+    """IVF-PQ composition: exact at nprobe=n_cells ∧ rerank=corpus; the
+    pre-encoded (ivfpq_encode) frame is a first-class input giving
+    identical results; decent recall on planted clusters at nprobe 2."""
+    from dts.similarity import (
+        _ivf_centroids, _as_double, cosine_topk_bruteforce, ivfpq_encode,
+        ivfpq_topk, pq_train,
+    )
+
+    emb = _planted_embeddings(spark, n_clusters=6, per=10, dim=32)
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    cb = pq_train(emb, m=8, ksub=16, seed="t")
+    key = lambda rows: sorted(  # noqa: E731
+        (r.q_id, r.rank, r.vec_id, r.cos6) for r in rows
+    )
+    exact = cosine_topk_bruteforce(emb, q, k=5).collect()
+    full = ivfpq_topk(
+        emb, q, cb, n_centroids=6, nprobe=6, k=5, rerank=n, seed="c"
+    ).collect()
+    assert key(full) == key(exact)
+
+    # pre-encoded index frame == on-the-fly encoding
+    e0 = emb.select("vec_id", _as_double("embedding").alias("v"))
+    rows = _ivf_centroids(e0, 6, "c").collect()
+    cids = np.array([r["c_id"] for r in rows], dtype=np.int64)
+    cmat = np.array([r["c"] for r in rows], dtype=np.float64)
+    enc = ivfpq_encode(emb, cb, cids, cmat)
+    got_a = ivfpq_topk(
+        enc, q, cb, nprobe=2, k=5, rerank=15, cents=(cids, cmat)
+    ).collect()
+    got_b = ivfpq_topk(
+        emb, q, cb, n_centroids=6, nprobe=2, k=5, rerank=15, seed="c"
+    ).collect()
+    assert key(got_a) == key(got_b)
+
+    gs, es = {}, {}
+    for r in got_a:
+        gs.setdefault(r.q_id, set()).add(r.vec_id)
+    for r in exact:
+        es.setdefault(r.q_id, set()).add(r.vec_id)
+    assert np.mean([len(gs[i] & es[i]) / 5 for i in es]) >= 0.6
+    assert all(int(r["vec_id"]) == int(r["q_id"]) for r in got_a if r["rank"] == 1)
+
+    with pytest.raises(ValueError, match="cents"):
+        ivfpq_topk(enc, q, cb, k=5, rerank=15)
+    with pytest.raises(ValueError, match="rerank"):
+        ivfpq_topk(emb, q, cb, k=10, rerank=5)
