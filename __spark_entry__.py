@@ -1906,6 +1906,25 @@ def _q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition(docs)
 
 
+def _q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL (dts.dedup.remove_duplicate_ngrams —
+    Lee et al. deduplicate-text-datasets, the stage after pair
+    detection): every token covered by a corpus-duplicated 6-gram is cut
+    and the doc rebuilt from survivors; md5 of the cleaned token stream
+    plus removal counts are compared. The sf0.01 corpus has 1061
+    duplicated 6-grams (2195 occurrences), so the removal is
+    non-degenerate."""
+    from dts.dedup import remove_duplicate_ngrams
+
+    out = remove_duplicate_ngrams(_docs(spark, sf_dir), k=6, min_count=2)
+    return out.select(
+        "doc_id",
+        F.md5("text_clean").alias("clean_md5"),
+        "n_tokens",
+        "n_removed",
+    )
+
+
 CONTAM_BENCH_IDS = (3, 17, 41)
 
 
@@ -2292,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_percentiles": _q_facet_percentiles,
         "pii_scrub": _q_pii_scrub,
         "gopher_repetition": _q_gopher,
+        "dedup_spans": _q_dedup_spans,
         "stemmed_topk": _q_stemmed_topk,
         "upsert_topk": _q_upsert_topk,
         "decay_topk": _q_decay_topk,
@@ -4430,6 +4450,42 @@ s3 AS (
 )
 SELECT doc_id, md5(t) AS clean_md5, n_email, n_ipv4, n_phone FROM s3
 """.format(e=_pii_email, i=_pii_ipv4, p=_pii_phone)
+    extra["dedup_spans"] = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i.i - 1 AS pos,
+         md5(array_to_string(toks[i.i : i.i + 5], ' ')) AS h
+  FROM t, unnest(range(1, len(toks) - 4)) AS i(i)
+),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+pos AS (
+  SELECT t.doc_id, i.i - 1 AS p, toks[i.i] AS tok
+  FROM t, unnest(range(1, len(toks) + 1)) AS i(i)
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, c.c AS p
+  FROM g JOIN dup USING (h), unnest(range(g.pos, g.pos + 6)) AS c(c)
+),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.tok
+  FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+  WHERE cov.p IS NULL
+),
+clean AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY p) AS text_clean,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       md5(coalesce(c.text_clean, '')) AS clean_md5,
+       len(t.toks)::BIGINT AS n_tokens,
+       (len(t.toks) - coalesce(c.n_kept, 0))::BIGINT AS n_removed
+FROM t LEFT JOIN clean c USING (doc_id)
+"""
     extra["gopher_repetition"] = """
 WITH docs0 AS (
   SELECT doc_id,

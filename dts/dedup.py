@@ -520,6 +520,128 @@ def winnowed_span_pairs(
     )
 
 
+def _all_gram_hash_udf(k: int, text_col: str):
+    """ALL token k-gram hashes per doc as array<long> (position = array
+    index) — the scale-path hasher for :func:`remove_duplicate_ngrams`:
+    the same Rabin-Karp polynomial over blake2b token hashes as
+    :func:`winnow_fast_udf` (measured there: the md5 expression chain is
+    ~50× slower at 480k), minus the window-min sampling (removal needs
+    every occurrence, not a sample)."""
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    tok_re = re.compile(TOK)
+    B = np.uint64(1099511628211)
+
+    @pandas_udf("array<long>")
+    def gh(texts: pd.Series) -> pd.Series:
+        cache: dict[str, np.uint64] = {}
+
+        def th(t: str) -> np.uint64:
+            h = cache.get(t)
+            if h is None:
+                h = np.uint64(
+                    int.from_bytes(
+                        hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                        "big",
+                    )
+                )
+                cache[t] = h
+            return h
+
+        out = []
+        with np.errstate(over="ignore"):
+            for text in texts:
+                toks = tok_re.findall((text or "").lower())
+                n_g = len(toks) - k + 1
+                if n_g <= 0:
+                    out.append([])
+                    continue
+                hv = np.array([th(t) for t in toks], dtype=np.uint64)
+                g = np.zeros(n_g, dtype=np.uint64)
+                for j in range(k):
+                    g = g * B + hv[j : j + n_g]
+                out.append(g.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return gh(F.col(text_col))
+
+
+def remove_duplicate_ngrams(
+    docs: DataFrame,
+    k: int = 6,
+    text_col: str = "text",
+    min_count: int = 2,
+    hash: str = "md5",
+) -> DataFrame:
+    """The REMOVAL stage of exact-substring training-data dedup (Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models Better"
+    deduplicate-text-datasets: drop every duplicated ≥k-token span, not
+    just whole near-dup documents): a token k-gram occurring ≥
+    ``min_count`` times across the corpus (within-doc repeats count) is
+    duplicate; every token covered by any duplicate-gram occurrence is
+    removed; the doc is rebuilt from the surviving tokens. Returns
+    (doc_id, text_clean, n_tokens, n_removed) — ``text_clean`` is the
+    TOKEN-STREAM reconstruction (space-joined; the paper cuts raw bytes
+    via suffix arrays — token k-grams are the standard distributed
+    approximation, same spans at word granularity).
+
+    Scale shape: gram hashing is map-side (``hash="md5"`` = the
+    oracle-portable expression spec; ``"fast"`` = the numpy Rabin-Karp
+    UDF — the winnowing measurement showed the md5 expression chain is
+    ~50× slower at 480k docs, and unlike winnowing BOTH paths remove the
+    same spans, since every gram is hashed and duplicate sets are
+    content-determined — collisions aside, tested equal). The only
+    corpus-scale shuffles are the gram-count hash agg (map-side
+    combined) and the dup-occurrence semi-join — O(total tokens) rows,
+    the same asymptotic work as the paper's suffix array, in two
+    shuffles. Start positions regroup per doc (duplicate occurrences
+    only, a small fraction) and the rebuild is one per-doc map pass."""
+    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOK}', 0)"
+    if hash == "md5":
+        grams = F.expr(
+            f"CASE WHEN size({toks}) >= {k} THEN "
+            f"transform(sequence(0, size({toks}) - {k}),"
+            f" i -> md5(concat_ws(' ', slice({toks}, i + 1, {k}))))"
+            f" ELSE array() END"
+        ).cast("array<string>")
+    elif hash == "fast":
+        grams = _all_gram_hash_udf(k, text_col)
+    else:
+        raise ValueError(f"unknown hash {hash!r} (md5 | fast)")
+    g = docs.select("doc_id", F.posexplode(grams).alias("pos", "h"))
+    dup = (
+        g.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= int(min_count))
+        .select("h")
+    )
+    starts = (
+        g.join(dup, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("starts"))
+    )
+    out = (
+        docs.select("doc_id", F.expr(toks).alias("_t"))
+        .join(starts, "doc_id", "left")
+        .withColumn("starts", F.coalesce(F.col("starts"), F.array()))
+    )
+    kept = (
+        f"filter(transform(_t, (t, i) -> struct(t AS t, i AS i)),"
+        f" p -> NOT exists(starts, s -> s <= p.i AND p.i < s + {k}))"
+    )
+    return out.select(
+        "doc_id",
+        F.expr(f"concat_ws(' ', transform({kept}, p -> p.t))").alias(
+            "text_clean"
+        ),
+        F.size("_t").cast("long").alias("n_tokens"),
+        (F.size("_t") - F.expr(f"size({kept})")).cast("long").alias("n_removed"),
+    )
+
+
 def contamination_pairs(
     docs: DataFrame,
     bench: DataFrame,

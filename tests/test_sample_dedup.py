@@ -5,6 +5,7 @@ dedup_corpus vs hand-computed survivors."""
 from __future__ import annotations
 
 import hashlib
+import re
 
 import pytest
 
@@ -107,3 +108,61 @@ def test_dedup_corpus_exact_and_near(spark, docs_sdf, corpus_pd):
     assert got_n == want_n
     with pytest.raises(ValueError, match="method"):
         dedup_corpus(docs_sdf, method="nope")
+
+
+def test_remove_duplicate_ngrams_replay_and_fast_parity(spark):
+    """Span-removal dedup (Lee et al. removal stage): Python replay of
+    the spec on planted shared spans; the fast Rabin-Karp path removes
+    the IDENTICAL spans (all grams hashed — duplicate sets are
+    content-determined, unlike winnowing's sampled fingerprints);
+    within-doc repeats count toward min_count."""
+    from collections import Counter
+
+    from dts.dedup import remove_duplicate_ngrams
+
+    k = 4
+    rows = [
+        (0, "a1 b2 c3 d4 e5 tail0 tail1"),
+        (1, "head0 a1 b2 c3 d4 e5 head1"),        # shares the 5-token run
+        (2, "u0 u1 u2 u3 u4 u5 u6 u7"),            # fully unique
+        (3, "r1 r2 r3 r4 mid r1 r2 r3 r4"),        # within-doc repeat
+        (4, ""),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in remove_duplicate_ngrams(docs, k=k, hash="md5").collect()
+    }
+
+    # Python replay
+    toks = {d: re.findall(r"[a-z0-9]+", (t or "").lower()) for d, t in rows}
+    cnt = Counter(
+        (d, " ".join(ts[i : i + k]))[1]
+        for d, ts in toks.items()
+        for i in range(len(ts) - k + 1)
+    )
+    for d, ts in toks.items():
+        covered = set()
+        for i in range(len(ts) - k + 1):
+            if cnt[" ".join(ts[i : i + k])] >= 2:
+                covered.update(range(i, i + k))
+        kept = [t for i, t in enumerate(ts) if i not in covered]
+        r = got[d]
+        assert r.text_clean == " ".join(kept), d
+        assert r.n_tokens == len(ts) and r.n_removed == len(ts) - len(kept)
+
+    assert got[2].n_removed == 0                       # unique untouched
+    assert got[3].n_removed == 8 and got[3].text_clean == "mid"
+    assert got[0].text_clean == "tail0 tail1"
+
+    fast = {
+        r.doc_id: r
+        for r in remove_duplicate_ngrams(docs, k=k, hash="fast").collect()
+    }
+    for d in got:
+        assert (fast[d].text_clean, fast[d].n_removed) == (
+            got[d].text_clean, got[d].n_removed,
+        ), d
+    with pytest.raises(ValueError, match="hash"):
+        remove_duplicate_ngrams(docs, k=k, hash="sha")
