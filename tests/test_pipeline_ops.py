@@ -858,6 +858,15 @@ def test_gopher_repetition_vs_replay(spark):
     # the documented thresholds from the paper are on fractions in [0, 1+):
     # overlap-counted top-gram fractions may exceed 1 (doc 1)
     assert got[1]["top_4gram_char_frac6"] > 1.0
+    # the numpy fast path produces bit-identical rows (same integers in,
+    # same half-away rounding out)
+    fast = {
+        r.doc_id: r.asDict()
+        for r in gopher_repetition(docs, impl="fast").collect()
+    }
+    assert fast == {d: got[d].asDict() for d in fast}
+    with pytest.raises(ValueError, match="impl"):
+        gopher_repetition(docs, impl="numpy")
 
 
 def _planted_embeddings(spark, n_clusters=8, per=12, dim=32, noise=0.05):
