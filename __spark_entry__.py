@@ -2028,6 +2028,34 @@ def _q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(emb, queries, k=10, allow=allow)
 
 
+HYBRID_RRF_K = 60
+
+
+def _q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8 hybrid search: BM25 leg + exact-cosine kNN leg fused with
+    reciprocal rank fusion 1/(rrf_k + rank) (dts.hybrid, rrf_k=60, the
+    ES rank_constant default). Legs are FULL ranked lists re-ranked at
+    6 dp (no window cut — cut-boundary 7th-decimal ties are
+    engine-dependent; the fusion math is the surface under test). The
+    driver's doc_id and vec_id share an id space by construction."""
+    from dts.hybrid import hybrid_topk
+
+    idx_dir = _pos_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(i, t, 0) for i, t in PROBE_QUERIES[:5]],
+        "query_id long, text string, fuzzy_k int",
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvecs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("qvec"),
+    )
+    return hybrid_topk(
+        spark, idx_dir, q, emb, qvecs, k=10, window=10**6,
+        rrf_k=HYBRID_RRF_K, rank_round=6,
+    )
+
+
 SQ_RERANK = 30
 
 
@@ -2341,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_topk": _q_ann_topk,
         "ann_filtered": _q_ann_filtered,
+        "rrf_hybrid": _q_rrf_hybrid,
         "sq_ann_topk": _q_sq_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "pq_ann_topk": _q_pq_ann_topk,
@@ -2637,6 +2666,40 @@ s AS (
 )
 SELECT q_id, vec_id, cos6, rank::INTEGER AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id ASC) AS rank FROM s
+) WHERE rank <= 10
+""",
+        "rrf_hybrid": _BM25_SQL_CTE + f""",
+tl AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
+  FROM scored WHERE query_id < 5
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT vec_id AS query_id, v AS w FROM e WHERE vec_id < 5),
+vl AS (
+  SELECT query_id, vec_id AS doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {_D_COS} DESC, vec_id ASC) AS rank
+  FROM e CROSS JOIN qv
+),
+u AS (
+  SELECT query_id, doc_id,
+         (1.0::DOUBLE) / ({HYBRID_RRF_K}::DOUBLE + rank::DOUBLE) AS contrib
+  FROM tl
+  UNION ALL
+  SELECT query_id, doc_id,
+         (1.0::DOUBLE) / ({HYBRID_RRF_K}::DOUBLE + rank::DOUBLE) AS contrib
+  FROM vl
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(contrib), 6) AS rrf6
+  FROM u GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rrf6, rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf6 DESC, doc_id ASC) AS rank
+  FROM fused
 ) WHERE rank <= 10
 """,
         "pq_ann_topk": f"""
