@@ -1739,6 +1739,27 @@ def _q_facet_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+COMPOSITE_SIZE = 5
+
+
+def _q_composite_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation (dts.facet.facet_composite): paginate
+    the (lang terms, n_chars/200 histogram) bucket space in key order —
+    page 1 is collected, its after_key drives page 2 (the returned
+    frame). Oracle: ORDER BY key LIMIT size OFFSET size (total key
+    order makes after-key paging ≡ offset paging)."""
+    from dts.facet import composite_after_key, facet_composite
+
+    docs = _docs(spark, sf_dir)
+    srcs = [
+        ("lang", "lang"),
+        ("chars_bin", (F.floor(F.col("n_chars") / 200) * 200).cast("long")),
+    ]
+    page1 = facet_composite(docs, srcs, size=COMPOSITE_SIZE).collect()
+    after = composite_after_key(page1)
+    return facet_composite(docs, srcs, size=COMPOSITE_SIZE, after=after)
+
+
 FACET_FILTERS = {
     "short": "n_chars < 250",
     "en": "lang = 'en'",
@@ -2333,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmd_topk": _q_lmd_topk,
         "facet_stats": _q_facet_stats,
         "facet_range": _q_facet_range,
+        "composite_page2": _q_composite_page2,
         "facet_date_histogram": _q_facet_date_histogram,
         "facet_filters": _q_facet_filters,
         "facet_cardinality": _q_facet_cardinality,
@@ -4676,6 +4698,15 @@ UNION ALL
 SELECT 'day', strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
        count(*)::BIGINT
 FROM events WHERE ts IS NOT NULL GROUP BY 2
+"""
+    extra["composite_page2"] = f"""
+SELECT lang, (floor(n_chars / 200) * 200)::BIGINT AS chars_bin,
+       count(*)::BIGINT AS doc_count
+FROM documents
+WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+LIMIT {COMPOSITE_SIZE} OFFSET {COMPOSITE_SIZE}
 """
     _fpred = " OR ".join(
         f"(nm.bucket = '{n}' AND ({p}))" for n, p in sorted(FACET_FILTERS.items())

@@ -341,6 +341,75 @@ def facet_range(
     )
 
 
+def facet_composite(
+    docs: DataFrame,
+    sources: list[tuple[str, "str | F.Column"]],
+    size: int = 10,
+    after: tuple | None = None,
+) -> DataFrame:
+    """ES composite aggregation: paginate through ALL buckets of a
+    multi-source key in deterministic key order.
+
+    ``sources``: ordered (name, column) pairs — column a name or an
+    expression (e.g. ``F.floor(F.col("n_chars")/200)*200`` is ES's
+    histogram source; a plain column is a terms source). Buckets are
+    ordered lexicographically ASC by source values (the ES default);
+    ``after`` is the previous page's last composite key (the ES
+    ``after_key``) and the page returned starts strictly after it.
+    Rows with a NULL in any source are omitted (ES
+    ``missing_bucket: false`` default).
+
+    Scale shape — why composite beats a plain terms agg at 100 TB: the
+    ``after`` predicate is applied to the RAW rows BEFORE the hash agg
+    (bucket membership is a per-row key property), so each page prunes
+    the scan, and the ordered page itself is orderBy+limit =
+    TakeOrderedAndProject (per-partition size-bounded heaps, no global
+    sort). Paging through k buckets costs k/size scans of decreasing
+    size, each shuffle-light — never one unbounded all-buckets result.
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    names = [n for n, _ in sources]
+    base = docs.select(
+        *[
+            (F.col(c) if isinstance(c, str) else c).alias(n)
+            for n, c in sources
+        ]
+    )
+    for n in names:
+        base = base.filter(F.col(n).isNotNull())
+    if after is not None:
+        if len(after) != len(names):
+            raise ValueError(
+                f"after key must have {len(names)} components, got {len(after)}"
+            )
+        disjuncts = []
+        for i, n in enumerate(names):
+            head = F.col(n) > F.lit(after[i])
+            for j in range(i - 1, -1, -1):
+                head = (F.col(names[j]) == F.lit(after[j])) & head
+            disjuncts.append(head)
+        cond = disjuncts[0]
+        for d in disjuncts[1:]:
+            cond = cond | d
+        base = base.filter(cond)
+    return (
+        base.groupBy(*names)
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(*[F.col(n).asc() for n in names])
+        .limit(size)
+    )
+
+
+def composite_after_key(page_rows: list) -> tuple | None:
+    """The ES ``after_key`` of a collected page: the last row's source
+    values (all columns but doc_count), or None for an empty page."""
+    if not page_rows:
+        return None
+    last = page_rows[-1]
+    return tuple(v for k, v in last.asDict().items() if k != "doc_count")
+
+
 CALENDAR_INTERVALS = ("minute", "hour", "day", "week", "month", "quarter", "year")
 
 

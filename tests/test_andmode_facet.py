@@ -464,3 +464,49 @@ def test_facet_range_date_histogram_filters_replay(spark):
         assert got_f[(k, "never")] == 0
     cw_f = {r.bucket: r.n for r in facet_filters(None, docs, flt).collect()}
     assert cw_f["en"] == sum(1 for i in range(40) if i % 3 == 0)
+
+
+def test_facet_composite_pagination_walk(spark):
+    """Paging with after_key visits every bucket exactly once, in key
+    order, and equals the one-shot ordered aggregation."""
+    from pyspark.sql import functions as F
+
+    from dts.facet import composite_after_key, facet_composite
+
+    rows = [
+        (i, ["a", "b", "c"][i % 3], (i * 37) % 500, None if i == 41 else "x")
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, n long, opt string"
+    )
+    srcs = [("lang", "lang"), ("bin", (F.floor(F.col("n") / 100) * 100).cast("long"))]
+    want = sorted(
+        {
+            (r.lang, r.bin): r.doc_count
+            for r in facet_composite(docs, srcs, size=1000).collect()
+        }.items()
+    )
+    assert len(want) == 15  # 3 langs x 5 bins
+
+    walked = []
+    after = None
+    while True:
+        page = facet_composite(docs, srcs, size=4, after=after).collect()
+        if not page:
+            break
+        walked.extend(((r.lang, r.bin), r.doc_count) for r in page)
+        after = composite_after_key(page)
+    assert walked == want  # order AND counts
+
+    # NULL in any source drops the row (ES missing_bucket=false)
+    srcs_null = [("opt", "opt"), ("lang", "lang")]
+    got = facet_composite(docs, srcs_null, size=100).collect()
+    assert sum(r.doc_count for r in got) == 119
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="components"):
+        facet_composite(docs, srcs, size=4, after=("a",))
+    with _pytest.raises(ValueError, match="non-empty"):
+        facet_composite(docs, [], size=4)
