@@ -459,6 +459,23 @@ def _q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TERMS_SET_QUERIES = [(0, "fast join table scan"), (1, "data query row merge")]
+TERMS_SET_MSM = "1 + n_chars % 3"
+
+
+def _q_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene CoveringQuery / ES terms_set (dts.boolquery.
+    terms_set_match): docs where the count of DISTINCT matching query
+    terms reaches a PER-DOC minimum read from the doc-values sidecar
+    (1 + n_chars % 3 here — the minimum_should_match_field contract)."""
+    from dts.boolquery import terms_set_match
+
+    q = spark.createDataFrame(TERMS_SET_QUERIES, "tq_id long, terms string")
+    return terms_set_match(
+        spark, _dv_index(spark, sf_dir), q, "n_chars", msm_expr=TERMS_SET_MSM
+    )
+
+
 def _q_sort_by_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene Sort(SortField): boolean matches ordered by a stored field
     value instead of relevance (dts.docvalues.sort_topk over the doc_meta
@@ -2368,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_suggest": _q_phrase_suggest,
         "dv_update_range": _q_dv_update_range,
         "range_search": _q_range_search,
+        "terms_set": _q_terms_set,
         "sort_by_meta": _q_sort_by_meta,
         "collapse_source": _q_collapse_source,
         "tfidf_topk": _q_tfidf_topk,
@@ -4698,6 +4716,25 @@ UNION ALL
 SELECT 'day', strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
        count(*)::BIGINT
 FROM events WHERE ts IS NOT NULL GROUP BY 2
+"""
+    _ts_vals = ", ".join(
+        f"({i}, '{t}')"
+        for i, terms in TERMS_SET_QUERIES
+        for t in sorted(set(terms.split()))
+    )
+    extra["terms_set"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_D_TOKS}) AS term FROM documents
+),
+dt AS (SELECT DISTINCT doc_id, term FROM tok),
+q(tq_id, term) AS (VALUES {_ts_vals}),
+c AS (
+  SELECT tq_id::BIGINT AS tq_id, doc_id, count(*)::INTEGER AS n_matched
+  FROM q JOIN dt USING (term) GROUP BY 1, 2
+)
+SELECT tq_id, doc_id, n_matched
+FROM c JOIN documents d USING (doc_id)
+WHERE n_matched >= greatest(1, ({TERMS_SET_MSM})::INTEGER)
 """
     extra["composite_page2"] = f"""
 SELECT lang, (floor(n_chars / 200) * 200)::BIGINT AS chars_bin,

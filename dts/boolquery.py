@@ -213,3 +213,86 @@ def boolean_match_docs(
         BOOL_SCHEMA,
     )
     return mask_deleted_rows(out, spark, index_dir, meta)
+
+
+TERMS_SET_SCHEMA = "tq_id long, doc_id long, n_matched int"
+
+
+def _terms_set_counter_fn(block_size: int, codec: str):
+    def count_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        tq_id = int(pdf["tq_id"].iloc[0])
+        slots = [
+            _decode_docs(pdf[pdf["term"] == t], block_size, codec)
+            for t in pdf["term"].unique()
+        ]
+        docs, cnt = np.unique(np.concatenate(slots), return_counts=True)
+        return pd.DataFrame(
+            {
+                "tq_id": np.full(len(docs), tq_id, dtype=np.int64),
+                "doc_id": docs.astype(np.int64),
+                "n_matched": cnt.astype(np.int32),
+            }
+        )
+
+    return count_group
+
+
+def terms_set_match(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    msm_field: str,
+    msm_expr: str | None = None,
+    max_isin_terms: int = MAX_ISIN_TERMS,
+) -> DataFrame:
+    """Lucene CoveringQuery / ES ``terms_set``: (tq_id, doc_id,
+    n_matched) for docs where the number of DISTINCT query terms present
+    is >= the doc's OWN minimum, read from the ``msm_field`` doc-values
+    sidecar column (``minimum_should_match_field``). ``msm_expr`` may
+    derive the minimum from stored fields as a SQL expression (ES's
+    minimum_should_match_script analogue); default = the field itself.
+
+    The per-doc minimum is clamped to >= 1: a doc demanding < 1 matches
+    would turn the query into a corpus scan, which this index-resolved
+    operator refuses — same stance as pure-negation BooleanQueries
+    (Lucene's CoveringQuery instead matches such docs unconditionally;
+    documented delta).
+
+    Scale shape: distinct-match counting is the SHOULD machinery — one
+    decode per (term, bucket), np.unique(counts) per (query, bucket)
+    group, globally exact because buckets are disjoint doc ranges. The
+    per-doc minimum joins AFTER counting, on the hit-sized count frame
+    against the column-pruned sidecar (doc_id, minimum) projection.
+    """
+    from dts.docvalues import sidecar
+
+    qt_rows: list[tuple[int, str]] = []
+    for r in queries.select("tq_id", "terms").collect():
+        terms = sorted(set(tokenize_text(r["terms"] or "")))
+        if not terms:
+            raise ValueError(
+                f"terms_set query {r['tq_id']}: no terms after tokenization"
+            )
+        qt_rows.extend((int(r["tq_id"]), t) for t in terms)
+    qt = spark.createDataFrame(qt_rows, "tq_id long, term string")
+    idx = load_index(spark, index_dir)
+    meta = idx["meta"]
+    postings = term_filter(
+        idx["postings"], sorted({t for _, t in qt_rows}), max_isin_terms
+    ).join(F.broadcast(qt), "term")
+    counts = postings.groupBy("tq_id", "bucket").applyInPandas(
+        _terms_set_counter_fn(meta["block_size"], meta.get("codec", "varint")),
+        TERMS_SET_SCHEMA,
+    )
+    counts = mask_deleted_rows(counts, spark, index_dir, meta)
+    side = sidecar(spark, index_dir, [msm_field]).select(
+        "doc_id",
+        F.greatest(
+            F.lit(1), F.expr(msm_expr or msm_field).cast("int")
+        ).alias("_msm"),
+    )
+    return (
+        counts.join(side, "doc_id")
+        .filter(F.col("n_matched") >= F.col("_msm"))
+        .select("tq_id", "doc_id", "n_matched")
+    )

@@ -161,3 +161,72 @@ def test_should_backward_compat_no_column(spark, bool_index, corpus_pd):
         for r in boolean_match_docs(spark, bool_index, q).collect()
     }
     assert got == _py_oracle(corpus_pd, f"{ts[0]} {ts[1]}", ts[2])
+
+
+@pytest.fixture(scope="module")
+def ts_index(spark, docs_sdf, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("terms_set_idx"))
+    src = docs_sdf.withColumn(
+        "prio", (F.col("doc_id") % 4).cast("long")
+    )
+    build_index(
+        spark, src, d, bucket_size=64, block_size=16, store_fields=["prio"]
+    )
+    return d
+
+
+def test_terms_set_vs_oracle(spark, ts_index, corpus_pd):
+    from dts.boolquery import terms_set_match
+
+    ts = _terms_from(corpus_pd, seed=23, n=6)
+    q = spark.createDataFrame(
+        [(0, " ".join(ts[:4])), (1, " ".join(ts[2:]))],
+        "tq_id long, terms string",
+    )
+    got = {
+        (r.tq_id, r.doc_id): r.n_matched
+        for r in terms_set_match(spark, ts_index, q, "prio").collect()
+    }
+    want = {}
+    for tq_id, terms in ((0, ts[:4]), (1, ts[2:])):
+        tset = set(terms)
+        for _, r in corpus_pd.iterrows():
+            n = len(tset & set(tokenize_text(r["content"])))
+            msm = max(1, int(r.name) % 4)  # prio = doc_id % 4, clamped
+            if n >= msm:
+                want[(tq_id, int(r["doc_id"]))] = n
+    assert got == want
+    assert want  # non-vacuous
+
+
+def test_terms_set_msm_expr_and_clamp(spark, ts_index, corpus_pd):
+    """msm_expr overrides the field; minima < 1 clamp to 1 (docs with
+    prio=0 still need one match — never match-all)."""
+    from dts.boolquery import terms_set_match
+
+    ts = _terms_from(corpus_pd, seed=29, n=3)
+    q = spark.createDataFrame([(0, " ".join(ts))], "tq_id long, terms string")
+    got0 = {
+        r.doc_id
+        for r in terms_set_match(
+            spark, ts_index, q, "prio", msm_expr="prio - 10"
+        ).collect()
+    }
+    # clamped minimum 1 for every doc == "any term present"
+    tset = set(ts)
+    want0 = {
+        int(r["doc_id"])
+        for _, r in corpus_pd.iterrows()
+        if tset & set(tokenize_text(r["content"]))
+    }
+    assert got0 == want0
+
+    with pytest.raises(ValueError, match="no terms"):
+        terms_set_match(
+            spark,
+            ts_index,
+            spark.createDataFrame([(9, "")], "tq_id long, terms string"),
+            "prio",
+        )
