@@ -653,6 +653,32 @@ def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_near_counts(spark, _pos_index(spark, sf_dir), q)
 
 
+# (sq_id, include terms, exclude term, slop, pre, post) — m=2 spans, a
+# single-term include with a pre/post window, a never-firing exclusion
+# (== span_near), and a same-window self-adjacent exclusion.
+SPAN_NOT_QS = [
+    (0, "fast join", "scan", 2, 0, 0),
+    (1, "table", "scan", 0, 1, 1),
+    (2, "customer order", "zzqqnever", 1, 0, 0),
+    (3, "data", "query", 0, 2, 2),
+]
+
+
+def _q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanNotQuery (dts.spans.span_not_counts): include spans
+    (greedy ordered chains, the span_near budget) that do NOT overlap an
+    exclude-term occurrence within [start−pre, end+post]; greedy remains
+    exact because the window grows with the chain end. Oracle: per-start
+    list_min greedy replay + a window list_filter emptiness check."""
+    from dts.spans import span_not_counts
+
+    q = spark.createDataFrame(
+        SPAN_NOT_QS,
+        "sq_id long, include string, exclude string, slop int, pre int, post int",
+    )
+    return span_not_counts(spark, _pos_index(spark, sf_dir), q)
+
+
 def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 function_score / field_value_factor
     (dts.docvalues.function_score_topk): rank by bm25 · ln(1 + n_chars)
@@ -2335,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_match": _q_proximity_match,
         "span_first": _q_span_first,
         "span_near": _q_span_near,
+        "span_not": _q_span_not,
         "phrase_prefix": _q_phrase_prefix,
         "synonym_topk": _q_synonym_topk,
         "function_score": _q_function_score,
@@ -2444,6 +2471,42 @@ _D_COS = (
     "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(w, w))), 6)"
 )
 _STOPLIST = "['the','and','is','of','to','in','that','it']"
+
+
+def _span_not_sql() -> str:
+    """SpanNot replay: per start p, the greedy (minimal) next position
+    via list_min, the total-span budget, then an emptiness check of the
+    exclude term over [p − pre, end + post] (1-based, doc-clamped)."""
+    parts = []
+    for sq, inc, ex, slop, pre, post in SPAN_NOT_QS:
+        terms = inc.split()
+        if len(terms) == 1:
+            cond = (
+                f"toks[p] = '{terms[0]}' AND len(list_filter("
+                f"range(greatest(1, p - {pre}), least(len(toks), p + {post}) + 1), "
+                f"k -> toks[k] = '{ex}')) = 0"
+            )
+        else:
+            t0, t1 = terms
+            jm = (
+                f"list_min(list_filter(range(p + 1, len(toks) + 1), "
+                f"q -> toks[q] = '{t1}'))"
+            )
+            cond = (
+                f"toks[p] = '{t0}' AND {jm} IS NOT NULL AND {jm} - p <= {1 + slop} "
+                f"AND len(list_filter("
+                f"range(greatest(1, p - {pre}), least(len(toks), {jm} + {post}) + 1), "
+                f"k -> toks[k] = '{ex}')) = 0"
+            )
+        parts.append(f"""
+SELECT {sq}::BIGINT AS sq_id, doc_id,
+       len(list_filter(range(1, len(toks) + 1), p -> {cond}))::BIGINT AS n_matches
+FROM t""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
+SELECT sq_id, doc_id, n_matches FROM ({body}) WHERE n_matches > 0
+"""
 
 
 def _phrase_match_sql() -> str:
@@ -3124,6 +3187,7 @@ SELECT sq_id, doc_id, n_matches FROM m2 WHERE n_matches > 0
 UNION ALL
 SELECT sq_id, doc_id, n_matches FROM m3 WHERE n_matches > 0
 """,
+        "span_not": _span_not_sql(),
         "snippet": f"""
 WITH pat(pat_id, pattern) AS (VALUES {", ".join(f"({i}, '{p}')" for i, p in SNIPPET_PATTERNS)})
 SELECT pat_id::BIGINT AS pat_id, doc_id,

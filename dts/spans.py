@@ -222,3 +222,162 @@ def span_near_counts(
         SPAN_SCHEMA,
     )
     return mask_deleted_rows(out, spark, index_dir, meta)
+
+
+def _span_not_matcher(block_size: int, codec: str):
+    def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "sq_id": np.zeros(0, dtype=np.int64),
+                "doc_id": np.zeros(0, dtype=np.int64),
+                "n_matches": np.zeros(0, dtype=np.int64),
+            }
+        )
+        sq_id = int(pdf["sq_id"].iloc[0])
+        m = int(pdf["m"].iloc[0])
+        slop = int(pdf["slop"].iloc[0])
+        pre = int(pdf["pre"].iloc[0])
+        post = int(pdf["post"].iloc[0])
+        inc = pdf[pdf["role"] == 0]
+        if inc["i"].nunique() != m:
+            return empty  # an include term absent from this bucket
+        from dts.phrase import _concat_runs
+
+        slots = [
+            _concat_runs(inc[inc["i"] == i], block_size, codec)
+            for i in range(m)
+        ]
+        exc = pdf[pdf["role"] == 1]
+        exc_runs = (
+            _concat_runs(exc, block_size, codec) if len(exc) else None
+        )
+        pos_max = max(
+            (int(f.max()) for _, f, _, _ in slots if len(f)), default=0
+        )
+        if exc_runs is not None and len(exc_runs[1]):
+            pos_max = max(pos_max, int(exc_runs[1].max()))
+        doc_max = max(
+            (int(d.max()) for d, _, _, _ in slots if len(d)), default=0
+        )
+        P = pos_max + 2
+        if doc_max and P > (2**63 - 1) // (doc_max + 1):
+            raise OverflowError("doc_id * position key space exceeds int64")
+
+        def keys_of_runs(runs) -> np.ndarray:
+            docs, flat, bounds, _ = runs
+            return np.repeat(docs, np.diff(bounds)) * P + flat
+
+        starts = keys_of_runs(slots[0])
+        if not len(starts):
+            return empty
+        cur = starts
+        alive = np.ones(len(starts), dtype=bool)
+        for i in range(1, m):
+            ki = keys_of_runs(slots[i])
+            idx_n = np.searchsorted(ki, cur + 1, side="left")
+            ok = idx_n < len(ki)
+            nxt = np.where(ok, ki[np.minimum(idx_n, len(ki) - 1)], -1)
+            ok &= (nxt // P) == (cur // P)
+            alive &= ok
+            cur = np.where(alive, nxt, cur)
+            if not alive.any():
+                return empty
+        hit = alive & ((cur - starts) <= (m - 1) + slop)
+        if not hit.any():
+            return empty
+        s_keys, e_keys = starts[hit], cur[hit]
+        if exc_runs is not None:
+            ek = keys_of_runs(exc_runs)
+            if len(ek):
+                doc_base = (s_keys // P) * P
+                lo = np.maximum(s_keys - pre, doc_base)
+                hi = np.minimum(e_keys + post, doc_base + (P - 2))
+                j = np.searchsorted(ek, lo, side="left")
+                has = (j < len(ek)) & (
+                    ek[np.minimum(j, len(ek) - 1)] <= hi
+                )
+                s_keys = s_keys[~has]
+                if not len(s_keys):
+                    return empty
+        docs_out, counts = np.unique(s_keys // P, return_counts=True)
+        return pd.DataFrame(
+            {
+                "sq_id": np.full(len(docs_out), sq_id, dtype=np.int64),
+                "doc_id": docs_out.astype(np.int64),
+                "n_matches": counts.astype(np.int64),
+            }
+        )
+
+    return match_group
+
+
+def span_not_counts(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    max_isin_terms: int = MAX_ISIN_TERMS,
+) -> DataFrame:
+    """Lucene SpanNotQuery: include spans that do NOT overlap any
+    occurrence of the exclude term, the overlap window widened by
+    ``pre`` tokens before the span and ``post`` after (SpanNotQuery's
+    pre/post constructor). ``queries`` needs (sq_id, include, exclude,
+    slop, pre, post) — ``include`` whitespace-splits into an ordered
+    span_near term list (1 term = a plain term span; ≥ 2 = the ordered
+    total-span-budget rule of span_near_counts), ``exclude`` is one term.
+
+    Counting = distinct include chain starts, and the greedy chain is
+    EXACT here too: the exclusion window [start − pre, end + post] grows
+    with the span end, so the greedy (minimal-end) chain minimizes the
+    window — if IT overlaps an exclude position, every longer chain from
+    the same start does as well (superset window).
+
+    Same distribution as the other span operators: broadcast query
+    table, one exact (sq_id, bucket) group, numpy searchsorted over
+    packed doc·P+pos keys; the exclude check is ONE searchsorted per
+    surviving span. Window clamps stay inside the doc's key range, so
+    pre/post never leak across documents.
+    """
+    idx = load_index(spark, index_dir)
+    meta = idx["meta"]
+    _require_positions(meta, "span_not")
+    qt_rows, shape_rows = [], []
+    for r in queries.select(
+        "sq_id", "include", "exclude", "slop", "pre", "post"
+    ).collect():
+        terms = [t for t in str(r["include"]).split() if t]
+        if not terms:
+            raise ValueError(f"span_not needs >= 1 include term (sq_id={r['sq_id']!r})")
+        exc = [t for t in str(r["exclude"] or "").split() if t]
+        if len(exc) != 1:
+            raise ValueError(
+                f"span_not takes exactly one exclude term (sq_id={r['sq_id']!r})"
+            )
+        if int(r["slop"]) < 0 or int(r["pre"]) < 0 or int(r["post"]) < 0:
+            raise ValueError("slop/pre/post must be >= 0")
+        sq = int(r["sq_id"])
+        for i, t in enumerate(terms):
+            qt_rows.append((sq, i, 0, t))
+        qt_rows.append((sq, 0, 1, exc[0]))
+        shape_rows.append(
+            (sq, len(terms), int(r["slop"]), int(r["pre"]), int(r["post"]))
+        )
+    if not qt_rows:
+        return spark.createDataFrame([], SPAN_SCHEMA)
+    qt = spark.createDataFrame(
+        qt_rows, "sq_id long, i int, role int, term string"
+    )
+    shape = spark.createDataFrame(
+        shape_rows, "sq_id long, m int, slop int, pre int, post int"
+    )
+    postings = (
+        term_filter(
+            idx["postings"], sorted({t for *_, t in qt_rows}), max_isin_terms
+        )
+        .join(F.broadcast(qt), "term")
+        .join(F.broadcast(shape), "sq_id")
+    )
+    out = postings.groupBy("sq_id", "bucket").applyInPandas(
+        _span_not_matcher(meta["block_size"], meta.get("codec", "varint")),
+        SPAN_SCHEMA,
+    )
+    return mask_deleted_rows(out, spark, index_dir, meta)

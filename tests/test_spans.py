@@ -171,3 +171,94 @@ def test_phrase_prefix_vs_replay(spark, sp_index, doc_toks, corpus_pd):
     ).toPandas()
     want1 = _pp_replay(doc_toks, vocab, qs[0][1], max_expansions=1)
     assert dict(zip(got1["doc_id"].astype(int), got1["n_matches"].astype(int))) == want1
+
+
+def _not_replay(doc_toks, terms, ex, slop, pre, post):
+    """ANY-chain SpanNot brute force: start p counts iff SOME ordered
+    chain within the total-span budget has an exclusion-free window
+    [p − pre, end + post]. The engine's greedy sweep must equal this
+    (minimal end ⇒ minimal window)."""
+    m = len(terms)
+    budget = (m - 1) + slop
+    out = {}
+    for d, toks in doc_toks.items():
+        pos = {t: [i for i, x in enumerate(toks) if x == t] for t in set(terms)}
+        expos = [i for i, x in enumerate(toks) if x == ex]
+        if any(not pos[t] for t in terms):
+            continue
+        n = 0
+        for p in pos[terms[0]]:
+
+            def clean(end):
+                lo, hi = p - pre, end + post
+                return not any(lo <= k <= hi for k in expos)
+
+            def ok(i, cur):
+                if i == m:
+                    return clean(cur)
+                return any(
+                    ok(i + 1, q)
+                    for q in pos[terms[i]]
+                    if q > cur and q - p <= budget
+                )
+
+            if ok(1, p):
+                n += 1
+        if n:
+            out[d] = n
+    return out
+
+
+def test_span_not_vs_replay(spark, sp_index, doc_toks, corpus_pd):
+    from dts.spans import span_not_counts
+
+    toks = tokenize_text(" ".join(corpus_pd["content"].head(40)))
+    # adjacent tokens from a real doc ⇒ the m=2 span exists somewhere
+    a, b, c, ex = toks[10], toks[11], toks[13], toks[12]
+    cases = [
+        (0, f"{a} {b}", ex, 2, 0, 0),
+        (1, a, ex, 0, 1, 1),
+        (2, f"{a} {b} {c}", ex, 3, 1, 1),
+        (3, a, "zzqqnever", 0, 5, 5),  # exclusion never fires
+    ]
+    q = spark.createDataFrame(
+        cases,
+        "sq_id long, include string, exclude string, slop int, pre int, post int",
+    )
+    got = {
+        (r.sq_id, r.doc_id): r.n_matches
+        for r in span_not_counts(spark, sp_index, q).collect()
+    }
+    want = {}
+    for sq, inc, ex_t, slop, pre, post in cases:
+        for d, n in _not_replay(doc_toks, inc.split(), ex_t, slop, pre, post).items():
+            want[(sq, d)] = n
+    assert got == want
+    assert any(k[0] == 0 for k in want), "case 0 vacuous"
+
+
+def test_span_not_self_exclusion_and_validation(spark, sp_index, corpus_pd):
+    from dts.spans import span_not_counts
+
+    toks = tokenize_text(" ".join(corpus_pd["content"].head(40)))
+    a = toks[3]
+    q = spark.createDataFrame(
+        [(0, a, a, 0, 0, 0)],
+        "sq_id long, include string, exclude string, slop int, pre int, post int",
+    )
+    # a single-term span always overlaps itself as exclusion
+    assert span_not_counts(spark, sp_index, q).count() == 0
+
+    bad = [
+        (0, "", a, 0, 0, 0),
+        (1, a, "", 0, 0, 0),
+        (2, a, f"{a} {a}", 0, 0, 0),
+        (3, a, a, -1, 0, 0),
+    ]
+    for row in bad:
+        qb = spark.createDataFrame(
+            [row],
+            "sq_id long, include string, exclude string, slop int, pre int, post int",
+        )
+        with pytest.raises(ValueError):
+            span_not_counts(spark, sp_index, qb)
