@@ -54,9 +54,19 @@ def test_probe_matches_oracle(spark, ddb, name):
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
             if isinstance(x, float) or isinstance(y, float):
-                assert math.isclose(float(x), float(y), rel_tol=1e-12, abs_tol=1e-12), (
-                    f"{name}.{col}[{i}]: {x} vs {y}"
+                # NULL float columns (open-ended range bounds) surface as
+                # NaN in BOTH frames; the driver's repr-hash treats them
+                # equal, so must this comparison (isclose(nan, nan) is
+                # False by definition).
+                both_nan = (
+                    isinstance(x, float)
+                    and isinstance(y, float)
+                    and math.isnan(x)
+                    and math.isnan(y)
                 )
+                assert both_nan or math.isclose(
+                    float(x), float(y), rel_tol=1e-12, abs_tol=1e-12
+                ), f"{name}.{col}[{i}]: {x} vs {y}"
             else:
                 assert x == y, f"{name}.{col}[{i}]: {x!r} vs {y!r}"
 
