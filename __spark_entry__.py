@@ -1006,6 +1006,30 @@ def _q_cross_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "doc_id", "rank")
 
 
+def _q_combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match type=combined_fields / Lucene CombinedFieldQuery
+    (dts.multifield.combined_fields_topk — true BM25F-style): weighted
+    term frequencies summed ACROSS fields into one saturation with a
+    combined length norm; df = min(n_docs, Σ_f df_f) (Lucene's merged
+    TermStatistics). The oracle recomputes the exact formula relationally;
+    ranks compared at 6 dp."""
+    import tempfile
+
+    from dts.io import driver_documents_as_source
+    from dts.multifield import build_multifield_index, combined_fields_topk
+
+    docs = (
+        driver_documents_as_source(spark, sf_dir)
+        .withColumnRenamed("content", "text")
+        .withColumn("head", F.expr(_HEAD_SQL))
+    )
+    d = tempfile.mkdtemp(prefix="dts_cbf_idx_")
+    build_multifield_index(spark, docs, d, CF_BOOSTS, bucket_size=256)
+    q = spark.createDataFrame(CF_QUERIES, "query_id long, text string")
+    out = combined_fields_topk(spark, d, q, k=10)
+    return out.select("query_id", "doc_id", "rank")
+
+
 # Multi-field probe: text is the default field (boost 1.0), source is a
 # scoped field (boost 0.5); includes a source-only query and a miss.
 MF_QUERIES = [
@@ -2421,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multifield_topk": _q_multifield_topk,
         "dismax_topk": _q_dismax_topk,
         "cross_fields": _q_cross_fields,
+        "combined_fields": _q_combined_fields,
         "search_fields": _q_search_fields,
         "phrase_scored": _q_phrase_scored,
         # training-data pipeline operators
@@ -3526,6 +3551,69 @@ occ(query_id, clause, tid) AS (VALUES {_cf_occv}),
 total AS (
   SELECT occ.query_id::BIGINT AS query_id, p.doc_id, sum(p.tscore) AS score
   FROM occ JOIN pterm p USING (tid) GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM total
+) WHERE rank <= 10
+"""
+    # combined_fields (BM25F): weighted tf summed across fields into ONE
+    # saturation; dlc/avgdlc in SORTED field order (head, text) exactly as
+    # the engine builds them; df_c = min(n_docs, Σ_f df_f). Reuses the
+    # cross_fields term/occurrence VALUES (same queries).
+    extra["combined_fields"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '{TOK}') AS tk
+  FROM documents
+),
+fld AS (
+  SELECT 'head' AS f, doc_id, tk[1:8] AS tk FROM toks
+  UNION ALL
+  SELECT 'text', doc_id, tk FROM toks
+),
+w(f, wt) AS (VALUES ('head', {CF_BOOSTS['head']}), ('text', {CF_BOOSTS['text']})),
+tfc AS (
+  SELECT f, doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT f, doc_id, unnest(tk) AS term FROM fld)
+  GROUP BY 1, 2, 3
+),
+dl AS (SELECT f, doc_id, len(tk)::BIGINT AS dl FROM fld),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+av AS (
+  SELECT {CF_BOOSTS['head']} * (SELECT avg(dl)::DOUBLE FROM dl WHERE f = 'head')
+       + {CF_BOOSTS['text']} * (SELECT avg(dl)::DOUBLE FROM dl WHERE f = 'text') AS avgdlc
+),
+dlc AS (
+  SELECT doc_id,
+         {CF_BOOSTS['head']} * max(CASE WHEN f = 'head' THEN dl END)::DOUBLE
+       + {CF_BOOSTS['text']} * max(CASE WHEN f = 'text' THEN dl END)::DOUBLE AS dlc
+  FROM dl GROUP BY 1
+),
+qt(tid, term) AS (VALUES {_cf_qt}),
+dfq AS (SELECT f, term, count(*)::BIGINT AS df FROM tfc GROUP BY 1, 2),
+dfc AS (
+  SELECT qt.tid, qt.term,
+         least((SELECT n_docs FROM nd), sum(dfq.df))::BIGINT AS dfc
+  FROM qt JOIN dfq USING (term) GROUP BY 1, 2
+),
+wtfc AS (
+  SELECT t.term, t.doc_id, sum(w.wt * t.tf::DOUBLE) AS wtf
+  FROM tfc t JOIN w USING (f) GROUP BY 1, 2
+),
+scored AS (
+  SELECT dfc.tid, wt.doc_id,
+         ln(1.0 + ((SELECT n_docs FROM nd)::DOUBLE - dfc.dfc + 0.5) / (dfc.dfc + 0.5))
+         * (wt.wtf * ({K1} + 1.0)
+            / (wt.wtf + {K1} * (1.0 - {B} + {B} * dlc.dlc / (SELECT avgdlc FROM av)))) AS contrib
+  FROM dfc
+  JOIN wtfc wt ON wt.term = dfc.term
+  JOIN dlc ON dlc.doc_id = wt.doc_id
+),
+occ(query_id, clause, tid) AS (VALUES {_cf_occv}),
+total AS (
+  SELECT occ.query_id::BIGINT AS query_id, s.doc_id, sum(s.contrib) AS score
+  FROM occ JOIN scored s USING (tid) GROUP BY 1, 2
 )
 SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
   SELECT query_id, doc_id,

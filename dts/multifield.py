@@ -878,3 +878,253 @@ def cross_fields_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def _decoded_tf_rows(pruned: DataFrame, meta: dict) -> DataFrame:
+    """(term, bucket, doc_id, tf) rows from coded posting rows — ONE
+    mapInPandas decode pass; tombstones (``_del_ids``, bucket-colocated)
+    are masked during the explode so dead docs never reach the agg."""
+    block_size = int(meta["block_size"])
+    codec = meta.get("codec", "varint")
+    geom = {"block_size": block_size, "codec": codec}
+
+    def explode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from dts.codec import decode_postings
+
+        for pdf in batches:
+            outs = []
+            for i in range(len(pdf)):
+                d, tf, _dl = decode_postings(_pack(pdf, i, geom))
+                dead = pdf["_del_ids"].iat[i]
+                if dead is not None:
+                    arr = np.asarray(dead, dtype=np.int64)
+                    if len(arr):
+                        live = ~np.isin(d, arr)
+                        d, tf = d[live], tf[live]
+                if not len(d):
+                    continue
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term": pdf["term"].iat[i],
+                            "bucket": np.int32(pdf["bucket"].iat[i]),
+                            "doc_id": d.astype(np.int64),
+                            "tf": tf.astype(np.int64),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return pruned.mapInPandas(
+        explode, "term string, bucket int, doc_id long, tf long"
+    )
+
+
+def combined_fields_topk(
+    spark: SparkSession,
+    out_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """ES ``multi_match type=combined_fields`` / Lucene sandbox
+    ``CombinedFieldQuery`` — true BM25F-style scoring, the FOURTH
+    multifield model beside most_fields (weighted per-field BM25 sum),
+    best_fields (dismax) and cross_fields (blended df): the fields are
+    merged into one pseudo-field BEFORE saturation, so a term hitting two
+    fields saturates ONCE on the combined frequency instead of earning two
+    independent saturation curves.
+
+    Per doc d and term t, with per-field weights w_f:
+
+        wtf(t, d)  = Σ_f w_f · tf_f(t, d)         (combined frequency)
+        dlc(d)     = Σ_f w_f · dl_f(d)            (combined length)
+        avgdlc     = Σ_f w_f · avgdl_f            (exact mean of dlc when
+                                                   every doc has every
+                                                   field — true here by
+                                                   construction)
+        df_c(t)    = min(n_docs, Σ_f df_f(t))     (Lucene's merged
+                                                   TermStatistics: summed
+                                                   docFreq clamped to
+                                                   maxDoc)
+        score(q,d) = Σ_t idf(df_c) · wtf·(k1+1) / (wtf + k1·(1−b+b·dlc/avgdlc))
+
+    Duplicate query terms score once per occurrence (ES parity). Weights
+    default to the index meta's per-field boosts and may be overridden
+    per call (ES: per-query field^weight).
+
+    Plan shape (everything after the decode is JVM expressions):
+    per field, IN-list-pruned posting rows → one mapInPandas decode with
+    tombstone masking (`_decoded_tf_rows`) → weighted union → ONE hash agg
+    per (term, bucket, doc) for wtf (≤ |fields| addends — map-side
+    combinable) → join the combined-length frame (a full-outer join of the
+    fields' slim (doc_id, dl) sidecars, weighted in sorted field order) →
+    idf/saturation as a codegen expression → per-(query, shard) bounded
+    top-k windows + `topk_merge_global` (the engine-standard exactness
+    argument: shards partition disjoint doc ranges).
+
+    df_c and avgdlc are driver-side scalars (client-sized term_stats
+    collects — the driver-side query path invariant).
+
+    Delta vs Lucene (documented): Lucene derives avgdl from merged
+    sumTotalTermFreq at query time; with every doc carrying every field,
+    Σ_f w_f · avgdl_f is the same number computed from the per-field
+    sidecars the index already has.
+    """
+    from dts.delete import has_deletes, join_deletes
+    from dts.score import B, K1
+    from dts.score_index import (
+        POSTING_SCORE_COLS,
+        load_index,
+        term_filter,
+        topk_merge_global,
+    )
+    from dts.tokenizer import tokenize_text
+
+    meta = load_multifield_meta(out_dir)
+    fields = {
+        f: float(w) for f, w in (weights or meta["fields"]).items()
+    }
+    rows = queries.select("query_id", "text").collect()
+    occ: list[tuple[int, int, str]] = []
+    for r in rows:
+        for clause, t in enumerate(tokenize_text(r["text"])):
+            occ.append((int(r["query_id"]), clause, t))
+    empty = spark.createDataFrame([], TOPK_SCHEMA)
+    if not occ:
+        return empty
+    terms = sorted({t for *_, t in occ})
+
+    n_docs: int | None = None
+    avgdlc = 0.0
+    df_sum: dict[str, int] = {}
+    legs = []
+    bucket_size = None
+    for f_name in sorted(fields):
+        w = fields[f_name]
+        sub = f"{out_dir}/field={f_name}"
+        idx = load_index(spark, sub)
+        m = idx["meta"]
+        if n_docs is None:
+            n_docs, bucket_size = int(m["n_docs"]), int(m["bucket_size"])
+        else:
+            assert int(m["n_docs"]) == n_docs, (
+                "combined_fields requires sub-indexes over the same doc set"
+            )
+            assert int(m["bucket_size"]) == bucket_size
+        avgdlc += w * float(m["avgdl"])
+        for r in term_filter(
+            idx["term_stats"].select("term", "df"), terms
+        ).collect():
+            df_sum[r["term"]] = df_sum.get(r["term"], 0) + int(r["df"])
+        pruned = term_filter(
+            idx["postings"].select(*POSTING_SCORE_COLS), terms
+        )
+        if has_deletes(sub):
+            pruned = join_deletes(pruned, spark, sub, m)
+        else:
+            pruned = pruned.withColumn(
+                "_del_ids", F.lit(None).cast("array<bigint>")
+            )
+        legs.append(
+            _decoded_tf_rows(pruned, m).select(
+                "term",
+                "bucket",
+                "doc_id",
+                (F.col("tf").cast("double") * F.lit(w)).alias("wtf"),
+            )
+        )
+    if not df_sum or avgdlc <= 0.0:
+        return empty
+
+    union = legs[0]
+    for leg in legs[1:]:
+        union = union.unionByName(leg)
+    tfc = union.groupBy("term", "bucket", "doc_id").agg(
+        F.sum("wtf").alias("wtf")
+    )
+
+    # Combined per-doc length: weighted sum of the fields' slim
+    # (doc_id, dl) sidecars in SORTED field order (the oracle mirrors the
+    # same order — addition order is pinned, not assumed).
+    dlc = None
+    dl_cols = []
+    for f_name in sorted(fields):
+        col = f"_dl_{f_name}"
+        ds = spark.read.parquet(
+            f"{out_dir}/field={f_name}/doc_stats"
+        ).select(
+            "doc_id",
+            (F.col("dl").cast("double") * F.lit(fields[f_name])).alias(col),
+        )
+        dlc = ds if dlc is None else dlc.join(ds, "doc_id", "full_outer")
+        dl_cols.append(col)
+    dlc_expr = F.coalesce(F.col(dl_cols[0]), F.lit(0.0))
+    for c in dl_cols[1:]:
+        dlc_expr = dlc_expr + F.coalesce(F.col(c), F.lit(0.0))
+    dlc = dlc.select("doc_id", dlc_expr.alias("dlc"))
+
+    import math
+
+    idf_rows = [
+        (
+            t,
+            math.log(
+                1.0
+                + (n_docs - min(n_docs, dfc) + 0.5)
+                / (min(n_docs, dfc) + 0.5)
+            ),
+        )
+        for t, dfc in sorted(df_sum.items())
+    ]
+    idf_df = spark.createDataFrame(idf_rows, "term string, idf double")
+    occ_df = spark.createDataFrame(
+        occ, "query_id long, clause int, term string"
+    )
+
+    contrib = (
+        tfc.join(dlc, "doc_id")
+        .join(F.broadcast(idf_df), "term")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (
+                F.col("wtf")
+                * F.lit(K1 + 1.0)
+                / (
+                    F.col("wtf")
+                    + F.lit(K1)
+                    * (
+                        F.lit(1.0 - B)
+                        + F.lit(B) * F.col("dlc") / F.lit(avgdlc)
+                    )
+                )
+            ),
+        )
+        .join(F.broadcast(occ_df), "term")
+    )
+    total = contrib.groupBy("query_id", "bucket", "doc_id").agg(
+        F.sum("contrib").alias("score")
+    )
+    n_shards = scoring_shards(
+        {"n_docs": n_docs, "bucket_size": bucket_size},
+        spark.sparkContext.defaultParallelism,
+    )
+    total = total.withColumn(
+        "shard", F.pmod(F.col("bucket"), F.lit(n_shards)).cast("int")
+    )
+    w_local = Window.partitionBy("query_id", "shard").orderBy(
+        F.round(F.col("score"), ROUND_RANK).desc(), F.col("doc_id").asc()
+    )
+    local = (
+        total.withColumn("_r", F.row_number().over(w_local))
+        .filter(F.col("_r") <= k)
+        .select("query_id", "doc_id", "score")
+    )
+    return topk_merge_global(local, k).select(
+        "query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank")
+    )

@@ -557,3 +557,141 @@ def test_cross_fields_identical_fields_collapse(
     assert set(got) == set(exp)
     for did in exp:
         assert np.isclose(got[did], 3.0 * exp[did], rtol=1e-9), did
+
+
+# ---------------------------------------------------------------------------
+# combined_fields (BM25F-style — ES multi_match type=combined_fields /
+# Lucene CombinedFieldQuery): fields merged into one pseudo-field BEFORE
+# saturation. Reference = direct pure-python evaluation of the documented
+# formula over the same corpus.
+
+
+def _bm25f_reference(corpus_pd, weights, queries, dead=()):
+    import math
+
+    from dts.score import B, K1
+
+    toks = {
+        int(r.doc_id): {f: tokenize_text(getattr(r, f)) for f in weights}
+        for r in corpus_pd.itertuples()
+    }
+    live = {i: t for i, t in toks.items() if i not in set(dead)}
+    n = len(live)
+    avgdlc = sum(
+        weights[f] * (sum(len(t[f]) for t in live.values()) / n)
+        for f in sorted(weights)
+    )
+    out = {}
+    for qid, text in queries:
+        sc = {}
+        for t in tokenize_text(text):
+            dfc = min(
+                n,
+                sum(
+                    sum(1 for d in live.values() if t in d[f])
+                    for f in weights
+                ),
+            )
+            if dfc == 0:
+                continue
+            idf = math.log(1.0 + (n - dfc + 0.5) / (dfc + 0.5))
+            for i, d in live.items():
+                wtf = sum(
+                    weights[f] * d[f].count(t) for f in sorted(weights)
+                )
+                if wtf <= 0:
+                    continue
+                dlc = sum(
+                    weights[f] * len(d[f]) for f in sorted(weights)
+                )
+                sc[i] = sc.get(i, 0.0) + idf * (
+                    wtf * (K1 + 1.0)
+                    / (wtf + K1 * (1.0 - B + B * dlc / avgdlc))
+                )
+        out[qid] = sorted(sc.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))
+    return out
+
+
+def _cf_cases(corpus_pd):
+    ctoks = tokenize_text(corpus_pd["content"].iloc[0])
+    ptoks = tokenize_text(corpus_pd["path"].iloc[4])
+    return [
+        (0, f"{ctoks[0]} {ctoks[1]}"),
+        (1, f"{ptoks[0]}"),                       # path-heavy term
+        (2, f"{ctoks[0]} {ctoks[0]}"),            # duplicate term: 2× score
+        (3, "zzqqnohit"),
+    ]
+
+
+def test_combined_fields_vs_reference(spark, mf_index, corpus_pd):
+    from dts.multifield import combined_fields_topk
+
+    cases = _cf_cases(corpus_pd)
+    q = spark.createDataFrame(cases, "query_id long, text string")
+    got = combined_fields_topk(spark, mf_index, q, k=10).collect()
+    ref = _bm25f_reference(corpus_pd, FIELDS, cases)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert 3 not in by_q  # no-hit query emits nothing
+    for qid, expected in ref.items():
+        rows = by_q.get(qid, [])
+        assert [r["doc_id"] for r in rows] == [d for d, _ in expected[:10]]
+        for r, (_, s) in zip(rows, expected):
+            assert abs(r["score"] - s) < 1e-9
+
+
+def test_combined_fields_duplicate_term_doubles_score(spark, mf_index, corpus_pd):
+    from dts.multifield import combined_fields_topk
+
+    t = tokenize_text(corpus_pd["content"].iloc[0])[0]
+    q = spark.createDataFrame(
+        [(0, t), (1, f"{t} {t}")], "query_id long, text string"
+    )
+    got = combined_fields_topk(spark, mf_index, q, k=5).collect()
+    one = {r["doc_id"]: r["score"] for r in got if r["query_id"] == 0}
+    two = {r["doc_id"]: r["score"] for r in got if r["query_id"] == 1}
+    assert set(one) == set(two)
+    for d in one:
+        assert abs(two[d] - 2.0 * one[d]) < 1e-12
+
+
+def test_combined_fields_respects_tombstones(
+    spark, docs_sdf, corpus_pd, tmp_path
+):
+    from dts.delete import delete_docs
+    from dts.multifield import combined_fields_topk
+
+    d = str(tmp_path / "mfdel")
+    build_multifield_index(
+        spark, docs_sdf, d, FIELDS, bucket_size=64, block_size=16
+    )
+    cases = _cf_cases(corpus_pd)[:2]
+    q = spark.createDataFrame(cases, "query_id long, text string")
+    before = combined_fields_topk(spark, d, q, k=5).collect()
+    dead = sorted({r["doc_id"] for r in before})[:2]
+    for f in FIELDS:
+        delete_docs(spark, f"{d}/field={f}", dead)
+    after = combined_fields_topk(spark, d, q, k=5).collect()
+    assert not {r["doc_id"] for r in after} & set(dead)
+    # NOTE: stats (df/avgdl) intentionally keep counting tombstoned docs
+    # until compaction (engine-wide contract) — so only membership is
+    # asserted here, not scores.
+
+
+def test_combined_fields_weight_override(spark, mf_index, corpus_pd):
+    from dts.multifield import combined_fields_topk
+
+    cases = _cf_cases(corpus_pd)[:2]
+    q = spark.createDataFrame(cases, "query_id long, text string")
+    w = {"content": 3.0, "path": 0.5}
+    got = combined_fields_topk(spark, mf_index, q, k=10, weights=w).collect()
+    ref = _bm25f_reference(corpus_pd, w, cases)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, expected in ref.items():
+        rows = by_q.get(qid, [])
+        assert [r["doc_id"] for r in rows] == [d for d, _ in expected[:10]]
+        for r, (_, s) in zip(rows, expected):
+            assert abs(r["score"] - s) < 1e-9
