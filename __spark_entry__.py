@@ -653,6 +653,52 @@ def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_near_counts(spark, _pos_index(spark, sf_dir), q)
 
 
+# ES intervals (unordered + max_gaps): query 1 reverses query 0's terms
+# (must produce identical rows — order-free), query 2 is a 3-term window,
+# query 3 can never match.
+INTERVAL_QS = [
+    (0, "table scan", 2),
+    (1, "scan table", 2),
+    (2, "fast join data", 3),
+    (3, "fast zzqqnever", 4),
+]
+
+
+def _interval_select(iq_id: int, terms: list[str], max_gaps: int) -> str:
+    """One UNION ALL leg of the intervals oracle: the anchor-cover count
+    for this query's term list (shared rule with the engine matcher)."""
+    win = len(terms) + max_gaps
+    any_term = " OR ".join(f"toks[j] = '{t}'" for t in terms)
+    covers = " AND ".join(
+        f"len(list_filter(range(j, least(j + {win - 1}, len(toks)) + 1), "
+        f"q -> toks[q] = '{t}')) > 0"
+        for t in terms
+    )
+    return f"""
+SELECT * FROM (
+  SELECT {iq_id}::BIGINT AS iq_id, doc_id,
+         len(list_filter(range(1, len(toks) + 1),
+             j -> ({any_term}) AND {covers}))::BIGINT AS n_matches
+  FROM t
+) WHERE n_matches > 0"""
+
+
+def _q_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES intervals query — match/unordered with max_gaps (Lucene
+    Intervals.maxgaps ∘ unordered; dts.spans.interval_unordered_counts):
+    a doc matches iff some window of m+max_gaps consecutive positions
+    holds every term, any order; n_matches counts distinct anchor
+    positions whose right-window covers all terms (the documented
+    convention — the matched DOC SET is Lucene's). Oracle: anchor-cover
+    list_filter replay over the token arrays."""
+    from dts.spans import interval_unordered_counts
+
+    q = spark.createDataFrame(
+        INTERVAL_QS, "iq_id long, text string, max_gaps int"
+    )
+    return interval_unordered_counts(spark, _pos_index(spark, sf_dir), q)
+
+
 # (sq_id, include terms, exclude term, slop, pre, post) — m=2 spans, a
 # single-term include with a pre/post window, a never-firing exclusion
 # (== span_near), and a same-window self-adjacent exclusion.
@@ -2385,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_match": _q_proximity_match,
         "span_first": _q_span_first,
         "span_near": _q_span_near,
+        "intervals": _q_intervals,
         "span_not": _q_span_not,
         "phrase_prefix": _q_phrase_prefix,
         "synonym_topk": _q_synonym_topk,
@@ -3213,6 +3260,13 @@ UNION ALL
 SELECT sq_id, doc_id, n_matches FROM m3 WHERE n_matches > 0
 """,
         "span_not": _span_not_sql(),
+        # Unordered intervals with max_gaps: anchor-cover rule — count
+        # 1-based anchors j (an occurrence of ANY term) where every term
+        # occurs in [j, j + m + max_gaps − 1].
+        "intervals": f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
+{" UNION ALL ".join(_interval_select(i, text.split(), g) for i, text, g in INTERVAL_QS)}
+""",
         "snippet": f"""
 WITH pat(pat_id, pattern) AS (VALUES {", ".join(f"({i}, '{p}')" for i, p in SNIPPET_PATTERNS)})
 SELECT pat_id::BIGINT AS pat_id, doc_id,

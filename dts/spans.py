@@ -381,3 +381,148 @@ def span_not_counts(
         SPAN_SCHEMA,
     )
     return mask_deleted_rows(out, spark, index_dir, meta)
+
+
+def _interval_unordered_matcher(block_size: int, codec: str):
+    def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "iq_id": np.zeros(0, dtype=np.int64),
+                "doc_id": np.zeros(0, dtype=np.int64),
+                "n_matches": np.zeros(0, dtype=np.int64),
+            }
+        )
+        iq_id = int(pdf["iq_id"].iloc[0])
+        m = int(pdf["m"].iloc[0])
+        max_gaps = int(pdf["max_gaps"].iloc[0])
+        win = m + max_gaps  # window length L: gaps = width − m ≤ max_gaps
+        if pdf["i"].nunique() != m:
+            return empty  # a term absent from this bucket's doc range
+        from dts.phrase import _concat_runs
+
+        slots = [
+            _concat_runs(pdf[pdf["i"] == i], block_size, codec)
+            for i in range(m)
+        ]
+        pos_max = max(
+            (int(f.max()) for _, f, _, _ in slots if len(f)), default=0
+        )
+        doc_max = max(
+            (int(d.max()) for d, _, _, _ in slots if len(d)), default=0
+        )
+        P = pos_max + 2
+        if doc_max and P > (2**63 - 1) // (doc_max + 1):
+            raise OverflowError("doc_id * position key space exceeds int64")
+
+        def keys_of(i: int) -> np.ndarray:
+            docs, flat, bounds, _ = slots[i]
+            return np.repeat(docs, np.diff(bounds)) * P + flat
+
+        # Anchor-cover sweep: a window [a, b] (b − a + 1 ≤ win) containing
+        # every term exists iff some ANCHOR p — an occurrence of any term —
+        # has every slot's next-occurrence ≥ p landing within p + win − 1
+        # in the same doc (take p = the leftmost occurrence inside a valid
+        # window: all its terms sit in [p, p + win − 1]; the converse is a
+        # valid window by construction). One searchsorted per slot over
+        # the anchor vector — no per-doc Python.
+        anchors = np.unique(np.concatenate([keys_of(i) for i in range(m)]))
+        if not len(anchors):
+            return empty
+        alive = np.ones(len(anchors), dtype=bool)
+        for i in range(m):
+            ki = keys_of(i)
+            if not len(ki):
+                return empty
+            nxt_i = np.searchsorted(ki, anchors, side="left")
+            ok = nxt_i < len(ki)
+            nxt = np.where(ok, ki[np.minimum(nxt_i, len(ki) - 1)], -1)
+            ok &= (nxt // P) == (anchors // P)
+            ok &= (nxt - anchors) <= (win - 1)
+            alive &= ok
+            if not alive.any():
+                return empty
+        docs_out, counts = np.unique(anchors[alive] // P, return_counts=True)
+        return pd.DataFrame(
+            {
+                "iq_id": np.full(len(docs_out), iq_id, dtype=np.int64),
+                "doc_id": docs_out.astype(np.int64),
+                "n_matches": counts.astype(np.int64),
+            }
+        )
+
+    return match_group
+
+
+INTERVAL_SCHEMA = "iq_id long, doc_id long, n_matches long"
+
+
+def interval_unordered_counts(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    max_isin_terms: int = MAX_ISIN_TERMS,
+) -> DataFrame:
+    """ES intervals query, ``match`` with ``ordered=false`` + ``max_gaps``
+    (Lucene ``Intervals.maxgaps(g, Intervals.unordered(...))``): a doc
+    matches iff SOME window of ``len(terms) + max_gaps`` consecutive
+    positions holds ≥ 1 occurrence of EVERY term, in any order — the
+    interval's gaps = width − m ≤ max_gaps rule. The ordered variant is
+    exactly :func:`span_near_counts` (identical budget algebra); this is
+    the genuinely new matcher.
+
+    ``queries`` needs (iq_id, text, max_gaps); ``text`` whitespace-splits
+    into ≥ 2 DISTINCT terms (repeated terms need per-occurrence interval
+    sources — unsupported, raises; documented delta vs Lucene).
+
+    Returns (iq_id, doc_id, n_matches) with n_matches = the number of
+    DISTINCT ANCHOR positions (occurrences of any query term) whose
+    right-window covers all terms — the same deterministic counting
+    convention family as span/sloppy-phrase counts (Lucene enumerates
+    minimal intervals; the MATCHED DOC SET is identical, the per-doc count
+    convention is ours and the oracle implements the same rule).
+
+    Distribution: identical to span_near — broadcast query table, one
+    exact group per (iq_id, bucket), numpy searchsorted over packed
+    doc·P+pos keys; no per-doc Python, no shuffle beyond the postings'
+    bucket key."""
+    idx = load_index(spark, index_dir)
+    meta = idx["meta"]
+    _require_positions(meta, "intervals")
+    qt_rows, shape_rows = [], []
+    for r in queries.select("iq_id", "text", "max_gaps").collect():
+        terms = [t for t in str(r["text"]).split() if t]
+        if len(terms) < 2:
+            raise ValueError(
+                f"intervals needs >= 2 terms (iq_id={r['iq_id']!r})"
+            )
+        if len(set(terms)) != len(terms):
+            raise ValueError(
+                "unordered intervals with a repeated term are unsupported "
+                f"(iq_id={r['iq_id']!r}): each occurrence needs its own "
+                "interval source"
+            )
+        if int(r["max_gaps"]) < 0:
+            raise ValueError("max_gaps must be >= 0")
+        for i, t in enumerate(terms):
+            qt_rows.append((int(r["iq_id"]), i, t))
+        shape_rows.append((int(r["iq_id"]), len(terms), int(r["max_gaps"])))
+    if not qt_rows:
+        return spark.createDataFrame([], INTERVAL_SCHEMA)
+    qt = spark.createDataFrame(qt_rows, "iq_id long, i int, term string")
+    shape = spark.createDataFrame(
+        shape_rows, "iq_id long, m int, max_gaps int"
+    )
+    postings = (
+        term_filter(
+            idx["postings"], sorted({t for *_, t in qt_rows}), max_isin_terms
+        )
+        .join(F.broadcast(qt), "term")
+        .join(F.broadcast(shape), "iq_id")
+    )
+    out = postings.groupBy("iq_id", "bucket").applyInPandas(
+        _interval_unordered_matcher(
+            meta["block_size"], meta.get("codec", "varint")
+        ),
+        INTERVAL_SCHEMA,
+    )
+    return mask_deleted_rows(out, spark, index_dir, meta)

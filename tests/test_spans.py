@@ -262,3 +262,108 @@ def test_span_not_self_exclusion_and_validation(spark, sp_index, corpus_pd):
         )
         with pytest.raises(ValueError):
             span_not_counts(spark, sp_index, qb)
+
+
+# ---------------------------------------------------------------------------
+# ES intervals: unordered match with max_gaps (anchor-cover counting).
+
+
+def _interval_replay(doc_toks, terms, max_gaps):
+    """Count distinct anchor positions p (an occurrence of ANY term) such
+    that every term occurs in [p, p + len(terms) + max_gaps − 1]."""
+    m = len(terms)
+    win = m + max_gaps
+    out = {}
+    for d, toks in doc_toks.items():
+        pos = {t: {i for i, x in enumerate(toks) if x == t} for t in terms}
+        if any(not pos[t] for t in terms):
+            continue
+        anchors = sorted(set().union(*pos.values()))
+        n = 0
+        for p in anchors:
+            if all(
+                any(p <= q <= p + win - 1 for q in pos[t]) for t in terms
+            ):
+                n += 1
+        if n:
+            out[d] = n
+    return out
+
+
+def test_interval_unordered_vs_replay(spark, sp_index, doc_toks, corpus_pd):
+    from dts.spans import interval_unordered_counts
+
+    toks = tokenize_text(corpus_pd["content"].iloc[0])
+    a, b = toks[0], toks[2]
+    qs = [
+        (0, f"{a} {b}", 0),
+        (1, f"{a} {b}", 3),
+        (2, f"{b} {a}", 3),        # order-free: same result as (1)
+        (3, f"{toks[0]} {toks[1]} {toks[3]}", 2),
+        (4, f"{a} zzznope", 5),
+    ]
+    q = spark.createDataFrame(qs, "iq_id long, text string, max_gaps int")
+    got = interval_unordered_counts(spark, sp_index, q).toPandas()
+    for iq_id, text, g_ in qs:
+        want = _interval_replay(doc_toks, text.split(), g_)
+        g = got[got["iq_id"] == iq_id]
+        assert (
+            dict(zip(g["doc_id"].astype(int), g["n_matches"].astype(int)))
+            == want
+        ), (iq_id, text, g_)
+    # unordered is symmetric in the terms
+    g1 = got[got["iq_id"] == 1].set_index("doc_id")["n_matches"]
+    g2 = got[got["iq_id"] == 2].set_index("doc_id")["n_matches"]
+    assert g1.sort_index().equals(g2.sort_index())
+
+
+def test_interval_unordered_catches_reversed_order(spark, docs_sdf, tmp_path):
+    """A doc where the terms appear only in REVERSE order: ordered
+    span_near misses it, unordered intervals match it."""
+    from dts.index_build import build_index as _build
+    from dts.spans import interval_unordered_counts, span_near_counts
+
+    spark2 = docs_sdf.sparkSession
+    docs = spark2.createDataFrame(
+        [(0, "beta alpha x y"), (1, "alpha q beta"), (2, "alpha zz")],
+        "doc_id long, content string",
+    )
+    d = str(tmp_path / "iv")
+    _build(spark2, docs, d, bucket_size=2, block_size=4, positions=True)
+    q_iv = spark2.createDataFrame(
+        [(0, "alpha beta", 1)], "iq_id long, text string, max_gaps int"
+    )
+    q_sn = spark2.createDataFrame(
+        [(0, "alpha beta", 1)], "sq_id long, text string, slop int"
+    )
+    iv = {
+        int(r["doc_id"]) for r in interval_unordered_counts(
+            spark2, d, q_iv
+        ).collect()
+    }
+    sn = {
+        int(r["doc_id"]) for r in span_near_counts(spark2, d, q_sn).collect()
+    }
+    assert iv == {0, 1}   # doc 0 matches only unordered
+    assert sn == {1}
+
+
+def test_interval_unordered_validation(spark, sp_index):
+    from dts.spans import interval_unordered_counts
+
+    with pytest.raises(ValueError, match="repeated term"):
+        interval_unordered_counts(
+            spark,
+            sp_index,
+            spark.createDataFrame(
+                [(0, "aa aa", 1)], "iq_id long, text string, max_gaps int"
+            ),
+        )
+    with pytest.raises(ValueError, match=">= 2 terms"):
+        interval_unordered_counts(
+            spark,
+            sp_index,
+            spark.createDataFrame(
+                [(0, "solo", 1)], "iq_id long, text string, max_gaps int"
+            ),
+        )
