@@ -1835,6 +1835,19 @@ def _q_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES parent pipeline aggregations (dts.facet.pipeline_aggs) over the
+    daily date_histogram of the events stream: derivative,
+    cumulative_sum, trailing-3 moving average, serial_diff at lag 7.
+    Integer metric end-to-end except ONE float division for the moving
+    average (rounded 6 dp on both sides)."""
+    from dts.facet import facet_date_histogram, pipeline_aggs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = facet_date_histogram(None, ev, "ts", "day")
+    return pipeline_aggs(b, "bucket_ts", "n", window=3, lag=7)
+
+
 def _q_facet_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES date_histogram with CALENDAR intervals (dts.facet.
     facet_date_histogram): corpus-wide weekly + daily buckets over the
@@ -2471,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_range": _q_facet_range,
         "composite_page2": _q_composite_page2,
         "facet_date_histogram": _q_facet_date_histogram,
+        "pipeline_aggs": _q_pipeline_aggs,
         "facet_filters": _q_facet_filters,
         "facet_cardinality": _q_facet_cardinality,
         "facet_percentiles": _q_facet_percentiles,
@@ -4922,6 +4936,22 @@ UNION ALL
 SELECT 'day', strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
        count(*)::BIGINT
 FROM events WHERE ts IS NOT NULL GROUP BY 2
+"""
+    # Pipeline aggs over the daily histogram: integer metric throughout;
+    # the moving average is exact-int-sum ÷ row-count, rounded 6 dp.
+    extra["pipeline_aggs"] = """
+WITH b AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+         count(*)::BIGINT AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+)
+SELECT bucket_ts, n,
+       (n - lag(n, 1) OVER w)::BIGINT AS derivative,
+       (sum(n) OVER (ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING))::BIGINT AS cumulative_sum,
+       round((sum(n) OVER (ORDER BY bucket_ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::DOUBLE
+             / (count(n) OVER (ORDER BY bucket_ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)), 6) AS moving_avg,
+       (n - lag(n, 7) OVER w)::BIGINT AS serial_diff
+FROM b WINDOW w AS (ORDER BY bucket_ts)
 """
     _ts_vals = ", ".join(
         f"({i}, '{t}')"

@@ -651,3 +651,86 @@ def facet_histogram_indexed(
         matches, side, field, interval, key=key, offset=offset,
         broadcast_matches=broadcast_matches, pushdown_hits=pushdown_hits,
     )
+
+
+def pipeline_aggs(
+    buckets: DataFrame,
+    order_col: str,
+    value_col: str,
+    window: int = 3,
+    lag: int = 1,
+    key: str | None = None,
+) -> DataFrame:
+    """ES parent PIPELINE aggregations over an ordered bucket series —
+    derivative, cumulative_sum, moving average (trailing ``window``
+    buckets including the current — classic moving_avg; moving_fn's shift
+    knob is not modeled), and serial_diff at ``lag``. ``buckets`` is any
+    bucketed agg output of this module (e.g. ``facet_date_histogram``),
+    ordered by ``order_col``; with ``key`` the series is computed per key
+    (multi-query facets).
+
+    Scale note: pipeline aggs run over the AGGREGATED bucket series (the
+    ES contract — they post-process the response buckets), so the window
+    sort is bucket-count-sized, never corpus-sized; per ``key`` the
+    partitions are independent series.
+
+    Exactness: the metric stays integer (counts) through derivative /
+    cumulative_sum / serial_diff; the moving average is computed as
+    exact-integer-sum ÷ window-row-count — ONE float division, no float
+    accumulation (cross-engine oracle safety)."""
+    parts = [key] if key else []
+    w = (
+        Window.partitionBy(*parts).orderBy(order_col)
+        if parts
+        else Window.partitionBy().orderBy(order_col)
+    )
+    v = F.col(value_col)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_mov = w.rowsBetween(-(window - 1), Window.currentRow)
+    return buckets.select(
+        *parts,
+        order_col,
+        value_col,
+        (v - F.lag(v, 1).over(w)).alias("derivative"),
+        F.sum(v).over(w_cum).alias("cumulative_sum"),
+        F.round(
+            F.sum(v).over(w_mov).cast("double") / F.count(v).over(w_mov), 6
+        ).alias("moving_avg"),
+        (v - F.lag(v, lag).over(w)).alias("serial_diff"),
+    )
+
+
+def bucket_selector(
+    buckets: DataFrame, predicate_sql: str
+) -> DataFrame:
+    """ES bucket_selector pipeline agg: keep only buckets satisfying a
+    predicate over the bucket's metrics (SQL expression over the bucket
+    frame's columns). A plain filter — runs bucket-sized, JVM-side."""
+    return buckets.filter(F.expr(predicate_sql))
+
+
+def bucket_sort(
+    buckets: DataFrame,
+    order_by: list[tuple[str, bool]],
+    size: int | None = None,
+    key: str | None = None,
+) -> DataFrame:
+    """ES bucket_sort pipeline agg: re-order the bucket series by metric
+    columns (``order_by`` = [(col, ascending), …]) and optionally truncate
+    to ``size`` buckets (per ``key`` if given). Bucket-sized work."""
+    cols = [
+        F.col(c).asc() if asc else F.col(c).desc() for c, asc in order_by
+    ]
+    if size is None:
+        return buckets.orderBy(*cols)
+    parts = [key] if key else []
+    w = (
+        Window.partitionBy(*parts).orderBy(*cols)
+        if parts
+        else Window.partitionBy().orderBy(*cols)
+    )
+    return (
+        buckets.withColumn("_bs_rank", F.row_number().over(w))
+        .filter(F.col("_bs_rank") <= size)
+        .drop("_bs_rank")
+    )

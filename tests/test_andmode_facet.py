@@ -510,3 +510,61 @@ def test_facet_composite_pagination_walk(spark):
         facet_composite(docs, srcs, size=4, after=("a",))
     with _pytest.raises(ValueError, match="non-empty"):
         facet_composite(docs, [], size=4)
+
+
+# ---------------------------------------------------------------------------
+# ES pipeline aggregations (dts.facet.pipeline_aggs / bucket_selector /
+# bucket_sort) vs a pandas replay.
+
+
+def test_pipeline_aggs_vs_pandas(spark):
+    import pandas as pd
+
+    from dts.facet import bucket_selector, bucket_sort, pipeline_aggs
+
+    rows = [("b%02d" % i, n) for i, n in enumerate([5, 8, 2, 2, 9, 1, 7])]
+    b = spark.createDataFrame(rows, "bucket_ts string, n long")
+    out = (
+        pipeline_aggs(b, "bucket_ts", "n", window=3, lag=2)
+        .toPandas()
+        .sort_values("bucket_ts")
+        .reset_index(drop=True)
+    )
+    s = pd.Series([n for _, n in rows], dtype="float64")
+    assert out["derivative"].equals(s.diff())
+    assert list(out["cumulative_sum"]) == list(s.cumsum().astype(int))
+    exp_mavg = s.rolling(3, min_periods=1).mean().round(6)
+    assert (out["moving_avg"] - exp_mavg).abs().max() < 1e-12
+    assert out["serial_diff"].equals(s.diff(2))
+
+    kept = bucket_selector(
+        pipeline_aggs(b, "bucket_ts", "n", window=3), "n >= 5"
+    ).toPandas()
+    assert sorted(kept["n"]) == [5, 7, 8, 9]
+
+    top2 = bucket_sort(
+        pipeline_aggs(b, "bucket_ts", "n"),
+        [("n", False), ("bucket_ts", True)],
+        size=2,
+    ).toPandas()
+    assert list(top2["n"]) == [9, 8]
+
+
+def test_pipeline_aggs_per_key_series_independent(spark):
+    from dts.facet import pipeline_aggs
+
+    rows = [
+        (0, "a", 1), (0, "b", 4), (0, "c", 2),
+        (1, "a", 10), (1, "b", 10), (1, "c", 30),
+    ]
+    b = spark.createDataFrame(rows, "q long, bucket_ts string, n long")
+    out = pipeline_aggs(
+        b, "bucket_ts", "n", window=2, lag=1, key="q"
+    ).toPandas()
+    g0 = out[out["q"] == 0].sort_values("bucket_ts")
+    g1 = out[out["q"] == 1].sort_values("bucket_ts")
+    # first bucket of EACH series has a null derivative (no cross-key leak)
+    assert g0["derivative"].isna().iloc[0] and g1["derivative"].isna().iloc[0]
+    assert list(g0["cumulative_sum"]) == [1, 5, 7]
+    assert list(g1["cumulative_sum"]) == [10, 20, 50]
+    assert list(g1["moving_avg"]) == [10.0, 10.0, 20.0]
