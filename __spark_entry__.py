@@ -1916,6 +1916,31 @@ def _q_facet_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms aggregation (dts.facet.rare_terms): long-tail source
+    values with doc_count ≤ 2 over each boolean query's matches — exact
+    set semantics (ES's CuckooFilter approximation is a documented
+    delta)."""
+    from dts.facet import rare_terms
+
+    return rare_terms(
+        _bool_matches(spark, sf_dir), _docs(spark, sf_dir), "source",
+        max_doc_count=2, key="bq_id",
+    )
+
+
+def _q_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_terms aggregation (dts.facet.multi_terms): compound
+    (lang, source) buckets with cross-field doc_count over each boolean
+    query's matches."""
+    from dts.facet import multi_terms
+
+    return multi_terms(
+        _bool_matches(spark, sf_dir), _docs(spark, sf_dir),
+        ["lang", "source"], key="bq_id",
+    )
+
+
 def _q_facet_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES percentiles aggregation (dts.facet.facet_percentiles, exact
     linear-interpolation path; percentile_approx t-digest at scale)."""
@@ -2487,6 +2512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_aggs": _q_pipeline_aggs,
         "facet_filters": _q_facet_filters,
         "facet_cardinality": _q_facet_cardinality,
+        "rare_terms": _q_rare_terms,
+        "multi_terms": _q_multi_terms,
         "facet_percentiles": _q_facet_percentiles,
         "pii_scrub": _q_pii_scrub,
         "gopher_repetition": _q_gopher,
@@ -4998,6 +5025,23 @@ c AS (
 SELECT k.bq_id, nm.bucket, coalesce(c.n, 0)::BIGINT AS n
 FROM keys k CROSS JOIN names nm
 LEFT JOIN c ON c.bq_id = k.bq_id AND c.bucket = nm.bucket
+"""
+    extra["rare_terms"] = f"""
+WITH {_bm_cte},
+c AS (
+  SELECT m.bq_id, d.source, count(*)::BIGINT AS doc_count
+  FROM m JOIN documents d USING (doc_id)
+  WHERE d.source IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT bq_id, source, doc_count FROM c WHERE doc_count <= 2
+"""
+    extra["multi_terms"] = f"""
+WITH {_bm_cte}
+SELECT m.bq_id, d.lang, d.source, count(*)::BIGINT AS doc_count
+FROM m JOIN documents d USING (doc_id)
+WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+GROUP BY 1, 2, 3
 """
     extra["facet_cardinality"] = f"""
 WITH {_bm_cte}

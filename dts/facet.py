@@ -734,3 +734,70 @@ def bucket_sort(
         .filter(F.col("_bs_rank") <= size)
         .drop("_bs_rank")
     )
+
+
+def rare_terms(
+    matches: DataFrame | None,
+    docs: DataFrame,
+    field: str,
+    max_doc_count: int = 1,
+    key: str | None = None,
+    broadcast_matches: bool | None = None,
+) -> DataFrame:
+    """ES rare_terms aggregation — the LONG TAIL of a terms agg: buckets
+    whose doc_count ≤ ``max_doc_count`` (terms agg ordered ascending
+    misses rare values beyond shard_size; rare_terms is the correct
+    primitive). Exact set semantics (ES approximates with a CuckooFilter
+    at scale — documented delta: exact here, the hash agg IS the scale
+    path on Spark since partial aggregation bounds the shuffle by the
+    value cardinality, not the doc count). Null field values drop.
+
+    Per query over matched docs with ``matches`` (+ ``key``), corpus-wide
+    with ``matches=None``."""
+    if max_doc_count < 1:
+        raise ValueError("max_doc_count must be >= 1")
+    side = docs.filter(F.col(field).isNotNull())
+    if matches is None:
+        grouped = side.groupBy(field)
+        out = grouped.agg(F.count("*").alias("doc_count"))
+    else:
+        if key is None:
+            raise ValueError("key is required when matches is given")
+        m = _hits(matches, key, broadcast_matches)
+        out = (
+            side.select("doc_id", field)
+            .join(m, "doc_id")
+            .groupBy(key, field)
+            .agg(F.count("*").alias("doc_count"))
+        )
+    return out.filter(F.col("doc_count") <= max_doc_count)
+
+
+def multi_terms(
+    matches: DataFrame | None,
+    docs: DataFrame,
+    fields: list[str],
+    key: str | None = None,
+    broadcast_matches: bool | None = None,
+) -> DataFrame:
+    """ES multi_terms aggregation: compound-key buckets over ≥ 2 fields
+    (one bucket per distinct value COMBINATION — what nested terms aggs
+    can't express without losing the cross-field doc_count). Rows with a
+    null in ANY keyed field drop (ES default). One partial+final hash
+    agg; shuffle bounded by the combination cardinality."""
+    if len(fields) < 2:
+        raise ValueError("multi_terms needs >= 2 fields")
+    side = docs
+    for f_name in fields:
+        side = side.filter(F.col(f_name).isNotNull())
+    if matches is None:
+        return side.groupBy(*fields).agg(F.count("*").alias("doc_count"))
+    if key is None:
+        raise ValueError("key is required when matches is given")
+    m = _hits(matches, key, broadcast_matches)
+    return (
+        side.select("doc_id", *fields)
+        .join(m, "doc_id")
+        .groupBy(key, *fields)
+        .agg(F.count("*").alias("doc_count"))
+    )

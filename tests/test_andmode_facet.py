@@ -568,3 +568,38 @@ def test_pipeline_aggs_per_key_series_independent(spark):
     assert list(g0["cumulative_sum"]) == [1, 5, 7]
     assert list(g1["cumulative_sum"]) == [10, 20, 50]
     assert list(g1["moving_avg"]) == [10.0, 10.0, 20.0]
+
+
+def test_rare_and_multi_terms(spark):
+    from dts.facet import multi_terms, rare_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a", "x"), (1, "a", "x"), (2, "a", "y"),
+            (3, "b", "y"), (4, "b", None), (5, None, "z"),
+        ],
+        "doc_id long, lang string, source string",
+    )
+    m = spark.createDataFrame(
+        [(0, i) for i in range(6)], "q long, doc_id long"
+    )
+    rare = rare_terms(m, docs, "lang", max_doc_count=2, key="q").toPandas()
+    assert dict(zip(rare["lang"], rare["doc_count"])) == {"b": 2}
+    rare_all = rare_terms(None, docs, "lang", max_doc_count=3).toPandas()
+    assert dict(zip(rare_all["lang"], rare_all["doc_count"])) == {
+        "a": 3, "b": 2,
+    }
+    mt = multi_terms(m, docs, ["lang", "source"], key="q").toPandas()
+    got = {
+        (r["lang"], r["source"]): r["doc_count"] for _, r in mt.iterrows()
+    }
+    assert got == {("a", "x"): 2, ("a", "y"): 1, ("b", "y"): 1}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rare_terms(m, docs, "lang", max_doc_count=0, key="q")
+    with _pt.raises(ValueError):
+        multi_terms(m, docs, ["lang"], key="q")
+    with _pt.raises(ValueError):
+        multi_terms(m, docs, ["lang", "source"])  # key required
