@@ -1916,6 +1916,45 @@ def _q_facet_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HAS_CHILD_PRED = "l_quantity >= 45 AND l_discount <= 0.02"
+HAS_PARENT_PRED = "o_orderpriority = '1-URGENT' AND o_totalprice >= 150000"
+
+
+def _q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_child join query (dts.joinquery.has_child): orders having
+    ≥ 2 lineitems matching the child predicate, scored by the MAX child
+    score (order-free float mode — the cross-engine-safe choice; child
+    _score = l_extendedprice)."""
+    from dts.joinquery import has_child
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "_score", F.col("l_extendedprice")
+    )
+    out = has_child(
+        orders, li, "o_orderkey", "l_orderkey", HAS_CHILD_PRED,
+        score_mode="max", min_children=2,
+    )
+    return out.select(
+        "o_orderkey", "o_orderstatus", "n_children",
+        F.round("_score", 6).alias("child_score"),
+    )
+
+
+def _q_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_parent join query (dts.joinquery.has_parent): lineitems
+    whose parent order matches the parent predicate — a key semi-join
+    (broadcastable after the selective parent filter)."""
+    from dts.joinquery import has_parent
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = has_parent(
+        orders, li, "o_orderkey", "l_orderkey", HAS_PARENT_PRED
+    )
+    return out.select("l_orderkey", "l_linenumber")
+
+
 def _q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES rare_terms aggregation (dts.facet.rare_terms): long-tail source
     values with doc_count ≤ 2 over each boolean query's matches — exact
@@ -2514,6 +2553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_cardinality": _q_facet_cardinality,
         "rare_terms": _q_rare_terms,
         "multi_terms": _q_multi_terms,
+        "has_child": _q_has_child,
+        "has_parent": _q_has_parent,
         "facet_percentiles": _q_facet_percentiles,
         "pii_scrub": _q_pii_scrub,
         "gopher_repetition": _q_gopher,
@@ -5025,6 +5066,20 @@ c AS (
 SELECT k.bq_id, nm.bucket, coalesce(c.n, 0)::BIGINT AS n
 FROM keys k CROSS JOIN names nm
 LEFT JOIN c ON c.bq_id = k.bq_id AND c.bucket = nm.bucket
+"""
+    extra["has_child"] = f"""
+WITH k AS (
+  SELECT l_orderkey AS o_orderkey, count(*)::BIGINT AS n_children,
+         round(max(l_extendedprice), 6) AS child_score
+  FROM lineitem WHERE {HAS_CHILD_PRED}
+  GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT o.o_orderkey, o.o_orderstatus, k.n_children, k.child_score
+FROM orders o JOIN k USING (o_orderkey)
+"""
+    extra["has_parent"] = f"""
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE {HAS_PARENT_PRED})
 """
     extra["rare_terms"] = f"""
 WITH {_bm_cte},
