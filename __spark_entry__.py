@@ -2097,6 +2097,23 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (dts.lmscore.doc_lm_perplexity):
+    per-doc bigram Stupid-Backoff log-prob and perplexity, LM = the
+    corpus itself (self-perplexity — the contamination/outlier signal;
+    cross-corpus LM is the same call with other frames). The many-addend
+    float sum is a LEFT FOLD over position-sorted lps on both engines
+    (Spark aggregate ≡ DuckDB list_reduce), which is what makes a
+    whole-document float reduction hash-comparable."""
+    from dts.lmscore import doc_lm_perplexity, unigram_counts
+    from dts.phrasesuggest import bigram_counts
+
+    docs = _docs(spark, sf_dir)
+    return doc_lm_perplexity(
+        docs, bigram_counts(docs), unigram_counts(docs)
+    )
+
+
 def _q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition filters (dts.textstats.gopher_repetition, Rae et
     al. 2021 Table A1): dup line/paragraph fractions, top-n-gram and
@@ -2558,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_percentiles": _q_facet_percentiles,
         "pii_scrub": _q_pii_scrub,
         "gopher_repetition": _q_gopher,
+        "lm_perplexity": _q_lm_perplexity,
         "dedup_spans": _q_dedup_spans,
         "stemmed_topk": _q_stemmed_topk,
         "upsert_topk": _q_upsert_topk,
@@ -2608,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _D_TOKS = f"regexp_extract_all(lower(coalesce(text, '')), '{TOK}')"
+_LM_ALPHA = 0.4  # == dts.phrasesuggest.ALPHA (Stupid Backoff discount)
 _D_SH3 = f"""
     CASE WHEN len({_D_TOKS}) < 3 THEN [array_to_string({_D_TOKS}, ' ')]
     ELSE list_distinct(list_transform(range(0, len({_D_TOKS}) - 2),
@@ -5066,6 +5085,46 @@ c AS (
 SELECT k.bq_id, nm.bucket, coalesce(c.n, 0)::BIGINT AS n
 FROM keys k CROSS JOIN names nm
 LEFT JOIN c ON c.bq_id = k.bq_id AND c.bucket = nm.bucket
+"""
+    extra["lm_perplexity"] = f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+cfu AS (SELECT w, count(*)::BIGINT AS cf
+        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+tot AS (SELECT sum(cf)::DOUBLE AS total FROM cfu),
+bg AS (
+  SELECT s.prev AS prev, s.w AS w, count(*)::BIGINT AS bc FROM (
+    SELECT unnest(list_transform(range(2, len(toks) + 1),
+           j -> struct_pack(prev := toks[j - 1], w := toks[j]))) AS s
+    FROM t WHERE len(toks) >= 2)
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT doc_id, s.pos AS pos, s.w AS w, s.prev AS prev FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+           j -> struct_pack(pos := j, w := toks[j],
+                            prev := CASE WHEN j > 1 THEN toks[j - 1] END))) AS s
+    FROM t WHERE len(toks) >= 1)
+),
+lps AS (
+  SELECT p.doc_id, p.pos,
+         CASE WHEN p.prev IS NULL
+              THEN ln((coalesce(u.cf, 0) + 0.5) / (SELECT total FROM tot))
+              WHEN b.bc IS NOT NULL THEN ln(b.bc / v.cf)
+              ELSE ln({_LM_ALPHA} * (coalesce(u.cf, 0) + 0.5) / (SELECT total FROM tot))
+         END AS lp
+  FROM p
+  LEFT JOIN cfu u ON u.w = p.w
+  LEFT JOIN cfu v ON v.w = p.prev
+  LEFT JOIN bg b ON b.prev = p.prev AND b.w = p.w
+),
+agg AS (
+  SELECT doc_id, count(*)::INTEGER AS n_tokens,
+         list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS logprob
+  FROM lps GROUP BY 1
+)
+SELECT doc_id, n_tokens, round(logprob, 6) AS logprob6,
+       round(exp(-logprob / n_tokens), 6) AS ppl6
+FROM agg
 """
     extra["has_child"] = f"""
 WITH k AS (
