@@ -2312,12 +2312,14 @@ PQ_SEED = "pqprobe"
 PQ_RERANK = 40
 
 
-def _pq_fold(m: int) -> str:
+def _pq_fold(m: int, init: str | None = None) -> str:
     """Left-associated ADC sum ((p0 + p1) + p2) + … — the exact fold
     order the engine's numpy loop uses, so both engines add the SAME
-    round6 doubles in the SAME order."""
-    expr = "p0"
-    for j in range(1, m):
+    round6 doubles in the SAME order. With ``init`` the fold seeds from
+    that column (the residual variant's per-(query, cell) offset:
+    ((init + p0) + p1) + …)."""
+    expr = init if init is not None else "p0"
+    for j in range((0 if init is not None else 1), m):
         expr = f"({expr} + p{j})"
     return expr
 
@@ -2363,6 +2365,40 @@ def _q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb, q, cb, n_centroids=IVFPQ_CENTS, nprobe=IVFPQ_NPROBE,
         k=10, rerank=PQ_RERANK, seed=IVFPQ_SEED,
+    )
+
+
+RPQ_SEED = "rpqprobe"
+
+
+def _q_rpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL IVF-PQ (dts.similarity.rpq_topk — FAISS IndexIVFPQ
+    by_residual=True, the FAISS default; closes ivfpq's documented
+    delta): PQ codes quantize x̂ − ĉ(cell); ADC decomposes exactly as
+    ⟨q̂,ĉ⟩ + ⟨q̂,r⟩, so the scan keeps ONE per-query residual LUT plus a
+    per-(query, probed-cell) scalar offset on the broadcast probes table.
+    The oracle recomputes residual codebooks/codes/LUT/offset in SQL."""
+    from dts.similarity import (
+        _as_double, _ivf_centroids, pq_train_residual, rpq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e0 = emb.select("vec_id", _as_double("embedding").alias("v"))
+    rows = _ivf_centroids(e0, IVFPQ_CENTS, IVFPQ_SEED).collect()
+    import numpy as np
+
+    cids = np.array([r["c_id"] for r in rows], dtype="int64")
+    cmat = np.array([r["c"] for r in rows], dtype="float64")
+    rcb = pq_train_residual(
+        emb, cids, cmat, m=PQ_M, ksub=PQ_KSUB, seed=RPQ_SEED
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("qvec"),
+    )
+    return rpq_topk(
+        emb, q, rcb, nprobe=IVFPQ_NPROBE, k=10, rerank=PQ_RERANK,
+        cents=(cids, cmat),
     )
 
 
@@ -2613,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _q_ivf_ann_topk,
         "pq_ann_topk": _q_pq_ann_topk,
         "ivfpq_ann_topk": _q_ivfpq_ann_topk,
+        "rpq_ann_topk": _q_rpq_ann_topk,
         "emb_ivf_pairs": _q_emb_ivf_pairs,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "emb_top_pairs": _q_emb_top_pairs,
@@ -3027,6 +3064,120 @@ adc AS (
   SELECT vec_id, q_id,
          round({_pq_fold(PQ_M)}, 6) AS adc6
   FROM adcp
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc6 DESC, vec_id ASC) AS r
+    FROM adc
+  ) WHERE r <= {PQ_RERANK}
+),
+s AS (
+  SELECT t.q_id, t.vec_id,
+         round(list_dot_product(e.v, q.v) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cos6
+  FROM top t JOIN e ON e.vec_id = t.vec_id JOIN q ON q.q_id = t.q_id
+)
+SELECT q_id, vec_id, cos6, rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id ASC) AS rank FROM s
+) WHERE rank <= 10
+""",
+
+        "rpq_ann_topk": f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-30)) AS nv
+  FROM e0
+),
+cents AS (
+  SELECT vec_id AS c_id, v AS c FROM e0
+  ORDER BY md5('{IVFPQ_SEED}' || vec_id::VARCHAR), vec_id LIMIT {IVFPQ_CENTS}
+),
+ncents AS (
+  SELECT c_id, list_transform(c, x -> x / sqrt(list_dot_product(c, c))) AS nc
+  FROM cents
+),
+assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT e0.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY e0.vec_id
+             ORDER BY round(list_dot_product(e0.v, c.c) /
+                 (sqrt(list_dot_product(e0.v, e0.v)) * sqrt(list_dot_product(c.c, c.c))), 6) DESC,
+               c.c_id ASC) AS r
+    FROM e0 CROSS JOIN cents c) WHERE r = 1
+),
+samp AS (
+  SELECT vec_id, nv, code FROM (
+    SELECT vec_id, nv,
+           row_number() OVER (ORDER BY md5('{RPQ_SEED}' || vec_id::VARCHAR), vec_id) - 1 AS code
+    FROM e
+  ) WHERE code < {PQ_KSUB}
+),
+rs AS (
+  SELECT s.code,
+         list_transform(range(1, len(s.nv) + 1), i -> s.nv[i] - n.nc[i]) AS rv
+  FROM samp s
+  JOIN assign a ON a.vec_id = s.vec_id
+  JOIN ncents n ON n.c_id = a.c_id
+),
+cb AS (
+  SELECT j.j, rs.code, rs.rv[j.j*{64 // PQ_M}+1 : j.j*{64 // PQ_M}+{64 // PQ_M}] AS c
+  FROM rs, unnest(range(0, {PQ_M})) AS j(j)
+),
+rv_all AS (
+  SELECT e.vec_id,
+         list_transform(range(1, len(e.nv) + 1), i -> e.nv[i] - n.nc[i]) AS rv
+  FROM e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN ncents n ON n.c_id = a.c_id
+),
+sv AS (
+  SELECT r.vec_id, j.j, r.rv[j.j*{64 // PQ_M}+1 : j.j*{64 // PQ_M}+{64 // PQ_M}] AS x
+  FROM rv_all r, unnest(range(0, {PQ_M})) AS j(j)
+),
+dist AS (
+  SELECT sv.vec_id, sv.j, cb.code,
+         round(list_dot_product(sv.x, sv.x) - 2*list_dot_product(sv.x, cb.c)
+               + list_dot_product(cb.c, cb.c), 6) AS d6
+  FROM sv JOIN cb ON cb.j = sv.j
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d6 ASC, code ASC) AS r
+    FROM dist
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS q_id, v, nv FROM e WHERE vec_id < 5),
+probes AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, c.c_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round(list_dot_product(q.v, c.c) /
+                 (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.c, c.c))), 6) DESC,
+               c.c_id ASC) AS r
+    FROM q CROSS JOIN cents c) WHERE r <= {IVFPQ_NPROBE}
+),
+qoff AS (
+  SELECT q.q_id, n.c_id, round(list_dot_product(q.nv, n.nc), 6) AS qc6
+  FROM q CROSS JOIN ncents n
+),
+lut AS (
+  SELECT q.q_id, cb.j, cb.code,
+         round(list_dot_product(q.nv[cb.j*{64 // PQ_M}+1 : cb.j*{64 // PQ_M}+{64 // PQ_M}], cb.c), 6) AS p6
+  FROM q CROSS JOIN cb
+),
+adcp AS (
+  SELECT c.vec_id, l.q_id, any_value(o.qc6) AS qc6,
+         {", ".join(f"max(CASE WHEN c.j={j} THEN l.p6 END) AS p{j}" for j in range(PQ_M))}
+  FROM codes c
+  JOIN assign a ON a.vec_id = c.vec_id
+  JOIN probes p ON p.c_id = a.c_id
+  JOIN lut l ON l.q_id = p.q_id AND l.j = c.j AND l.code = c.code
+  JOIN qoff o ON o.q_id = p.q_id AND o.c_id = a.c_id
+  GROUP BY c.vec_id, l.q_id
+),
+adc AS (
+  SELECT vec_id, q_id, round({_pq_fold(PQ_M, init="qc6")}, 6) AS adc6 FROM adcp
 ),
 top AS (
   SELECT * FROM (

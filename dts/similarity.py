@@ -908,3 +908,224 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "cos6", "rank")
     )
+
+
+def pq_train_residual(
+    emb: DataFrame,
+    cent_ids: np.ndarray,
+    cent_mat: np.ndarray,
+    m: int = 4,
+    ksub: int = 16,
+    seed: str = "rpq",
+    src: str = "embedding",
+) -> np.ndarray:
+    """Residual PQ codebooks (FAISS IndexIVFPQ's by_residual=True — the
+    FAISS DEFAULT, closing :func:`ivfpq_topk`'s documented delta): the
+    quantized signal is x̂ − ĉ(cell(x)) — the vector's offset from its
+    own NORMALIZED coarse centroid — which concentrates the quantizer's
+    budget on within-cell variation instead of re-spending it on the cell
+    position the IVF stage already knows. Init is the same md5-sampled
+    deterministic subset as :func:`pq_train` (engine-portable: the
+    DuckDB oracle recomputes it), with each sample's residual taken
+    against its round6-cosine-assigned cell."""
+    rows = (
+        emb.select("vec_id", _as_double(src).alias("v"))
+        .withColumn(
+            "_h", F.md5(F.concat(F.lit(seed), F.col("vec_id").cast("string")))
+        )
+        .orderBy("_h", "vec_id")
+        .limit(int(ksub))
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(f"corpus has {len(rows)} vectors < ksub={ksub}")
+    raw = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    dim = raw.shape[1]
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    order = np.argsort(cent_ids, kind="stable")
+    cmat = np.ascontiguousarray(cent_mat[order])
+    ncen = np.sqrt((cmat * cmat).sum(axis=1))
+    nv = np.sqrt((raw * raw).sum(axis=1))
+    cos6 = _round6_away(
+        (raw @ cmat.T) / (np.maximum(nv, 1e-30)[:, None] * ncen[None, :])
+    )
+    cells = cos6.argmax(axis=1)  # first max == smallest c_id (sorted cols)
+    ncmat = cmat / ncen[:, None]
+    resid = _normalize_rows(raw) - ncmat[cells]
+    dsub = dim // m
+    return np.ascontiguousarray(
+        resid.reshape(ksub, m, dsub).transpose(1, 0, 2)
+    )
+
+
+def rpq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    cent_ids: np.ndarray,
+    cent_mat: np.ndarray,
+    src: str = "embedding",
+) -> DataFrame:
+    """(vec_id, v, c_id, codes) with codes quantizing the RESIDUAL
+    x̂ − ĉ(cell): cell assignment AND residual PQ codes in ONE map-side
+    pandas UDF (the cell is needed to form the residual, so one pass
+    does both — zero shuffle, zero row expansion)."""
+    m, ksub, dsub = codebooks.shape
+    cb = np.ascontiguousarray(codebooks)
+    order = np.argsort(cent_ids, kind="stable")
+    ids = np.ascontiguousarray(cent_ids[order])
+    cmat = np.ascontiguousarray(cent_mat[order])
+    ncen = np.sqrt((cmat * cmat).sum(axis=1))
+    ncmat = cmat / ncen[:, None]
+
+    @F.pandas_udf("c_id long, codes array<int>")
+    def enc(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"c_id": [], "codes": []}).astype(
+                {"c_id": "int64"}
+            )
+        raw = np.asarray(vecs.tolist(), dtype=np.float64)
+        nv = np.sqrt((raw * raw).sum(axis=1))
+        cos6 = _round6_away(
+            (raw @ cmat.T)
+            / (np.maximum(nv, 1e-30)[:, None] * ncen[None, :])
+        )
+        cells = cos6.argmax(axis=1)
+        resid = _normalize_rows(raw) - ncmat[cells]
+        codes = _pq_assign(resid, cb)
+        return pd.DataFrame(
+            {
+                "c_id": ids[cells].astype("int64"),
+                "codes": [c.astype("int32").tolist() for c in codes],
+            }
+        )
+
+    e = emb.select("vec_id", _as_double(src).alias("v"))
+    return e.withColumn("_e", enc(F.col("v"))).select(
+        "vec_id", "v", F.col("_e.c_id").alias("c_id"),
+        F.col("_e.codes").alias("codes"),
+    )
+
+
+def rpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    rerank: int = 40,
+    seed: str = "ivf",
+    lloyd_iters: int = 0,
+    cents: tuple[np.ndarray, np.ndarray] | None = None,
+) -> DataFrame:
+    """Residual IVF-PQ search (FAISS IndexIVFPQ by_residual=True): the
+    ADC estimate decomposes exactly — with x̂ = ĉ + r,
+    ⟨q̂, x̂⟩ = ⟨q̂, ĉ⟩ + ⟨q̂, r⟩ — so the scan keeps ONE per-query LUT over
+    the residual codebooks plus a per-(query, probed-cell) SCALAR offset
+    ⟨q̂, ĉ⟩ carried on the broadcast probes table (NOT a per-(query, cell)
+    LUT rebuild: that is the residual variant's usual cost, and the
+    offset trick avoids it for inner-product/cosine metrics). Everything
+    else matches :func:`ivfpq_topk`: nprobe cell pruning, m-byte ADC
+    scan, exact float re-rank of the top ``rerank``.
+
+    ``emb`` may be raw or a pre-encoded :func:`rpq_encode` frame
+    (columns v/c_id/codes) with the SAME ``cents``/``codebooks``. Exact
+    at nprobe ≥ n_centroids ∧ rerank ≥ corpus (tested)."""
+    if rerank < k:
+        raise ValueError("rerank must be >= k")
+    m, ksub, dsub = codebooks.shape
+    spark = emb.sparkSession
+    pre_encoded = {"v", "c_id", "codes"}.issubset(set(emb.columns))
+    if cents is None:
+        if pre_encoded:
+            raise ValueError(
+                "pre-encoded input requires the cents=(ids, mat) it was "
+                "encoded with"
+            )
+        e0 = emb.select("vec_id", _as_double("embedding").alias("v"))
+        rows = _ivf_centroids(e0, n_centroids, seed).collect()
+        cent_ids = np.array([r["c_id"] for r in rows], dtype=np.int64)
+        cent_mat = np.array([r["c"] for r in rows], dtype=np.float64)
+        if lloyd_iters:
+            cent_mat = lloyd_refine(e0, cent_ids, cent_mat, lloyd_iters)
+    else:
+        cent_ids, cent_mat = cents
+    e = (
+        emb
+        if pre_encoded
+        else rpq_encode(emb, codebooks, cent_ids, cent_mat)
+    )
+
+    qrows = sorted(
+        queries.select("q_id", "qvec").collect(), key=lambda r: r["q_id"]
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "q_id long, vec_id long, cos6 double, rank int"
+        )
+    qmat = np.asarray([r["qvec"] for r in qrows], dtype=np.float64)
+    qn_flat = _normalize_rows(qmat)
+    qn = qn_flat.reshape(len(qrows), m, dsub)
+    lut = _round6_away(np.einsum("qjd,jcd->qjc", qn, codebooks))
+
+    order = np.argsort(cent_ids, kind="stable")
+    s_ids = cent_ids[order]
+    s_mat = cent_mat[order]
+    ncen = np.sqrt((s_mat * s_mat).sum(axis=1))
+    ncmat = s_mat / ncen[:, None]
+    nq = np.sqrt((qmat * qmat).sum(axis=1))
+    ccos = _round6_away(
+        (qmat @ s_mat.T) / (np.maximum(nq, 1e-30)[:, None] * ncen[None, :])
+    )
+    qcoff = _round6_away(qn_flat @ ncmat.T)  # ⟨q̂, ĉ⟩ offsets
+    probe_rows = []
+    for qi, r in enumerate(qrows):
+        sel = sorted(
+            range(len(s_ids)), key=lambda i: (-ccos[qi, i], s_ids[i])
+        )[: int(nprobe)]
+        for i in sel:
+            probe_rows.append(
+                (qi, int(r["q_id"]), int(s_ids[i]), float(qcoff[qi, i]),
+                 [float(x) for x in r["qvec"]])
+            )
+    probes = spark.createDataFrame(
+        probe_rows,
+        "q_idx int, q_id long, c_id long, qc6 double, w array<double>",
+    )
+
+    @F.pandas_udf("double")
+    def adc(codes: pd.Series, q_idx: pd.Series, qc6: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        cm = np.asarray(codes.tolist(), dtype=np.int64)
+        qi = q_idx.to_numpy(dtype=np.int64)
+        acc = qc6.to_numpy(dtype=np.float64)  # ((off + p0) + p1) + …
+        for j in range(m):
+            acc = acc + lut[qi, j, cm[:, j]]
+        return pd.Series(_round6_away(acc))
+
+    cand = (
+        e.join(F.broadcast(probes), "c_id")
+        .withColumn("adc6", adc(F.col("codes"), F.col("q_idx"), F.col("qc6")))
+    )
+    w_c = Window.partitionBy("q_id").orderBy(
+        F.col("adc6").desc(), F.col("vec_id").asc()
+    )
+    cand = cand.withColumn("r", F.row_number().over(w_c)).filter(
+        F.col("r") <= int(rerank)
+    )
+    dot = F.expr("aggregate(zip_with(v, w, (a, b) -> a * b), cast(0.0 as double), (acc, z) -> acc + z)")
+    nv = F.expr("sqrt(aggregate(transform(v, a -> a * a), cast(0.0 as double), (acc, z) -> acc + z))")
+    nw = F.expr("sqrt(aggregate(transform(w, a -> a * a), cast(0.0 as double), (acc, z) -> acc + z))")
+    scored = cand.select(
+        "q_id", "vec_id", F.round(dot / (nv * nw), ROUND).alias("cos6")
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.col("cos6").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos6", "rank")
+    )

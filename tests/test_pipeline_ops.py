@@ -1024,3 +1024,65 @@ def test_ivfpq_topk_exactness_and_encoded_input(spark):
         ivfpq_topk(enc, q, cb, k=5, rerank=15)
     with pytest.raises(ValueError, match="rerank"):
         ivfpq_topk(emb, q, cb, k=10, rerank=5)
+
+
+def test_rpq_topk_residual_exactness_and_recall(spark):
+    """Residual IVF-PQ (by_residual=True): exact at nprobe=n_cells ∧
+    rerank=corpus; pre-encoded rpq_encode frame == on-the-fly; the
+    residual quantizer holds useful recall at tight rerank (superiority
+    over non-residual is a TRAINED-codebook property, not a sampled-init
+    per-instance guarantee — not asserted)."""
+    from dts.similarity import (
+        _as_double, _ivf_centroids, cosine_topk_bruteforce,
+        pq_train_residual, rpq_encode, rpq_topk,
+    )
+
+    emb = _planted_embeddings(spark, n_clusters=6, per=10, dim=32)
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    e0 = emb.select("vec_id", _as_double("embedding").alias("v"))
+    rows = _ivf_centroids(e0, 6, "c").collect()
+    cids = np.array([r["c_id"] for r in rows], dtype=np.int64)
+    cmat = np.array([r["c"] for r in rows], dtype=np.float64)
+    rcb = pq_train_residual(emb, cids, cmat, m=8, ksub=16, seed="t")
+
+    key = lambda rows_: sorted(  # noqa: E731
+        (r.q_id, r.rank, r.vec_id, r.cos6) for r in rows_
+    )
+    exact = cosine_topk_bruteforce(emb, q, k=5).collect()
+    full = rpq_topk(
+        emb, q, rcb, nprobe=6, k=5, rerank=n, cents=(cids, cmat)
+    ).collect()
+    assert key(full) == key(exact)
+
+    enc = rpq_encode(emb, rcb, cids, cmat)
+    got_a = rpq_topk(
+        enc, q, rcb, nprobe=2, k=5, rerank=15, cents=(cids, cmat)
+    ).collect()
+    got_b = rpq_topk(
+        emb, q, rcb, nprobe=2, k=5, rerank=15, cents=(cids, cmat)
+    ).collect()
+    assert key(got_a) == key(got_b)
+
+    def recall(topk_rows):
+        gs, es = {}, {}
+        for r in topk_rows:
+            gs.setdefault(r.q_id, set()).add(r.vec_id)
+        for r in exact:
+            es.setdefault(r.q_id, set()).add(r.vec_id)
+        return float(np.mean([len(gs.get(i, set()) & es[i]) / 5 for i in es]))
+
+    # tight rerank: the ADC ordering has to carry real signal
+    res = rpq_topk(
+        emb, q, rcb, nprobe=6, k=5, rerank=8, cents=(cids, cmat)
+    ).collect()
+    assert recall(res) >= 0.6
+    # at tight rerank the ADC pass may drop a query's own vector — the
+    # self-hit contract is only guaranteed on the exact configuration
+    hits = [int(r["vec_id"]) == int(r["q_id"]) for r in res if r["rank"] == 1]
+    assert sum(hits) >= len(hits) / 2
+    assert all(
+        int(r["vec_id"]) == int(r["q_id"]) for r in full if r["rank"] == 1
+    )
