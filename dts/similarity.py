@@ -1129,3 +1129,91 @@ def rpq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "cos6", "rank")
     )
+
+
+def opq_train(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    seed: str = "opq",
+    sample_size: int = 256,
+    src: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """OPQ — Optimized Product Quantization (Ge et al. 2013, FAISS's
+    OPQMatrix pretransform): learn an ORTHONORMAL rotation R so the PQ
+    subspaces align with the data's principal directions before
+    quantizing; plain PQ wastes codebook budget when variance is
+    correlated ACROSS its arbitrary dim/m splits, and rotation is free at
+    search time (cosine is rotation-invariant, so the exact rescore is
+    unchanged).
+
+    This is the PCA-initialized (a.k.a. OPQ-P / "natural") variant: R's
+    columns are the covariance eigenvectors of an md5-sampled training
+    subset in descending-eigenvalue order, signs fixed deterministically
+    (largest-|component| entry made positive) — fully deterministic given
+    the data, but NOT expressible in portable SQL (eigendecomposition),
+    so this surface is pytest-verified rather than probe-verified
+    (documented). The alternating-minimization refinement of the paper
+    (assign → reconstruct → Procrustes SVD) is additive and intentionally
+    left out: sampled-init codebooks dominate the error here.
+
+    Returns (R, codebooks): R is (dim, dim); codebooks are trained on the
+    ROTATED normalized samples with the same deterministic md5-subset
+    rule as :func:`pq_train`. Compose with :func:`opq_rotate` →
+    :func:`pq_encode` / :func:`pq_topk`."""
+    rows = (
+        emb.select("vec_id", _as_double(src).alias("v"))
+        .withColumn(
+            "_h", F.md5(F.concat(F.lit(seed), F.col("vec_id").cast("string")))
+        )
+        .orderBy("_h", "vec_id")
+        .limit(int(sample_size))
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(f"corpus has {len(rows)} vectors < ksub={ksub}")
+    sample = _normalize_rows(
+        np.asarray([r["v"] for r in rows], dtype=np.float64)
+    )
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    cov = np.cov(sample, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    R = evecs[:, order]
+    # deterministic sign: make the largest-|component| entry of each
+    # eigenvector positive (eigh's sign is arbitrary)
+    for c in range(R.shape[1]):
+        i = int(np.abs(R[:, c]).argmax())
+        if R[i, c] < 0:
+            R[:, c] = -R[:, c]
+    rot = sample[: int(ksub)] @ R
+    dsub = dim // m
+    codebooks = np.ascontiguousarray(
+        rot.reshape(ksub, m, dsub).transpose(1, 0, 2)
+    )
+    return R, codebooks
+
+
+def opq_rotate(
+    emb: DataFrame, R: np.ndarray, src: str = "embedding"
+) -> DataFrame:
+    """(vec_id, embedding): every vector NORMALIZED then rotated by the
+    broadcast R — one vectorized pandas UDF (a numpy matmul per Arrow
+    batch, zero shuffle). The output frame drops into every PQ surface
+    unchanged; because R is orthonormal and inputs are pre-normalized,
+    pq_encode's re-normalization is a no-op and exact cosines over
+    rotated vectors equal the originals."""
+    Rb = np.ascontiguousarray(R)
+
+    @F.pandas_udf("array<double>")
+    def rot(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = _normalize_rows(np.asarray(vecs.tolist(), dtype=np.float64))
+        return pd.Series(list(mat @ Rb))
+
+    return emb.select(
+        "vec_id", rot(_as_double(src)).alias("embedding")
+    )

@@ -1086,3 +1086,63 @@ def test_rpq_topk_residual_exactness_and_recall(spark):
     assert all(
         int(r["vec_id"]) == int(r["q_id"]) for r in full if r["rank"] == 1
     )
+
+
+def test_opq_rotation_properties_and_recall(spark):
+    """OPQ: R orthonormal + deterministic; cosine invariance through the
+    rotation; on ANISOTROPIC data (variance mixed across PQ's arbitrary
+    subspace splits) OPQ's ADC recall at tight rerank beats plain PQ."""
+    from dts.similarity import (
+        cosine_topk_bruteforce, opq_rotate, opq_train, pq_topk, pq_train,
+    )
+
+    # anisotropic deterministic corpus: low-rank structure mixed across
+    # all dims by a fixed ill-conditioned matrix
+    dim, n = 32, 96
+    mix = np.array(
+        [[((7 * i + 11 * j) % 13) - 6.0 for j in range(dim)] for i in range(5)]
+    )
+    rows = []
+    for i in range(n):
+        z = np.array([((i * (k + 3)) % 17) - 8.0 for k in range(5)])
+        v = z @ mix + 0.01 * np.array(
+            [((i + 31 * k) % 7) - 3.0 for k in range(dim)]
+        )
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % 19 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+
+    R, ocb = opq_train(emb, m=8, ksub=16, seed="t")
+    assert np.allclose(R @ R.T, np.eye(dim), atol=1e-9)
+    R2, _ = opq_train(emb, m=8, ksub=16, seed="t")
+    assert np.array_equal(R, R2)
+
+    rot = opq_rotate(emb, R)
+    rq = opq_rotate(
+        q.withColumnRenamed("q_id", "vec_id").withColumnRenamed(
+            "qvec", "embedding"
+        ),
+        R,
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec"))
+
+    exact = cosine_topk_bruteforce(emb, q, k=5).collect()
+    exact_rot = cosine_topk_bruteforce(rot, rq, k=5).collect()
+    assert sorted((r.q_id, r.rank, r.vec_id) for r in exact) == sorted(
+        (r.q_id, r.rank, r.vec_id) for r in exact_rot
+    )
+
+    def recall(topk_rows):
+        gs, es = {}, {}
+        for r in topk_rows:
+            gs.setdefault(r.q_id, set()).add(r.vec_id)
+        for r in exact:
+            es.setdefault(r.q_id, set()).add(r.vec_id)
+        return float(np.mean([len(gs.get(i, set()) & es[i]) / 5 for i in es]))
+
+    pcb = pq_train(emb, m=8, ksub=16, seed="t")
+    plain = pq_topk(emb, q, pcb, k=5, rerank=6).collect()
+    opq = pq_topk(rot, rq, ocb, k=5, rerank=6).collect()
+    assert recall(opq) >= recall(plain)
+    assert recall(opq) >= 0.6
