@@ -1955,6 +1955,49 @@ def _q_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_orderkey", "l_linenumber")
 
 
+BLOCKLIST = ["data", "query"]
+
+
+def _q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filter (dts.textstats.blocklist_filter): drop
+    any doc containing a blocklisted token — one codegen map pass."""
+    from dts.textstats import blocklist_filter
+
+    return blocklist_filter(_docs(spark, sf_dir), BLOCKLIST).select(
+        "doc_id", "lang"
+    )
+
+
+def _q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES weighted_avg aggregation (dts.facet.weighted_avg): Σ(v·w)/Σ(w)
+    of n_chars per boolean query's hits, integer value/weight → exact
+    sums, one deterministic division."""
+    from dts.facet import weighted_avg
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "w", (F.col("doc_id") % 5 + 1).cast("long")
+    )
+    return weighted_avg(
+        _bool_matches(spark, sf_dir), docs, "n_chars", "w", key="bq_id"
+    )
+
+
+def _q_bucket_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES max_bucket/min_bucket/sum_bucket/avg_bucket pipeline aggs
+    (dts.facet.bucket_extrema) over the daily events histogram; extreme
+    bucket keys emitted as sorted comma-joined strings (ES keys arrays)."""
+    from dts.facet import bucket_extrema, facet_date_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = facet_date_histogram(None, ev, "ts", "day")
+    out = bucket_extrema(b, "bucket_ts", "n")
+    return out.select(
+        "min_value", "max_value", "sum_value", "avg_value",
+        F.array_join("min_keys", ",").alias("min_keys"),
+        F.array_join("max_keys", ",").alias("max_keys"),
+    )
+
+
 def _q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES rare_terms aggregation (dts.facet.rare_terms): long-tail source
     values with doc_count ≤ 2 over each boolean query's matches — exact
@@ -2607,6 +2650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_terms": _q_rare_terms,
         "multi_terms": _q_multi_terms,
         "has_child": _q_has_child,
+        "blocklist": _q_blocklist,
+        "weighted_avg": _q_weighted_avg,
+        "bucket_extrema": _q_bucket_extrema,
         "has_parent": _q_has_parent,
         "facet_percentiles": _q_facet_percentiles,
         "pii_scrub": _q_pii_scrub,
@@ -5236,6 +5282,36 @@ c AS (
 SELECT k.bq_id, nm.bucket, coalesce(c.n, 0)::BIGINT AS n
 FROM keys k CROSS JOIN names nm
 LEFT JOIN c ON c.bq_id = k.bq_id AND c.bucket = nm.bucket
+"""
+    extra["blocklist"] = f"""
+WITH t AS (SELECT doc_id, lang, {_D_TOKS} AS toks FROM documents)
+SELECT doc_id, lang FROM t WHERE NOT list_has_any(toks, ['data', 'query'])
+"""
+    extra["weighted_avg"] = f"""
+WITH {_bm_cte},
+d AS (
+  SELECT doc_id, n_chars, (doc_id % 5 + 1)::BIGINT AS w
+  FROM documents WHERE n_chars IS NOT NULL
+)
+SELECT m.bq_id, sum(d.n_chars * d.w)::DOUBLE / sum(d.w) AS weighted_avg
+FROM m JOIN d USING (doc_id) GROUP BY 1
+"""
+    extra["bucket_extrema"] = """
+WITH b AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+         count(*)::BIGINT AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+a AS (
+  SELECT min(n)::BIGINT AS min_value, max(n)::BIGINT AS max_value,
+         sum(n)::BIGINT AS sum_value,
+         round(sum(n)::DOUBLE / count(n), 6) AS avg_value
+  FROM b
+)
+SELECT a.min_value, a.max_value, a.sum_value, a.avg_value,
+       (SELECT array_to_string(list_sort(list(bucket_ts)), ',') FROM b WHERE b.n = a.min_value) AS min_keys,
+       (SELECT array_to_string(list_sort(list(bucket_ts)), ',') FROM b WHERE b.n = a.max_value) AS max_keys
+FROM a
 """
     extra["lm_perplexity"] = f"""
 WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),

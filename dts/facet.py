@@ -801,3 +801,80 @@ def multi_terms(
         .groupBy(key, *fields)
         .agg(F.count("*").alias("doc_count"))
     )
+
+
+def weighted_avg(
+    matches: DataFrame | None,
+    docs: DataFrame,
+    value_col: str,
+    weight_col: str,
+    key: str | None = None,
+    broadcast_matches: bool | None = None,
+) -> DataFrame:
+    """ES weighted_avg aggregation: Σ(v·w) / Σ(w) over the hit set (or
+    corpus-wide with ``matches=None``). Rows with a null value or weight
+    drop (ES default). Cross-engine exactness: with integer value/weight
+    columns both sums are exact and the single final division is
+    deterministic — the probe pins that configuration."""
+    side = docs.filter(
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    )
+    prod = (F.col(value_col) * F.col(weight_col)).alias("_vw")
+    if matches is None:
+        agg = side.select(prod, F.col(weight_col).alias("_w")).agg(
+            F.sum("_vw").alias("_svw"), F.sum("_w").alias("_sw")
+        )
+        return agg.select(
+            (F.col("_svw").cast("double") / F.col("_sw")).alias("weighted_avg")
+        )
+    if key is None:
+        raise ValueError("key is required when matches is given")
+    m = _hits(matches, key, broadcast_matches)
+    return (
+        side.select("doc_id", prod, F.col(weight_col).alias("_w"))
+        .join(m, "doc_id")
+        .groupBy(key)
+        .agg(
+            (F.sum("_vw").cast("double") / F.sum("_w")).alias("weighted_avg")
+        )
+    )
+
+
+def bucket_extrema(
+    buckets: DataFrame,
+    order_col: str,
+    value_col: str,
+    key: str | None = None,
+) -> DataFrame:
+    """ES max_bucket / min_bucket / sum_bucket / avg_bucket sibling
+    pipeline aggs in one pass: per series (per ``key``, or one global
+    row), the min/max metric values, the SORTED LISTS of bucket keys
+    attaining them (ES returns a keys array — ties are real), the sum and
+    the average (exact-int sum ÷ count for integer metrics). Bucket-sized
+    work, one hash agg."""
+    parts = [key] if key else []
+    v = F.col(value_col)
+    agg = buckets.groupBy(*parts).agg(
+        F.min(v).alias("min_value"),
+        F.max(v).alias("max_value"),
+        F.sum(v).alias("sum_value"),
+        F.round(F.sum(v).cast("double") / F.count(v), 6).alias("avg_value"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.lit(True), F.struct(v.alias("v"), F.col(order_col).alias("k")))
+            )
+        ).alias("_all"),
+    )
+    return agg.select(
+        *parts,
+        "min_value",
+        "max_value",
+        "sum_value",
+        "avg_value",
+        F.expr(
+            "sort_array(transform(filter(_all, x -> x.v = min_value), x -> x.k))"
+        ).alias("min_keys"),
+        F.expr(
+            "sort_array(transform(filter(_all, x -> x.v = max_value), x -> x.k))"
+        ).alias("max_keys"),
+    )

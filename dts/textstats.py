@@ -403,3 +403,19 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.select(
         "doc_id", F.col("_t").alias("text_clean"), *counts
     )
+
+
+def blocklist_filter(
+    docs: DataFrame, blocked: list[str], text_col: str = "text"
+) -> DataFrame:
+    """C4-style badword/blocklist filter (Raffel et al. 2020 drop any page
+    containing a blocklisted word): keep docs whose token set intersects
+    ``blocked`` nowhere. 100% JVM — one codegen map pass, the predicate
+    pushes to the scan; the blocklist is an inline array literal (client-
+    sized by contract; a corpus-scale list would become a broadcast
+    anti-join on the exploded tokens instead)."""
+    toks = F.expr(
+        f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOK}', 0)"
+    )
+    arr = F.array(*[F.lit(t) for t in sorted(set(blocked))])
+    return docs.filter(~F.arrays_overlap(toks, arr))

@@ -603,3 +603,43 @@ def test_rare_and_multi_terms(spark):
         multi_terms(m, docs, ["lang"], key="q")
     with _pt.raises(ValueError):
         multi_terms(m, docs, ["lang", "source"])  # key required
+
+
+def test_weighted_avg_and_bucket_extrema(spark):
+    from dts.facet import bucket_extrema, weighted_avg
+
+    docs = spark.createDataFrame(
+        [(0, 10, 1), (1, 20, 3), (2, 30, 1), (3, None, 5), (4, 40, None)],
+        "doc_id long, v long, w long",
+    )
+    m = spark.createDataFrame([(7, i) for i in range(5)], "q long, doc_id long")
+    got = weighted_avg(m, docs, "v", "w", key="q").collect()
+    assert len(got) == 1
+    assert abs(got[0]["weighted_avg"] - (10 + 60 + 30) / 5.0) < 1e-12
+    allv = weighted_avg(None, docs, "v", "w").collect()
+    assert abs(allv[0]["weighted_avg"] - 100 / 5.0) < 1e-12
+
+    b = spark.createDataFrame(
+        [("a", 5), ("b", 9), ("c", 5), ("d", 9), ("e", 7)],
+        "bucket_ts string, n long",
+    )
+    ex = bucket_extrema(b, "bucket_ts", "n").collect()[0]
+    assert ex["min_value"] == 5 and ex["max_value"] == 9
+    assert ex["sum_value"] == 35 and abs(ex["avg_value"] - 7.0) < 1e-12
+    assert list(ex["min_keys"]) == ["a", "c"]
+    assert list(ex["max_keys"]) == ["b", "d"]
+
+
+def test_blocklist_filter(spark):
+    from dts.textstats import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(0, "clean text here"), (1, "contains BadWord now"),
+         (2, "badword at start"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in blocklist_filter(docs, ["badword", "zz"]).collect()
+    }
+    assert kept == {0, 3, 4}  # case-insensitive; null/empty pass
