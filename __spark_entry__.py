@@ -476,6 +476,32 @@ def _q_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sorted_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene index sorting + early termination (dts.docvalues.
+    sort_index_meta / sorted_topk_indexed): the doc-meta sidecar is
+    range-partitioned by n_chars into value-disjoint bins; a sorted top-k
+    opens only the minimal bin prefix (partition pruning — the O(k)-IO
+    path Lucene gets from setIndexSort). Both directions probed; oracle
+    is the plain ORDER BY LIMIT."""
+    from dts.docvalues import sort_index_meta, sorted_topk_indexed
+
+    d = _dv_index(spark, sf_dir)
+    import os
+
+    if not os.path.isdir(f"{d}/sorted_meta_n_chars"):
+        sort_index_meta(spark, d, "n_chars", n_bins=8)
+    out = None
+    for asc in (True, False):
+        part = sorted_topk_indexed(
+            spark, d, "n_chars", k=15, ascending=asc
+        ).select(
+            F.lit("asc" if asc else "desc").alias("direction"),
+            "doc_id", "n_chars", "rank",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def _q_sort_by_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene Sort(SortField): boolean matches ordered by a stored field
     value instead of relevance (dts.docvalues.sort_topk over the doc_meta
@@ -2667,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_search": _q_range_search,
         "terms_set": _q_terms_set,
         "sort_by_meta": _q_sort_by_meta,
+        "sorted_fetch": _q_sorted_fetch,
         "collapse_source": _q_collapse_source,
         "tfidf_topk": _q_tfidf_topk,
         "search_boosted": _q_search_boosted,
@@ -5282,6 +5309,18 @@ c AS (
 SELECT k.bq_id, nm.bucket, coalesce(c.n, 0)::BIGINT AS n
 FROM keys k CROSS JOIN names nm
 LEFT JOIN c ON c.bq_id = k.bq_id AND c.bucket = nm.bucket
+"""
+    extra["sorted_fetch"] = """
+WITH d AS (SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL)
+SELECT 'asc' AS direction, doc_id, n_chars, rank::INTEGER AS rank FROM (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rank FROM d
+) WHERE rank <= 15
+UNION ALL
+SELECT 'desc', doc_id, n_chars, rank::INTEGER FROM (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank FROM d
+) WHERE rank <= 15
 """
     extra["blocklist"] = f"""
 WITH t AS (SELECT doc_id, lang, {_D_TOKS} AS toks FROM documents)

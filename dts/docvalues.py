@@ -28,7 +28,7 @@ Scale notes (the reason these live on the sidecar, not the source table):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dts.score_index import ROUND_RANK
@@ -447,3 +447,168 @@ def _dv_scored(
         "taat", distribute, index_dir,
         dv=dv, dv_spec=dv_spec, broadcast_dv=broadcast_dv,
     )
+
+
+def sort_index_meta(
+    spark: SparkSession, index_dir: str, field: str, n_bins: int = 32
+) -> dict:
+    """Lucene INDEX SORTING for the doc-values sidecar
+    (IndexWriterConfig.setIndexSort): materialize ``doc_meta`` range-
+    partitioned by ``field`` — bin b holds a contiguous value range, all
+    bins value-DISJOINT (repartitionByRange assigns equal keys to one
+    partition, so a value never straddles a boundary — the property that
+    makes early termination exact in BOTH sort directions) and
+    row-sorted by (field, doc_id) within each bin. A manifest records
+    per-bin row counts and the index revision (staleness guard).
+
+    This is the O(k)-IO path for sort-by-field queries: Lucene visits
+    segments in sort order and stops after k competitive hits;
+    :func:`sorted_topk_indexed` reads bin DIRECTORIES in range order
+    (parquet partition pruning — unread bins are never opened) and stops
+    the same way. Null field values are excluded (ES sorts missing values
+    by the `missing` param — documented delta: they simply never sort).
+
+    One distributed range-sort at build time (the same cost class as the
+    postings layout itself); rebuild after merges/compactions (the
+    revision check refuses stale reads)."""
+    import json
+    import os
+    import shutil
+
+    from dts.index_build import load_meta
+
+    sidecar(spark, index_dir, [field])  # validates presence
+    base = f"{index_dir}/sorted_meta_{field}"
+    tmp = f"{base}_tmp"
+    dm = spark.read.parquet(f"{index_dir}/doc_meta").filter(
+        F.col(field).isNotNull()
+    )
+    n_bins = max(1, int(n_bins))
+    binned = (
+        dm.repartitionByRange(n_bins, F.col(field))
+        .sortWithinPartitions(field, "doc_id")
+        .withColumn("_bin", F.spark_partition_id())
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    binned.write.mode("overwrite").partitionBy("_bin").parquet(tmp)
+    stats = sorted(
+        spark.read.parquet(tmp)
+        .groupBy("_bin")
+        .agg(F.count("*").alias("n"))
+        .collect(),
+        key=lambda r: int(r["_bin"]),
+    )
+    manifest = {
+        "field": field,
+        "revision": int(load_meta(index_dir).get("revision", 0)),
+        "bins": [{"bin": int(r["_bin"]), "n": int(r["n"])} for r in stats],
+    }
+    with open(f"{tmp}/_bins.json", "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    shutil.rmtree(base, ignore_errors=True)
+    os.replace(tmp, base)
+    return manifest
+
+
+def sorted_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    field: str,
+    k: int = 10,
+    ascending: bool = True,
+    matches: DataFrame | None = None,
+    key: str = "query_id",
+    return_bins_read: bool = False,
+):
+    """Early-terminated sorted fetch over the index-sorted sidecar
+    (:func:`sort_index_meta`): top-k docs by ``field``, optionally
+    restricted to a ``matches`` hit set (Lucene's
+    sorted-index + early-termination collector for query+sort).
+
+    - Unfiltered: the manifest's per-bin counts pick the MINIMAL bin
+      prefix (in range order — reversed for descending) covering k rows
+      with zero data jobs; only those bin directories are opened
+      (partition pruning), then one exact sort of the ≤ prefix-sized
+      remainder. O(k) IO instead of O(n).
+    - Filtered: bins are read in range order with DOUBLING batches
+      (1, 2, 4, …) and one small count-agg per round until every key has
+      ≥ k matching rows (or bins exhaust) — the driver loop is over BIN
+      BATCHES (≤ log₂(n_bins) rounds), never over rows.
+
+    Exactness: bins are value-disjoint and the within-key order is
+    (field, doc_id); once a key holds k rows from a bin prefix, every
+    unread bin's values sort strictly after the kth — in either
+    direction, because equal values never straddle bins.
+
+    Returns (key?, doc_id, <field>, rank); with ``return_bins_read`` a
+    (DataFrame, bins_read) tuple for plan assertions."""
+    import json
+
+    from dts.index_build import load_meta
+
+    base = f"{index_dir}/sorted_meta_{field}"
+    with open(f"{base}/_bins.json") as f:
+        manifest = json.load(f)
+    rev = int(load_meta(index_dir).get("revision", 0))
+    if int(manifest["revision"]) != rev:
+        raise ValueError(
+            f"sorted_meta_{field} was built at revision "
+            f"{manifest['revision']} but the index is at {rev}: rebuild "
+            "with sort_index_meta (merges/compactions invalidate the sort)"
+        )
+    bins = sorted(manifest["bins"], key=lambda b: b["bin"])
+    if not ascending:
+        bins = list(reversed(bins))
+    order = [
+        F.col(field).asc() if ascending else F.col(field).desc(),
+        F.col("doc_id").asc(),
+    ]
+
+    def _read(bin_ids: list[int]) -> DataFrame:
+        return spark.read.parquet(base).filter(F.col("_bin").isin(bin_ids))
+
+    if matches is None:
+        chosen, seen = [], 0
+        for b in bins:
+            chosen.append(int(b["bin"]))
+            seen += int(b["n"])
+            if seen >= k:
+                break
+        w = Window.partitionBy().orderBy(*order)
+        out = (
+            _read(chosen)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", field, F.col("rank").cast("int").alias("rank"))
+        )
+        return (out, len(chosen)) if return_bins_read else out
+
+    m = matches.select(key, "doc_id").distinct()
+    keys = [r[key] for r in m.select(key).distinct().collect()]
+    chosen: list[int] = []
+    i, batch = 0, 1
+    while i < len(bins):
+        chosen.extend(int(b["bin"]) for b in bins[i : i + batch])
+        i += batch
+        batch *= 2
+        counts = {
+            r[key]: int(r["n"])
+            for r in _read(chosen)
+            .join(m, "doc_id")
+            .groupBy(key)
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        if all(counts.get(q, 0) >= k for q in keys):
+            break
+    w = Window.partitionBy(key).orderBy(*order)
+    out = (
+        _read(chosen)
+        .join(m, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            key, "doc_id", field, F.col("rank").cast("int").alias("rank")
+        )
+    )
+    return (out, len(chosen)) if return_bins_read else out
