@@ -2024,6 +2024,31 @@ def _q_bucket_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix aggregation (dts.facet.adjacency_matrix):
+    per boolean query, doc counts for every named filter and every
+    pairwise intersection ("a&b" keys) — one scan, when()-array +
+    sorted-self-pair explode, no filters² replay."""
+    from dts.facet import adjacency_matrix
+
+    return adjacency_matrix(
+        _bool_matches(spark, sf_dir), _docs(spark, sf_dir), FACET_FILTERS,
+        key="bq_id",
+    )
+
+
+def _q_date_histogram_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram min_doc_count=0 densification (dts.facet.
+    densify_date_histogram — closes the observed-buckets-only delta):
+    every weekly bucket between the first and last observed, zero-filled."""
+    from dts.facet import densify_date_histogram, facet_date_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return densify_date_histogram(
+        facet_date_histogram(None, ev, "ts", "week"), "week"
+    )
+
+
 def _q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES rare_terms aggregation (dts.facet.rare_terms): long-tail source
     values with doc_count ≤ 2 over each boolean query's matches — exact
@@ -2674,6 +2699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_filters": _q_facet_filters,
         "facet_cardinality": _q_facet_cardinality,
         "rare_terms": _q_rare_terms,
+        "adjacency_matrix": _q_adjacency_matrix,
+        "date_histogram_dense": _q_date_histogram_dense,
         "multi_terms": _q_multi_terms,
         "has_child": _q_has_child,
         "blocklist": _q_blocklist,
@@ -5405,6 +5432,46 @@ FROM orders o JOIN k USING (o_orderkey)
     extra["has_parent"] = f"""
 SELECT l_orderkey, l_linenumber FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE {HAS_PARENT_PRED})
+"""
+    extra["adjacency_matrix"] = f"""
+WITH {_bm_cte}
+SELECT m.bq_id, 'en' AS bucket, count(*)::BIGINT AS doc_count
+  FROM m JOIN documents d USING (doc_id)
+  WHERE ({FACET_FILTERS['en']}) AND ({FACET_FILTERS['en']}) GROUP BY 1
+UNION ALL
+SELECT m.bq_id, 'en&impossible' AS bucket, count(*)::BIGINT AS doc_count
+  FROM m JOIN documents d USING (doc_id)
+  WHERE ({FACET_FILTERS['en']}) AND ({FACET_FILTERS['impossible']}) GROUP BY 1
+UNION ALL
+SELECT m.bq_id, 'en&short' AS bucket, count(*)::BIGINT AS doc_count
+  FROM m JOIN documents d USING (doc_id)
+  WHERE ({FACET_FILTERS['en']}) AND ({FACET_FILTERS['short']}) GROUP BY 1
+UNION ALL
+SELECT m.bq_id, 'impossible' AS bucket, count(*)::BIGINT AS doc_count
+  FROM m JOIN documents d USING (doc_id)
+  WHERE ({FACET_FILTERS['impossible']}) AND ({FACET_FILTERS['impossible']}) GROUP BY 1
+UNION ALL
+SELECT m.bq_id, 'impossible&short' AS bucket, count(*)::BIGINT AS doc_count
+  FROM m JOIN documents d USING (doc_id)
+  WHERE ({FACET_FILTERS['impossible']}) AND ({FACET_FILTERS['short']}) GROUP BY 1
+UNION ALL
+SELECT m.bq_id, 'short' AS bucket, count(*)::BIGINT AS doc_count
+  FROM m JOIN documents d USING (doc_id)
+  WHERE ({FACET_FILTERS['short']}) AND ({FACET_FILTERS['short']}) GROUP BY 1
+"""
+    extra["date_histogram_dense"] = """
+WITH b AS (
+  SELECT date_trunc('week', ts) AS w, count(*)::BIGINT AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+s AS (
+  SELECT unnest(generate_series((SELECT min(w) FROM b),
+                                (SELECT max(w) FROM b),
+                                INTERVAL 1 WEEK)) AS w
+)
+SELECT strftime(s.w, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+       coalesce(b.n, 0)::BIGINT AS n
+FROM s LEFT JOIN b USING (w)
 """
     extra["rare_terms"] = f"""
 WITH {_bm_cte},

@@ -878,3 +878,86 @@ def bucket_extrema(
             "sort_array(transform(filter(_all, x -> x.v = max_value), x -> x.k))"
         ).alias("max_keys"),
     )
+
+
+def adjacency_matrix(
+    matches: DataFrame | None,
+    docs: DataFrame,
+    filters: dict[str, str],
+    key: str | None = None,
+    broadcast_matches: bool | None = None,
+) -> DataFrame:
+    """ES adjacency_matrix aggregation: doc counts for every named filter
+    AND every pairwise INTERSECTION (bucket "a&b" — ES's key syntax),
+    over the hit set or corpus-wide. One scan: each row computes its
+    matched-filter name array with a single when()-array expression, then
+    explodes the sorted self-pairs — no filters×filters scan replay, no
+    join. Empty intersections are absent (ES emits only non-empty
+    buckets). Filter count is ES-capped small, so the pair fan-out is
+    ≤ f(f+1)/2 per row."""
+    names = sorted(filters)
+    matched = F.array_compact(
+        F.array(
+            *[
+                F.when(F.expr(filters[n]), F.lit(n)).otherwise(F.lit(None))
+                for n in names
+            ]
+        )
+    )
+    pairs = F.expr(
+        "flatten(transform(_m, (a, i) -> transform(slice(_m, i + 1, "
+        "size(_m) - i), b -> CASE WHEN a = b THEN a ELSE concat(a, '&', b) "
+        "END)))"
+    )
+    side = docs.withColumn("_m", matched).withColumn(
+        "bucket", F.explode(pairs)
+    )
+    if matches is None:
+        return side.groupBy("bucket").agg(F.count("*").alias("doc_count"))
+    if key is None:
+        raise ValueError("key is required when matches is given")
+    m = _hits(matches, key, broadcast_matches)
+    return (
+        side.select("doc_id", "bucket")
+        .join(m, "doc_id")
+        .groupBy(key, "bucket")
+        .agg(F.count("*").alias("doc_count"))
+    )
+
+
+def densify_date_histogram(
+    buckets: DataFrame,
+    calendar_interval: str,
+    key: str | None = None,
+) -> DataFrame:
+    """ES date_histogram ``min_doc_count=0`` densification — closes
+    :func:`facet_date_histogram`'s documented observed-buckets delta:
+    emit EVERY calendar bucket between each series' first and last
+    observed bucket, zero-filled. Input is the histogram output
+    (``bucket_ts`` strings, ``n``); per ``key`` the span is per-series
+    (ES semantics: the response range). Bucket-sized work: one min/max
+    agg + a sequence explode over the span + a left join back — nothing
+    corpus-sized."""
+    if calendar_interval not in CALENDAR_INTERVALS:
+        raise ValueError(
+            f"calendar_interval must be one of {CALENDAR_INTERVALS}"
+        )
+    step = {"quarter": "3 month"}.get(calendar_interval, f"1 {calendar_interval}")
+    parts = [key] if key else []
+    span = buckets.groupBy(*parts).agg(
+        F.min(F.to_timestamp("bucket_ts")).alias("_lo"),
+        F.max(F.to_timestamp("bucket_ts")).alias("_hi"),
+    )
+    dense = span.select(
+        *parts,
+        F.explode(
+            F.expr(f"sequence(_lo, _hi, interval {step})")
+        ).alias("_ts"),
+    ).select(
+        *parts,
+        F.date_format("_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+    )
+    on = parts + ["bucket_ts"]
+    return dense.join(buckets, on, "left").select(
+        *on, F.coalesce("n", F.lit(0)).alias("n")
+    )

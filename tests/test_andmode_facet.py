@@ -643,3 +643,38 @@ def test_blocklist_filter(spark):
         for r in blocklist_filter(docs, ["badword", "zz"]).collect()
     }
     assert kept == {0, 3, 4}  # case-insensitive; null/empty pass
+
+
+def test_adjacency_matrix_and_densify(spark):
+    from dts.facet import (
+        adjacency_matrix, densify_date_histogram,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, 10, "x"), (1, 30, "x"), (2, 30, "y"), (3, 99, "y")],
+        "doc_id long, v long, s string",
+    )
+    got = adjacency_matrix(
+        None, docs, {"big": "v >= 30", "why": "s = 'y'", "no": "v < 0"}
+    ).collect()
+    assert sorted((r["bucket"], r["doc_count"]) for r in got) == [
+        ("big", 3), ("big&why", 2), ("why", 2),
+    ]  # empty 'no' buckets absent; keys in sorted order
+
+    m = spark.createDataFrame([(0, 2), (0, 3)], "q long, doc_id long")
+    keyed = adjacency_matrix(
+        m, docs, {"big": "v >= 30", "why": "s = 'y'"}, key="q"
+    ).collect()
+    assert sorted((r["bucket"], r["doc_count"]) for r in keyed) == [
+        ("big", 2), ("big&why", 2), ("why", 2),
+    ]
+
+    b = spark.createDataFrame(
+        [(0, "2024-03-01 00:00:00", 4), (0, "2024-06-01 00:00:00", 1),
+         (1, "2024-01-01 00:00:00", 2)],
+        "q long, bucket_ts string, n long",
+    )
+    d = densify_date_histogram(b, "month", key="q").toPandas()
+    g0 = d[d["q"] == 0].sort_values("bucket_ts")
+    assert list(g0["n"]) == [4, 0, 0, 1]   # Mar..Jun per-series span
+    assert len(d[d["q"] == 1]) == 1        # single-bucket series stays 1
