@@ -612,3 +612,63 @@ def sorted_topk_indexed(
         )
     )
     return (out, len(chosen)) if return_bins_read else out
+
+
+def rank_feature_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    field: str,
+    k: int = 10,
+    function: str = "saturation",
+    pivot: float | None = None,
+    scaling_factor: float = 1.0,
+    exponent: float = 1.0,
+    boost: float = 1.0,
+    distribute: str | None = None,
+    broadcast_dv: bool = True,
+) -> DataFrame:
+    """ES rank_feature query: the text score plus ``boost · f(S)`` over a
+    stored non-negative feature S (pagerank, url_length, recency score —
+    the static-signal boost of every web ranker), with f one of ES's
+    three shapes:
+
+        saturation: S / (S + pivot)
+        log:        ln(scaling_factor + S)
+        sigmoid:    S^exp / (S^exp + pivot^exp)
+
+    Composition is ADDITIVE (ES evaluates rank_feature as a bool SHOULD
+    clause next to the text query — boost_mode is not a knob here).
+    ``pivot`` defaults to the feature's exact geometric mean over
+    positive values (ES defaults to an approximate geometric mean).
+    Missing/negative features clamp to 0 → saturation/sigmoid contribute
+    0 (ES: a missing feature doesn't match the clause); log contributes
+    ln(scaling_factor).
+
+    Same colocated-bucket kernel plumbing as function_score/decay —
+    exact ranking before truncation, k-heap per group."""
+    if function not in ("saturation", "log", "sigmoid"):
+        raise ValueError(f"unknown rank_feature function {function!r}")
+    if function in ("saturation", "sigmoid") and pivot is None:
+        side = sidecar(spark, index_dir, [field])
+        row = (
+            side.filter(F.col(field) > 0)
+            .agg(F.exp(F.avg(F.log(F.col(field).cast("double")))).alias("g"))
+            .collect()[0]
+        )
+        pivot = float(row["g"]) if row["g"] is not None else 1.0
+    if function == "saturation":
+        spec_mod = ("saturation", float(pivot))
+    elif function == "log":
+        if scaling_factor <= 0:
+            raise ValueError("scaling_factor must be > 0")
+        spec_mod = ("logf", float(scaling_factor))
+    else:
+        if exponent <= 0 or pivot <= 0:
+            raise ValueError("sigmoid needs pivot > 0 and exponent > 0")
+        spec_mod = ("sigmoid", float(pivot), float(exponent))
+    return _dv_scored(
+        spark, index_dir, queries, field, k,
+        (spec_mod, float(boost), "sum", 0.0),
+        distribute, broadcast_dv,
+    )

@@ -648,7 +648,24 @@ def _scorer_fn(
                     )
                     hitv = dv_ids[pos] == uniq
                     vals[hitv] = dv_vals[pos[hitv]]
-                if isinstance(modifier, tuple):
+                if isinstance(modifier, tuple) and modifier[0] in (
+                    "saturation", "logf", "sigmoid",
+                ):
+                    # ES rank_feature functions (features are ≥ 0; a
+                    # missing feature contributes f(0) — 0 for saturation
+                    # and sigmoid, ln(sf) for log).
+                    kind = modifier[0]
+                    vals = np.maximum(vals, 0.0)
+                    if kind == "saturation":
+                        pivot = float(modifier[1])
+                        fv = vals / (vals + pivot)
+                    elif kind == "logf":
+                        fv = np.log(float(modifier[1]) + vals)
+                    else:  # sigmoid
+                        pivot, expn = float(modifier[1]), float(modifier[2])
+                        vp = vals ** expn
+                        fv = vp / (vp + pivot ** expn)
+                elif isinstance(modifier, tuple):
                     # ES decay functions (gauss/exp/linear): shape over
                     # dist = max(|v − origin| − offset, 0), parameterized
                     # so f(scale) = decay — the exact ES formulas.

@@ -487,3 +487,69 @@ def test_update_doc_values(spark, corpus_pd, tmp_path):
             ),
             ["grp"],
         )
+
+
+def test_rank_feature_vs_replay(spark, dv_idx, corpus_pd, meta_pd):
+    import math
+
+    import numpy as np
+
+    from dts.docvalues import rank_feature_topk
+    from dts.oracle import OracleIndex
+
+    oracle = OracleIndex(
+        list(zip(corpus_pd["doc_id"].astype(int), corpus_pd["content"]))
+    )
+    text = _terms(corpus_pd, 2)
+    nv = meta_pd["n_chars"].to_dict()
+    q = spark.createDataFrame([(0, text)], "query_id long, text string")
+    base = {d: s for _, d, s in oracle.score_query(text, topk=10**6)}
+
+    def f(kind, v, pivot=300.0, sf=2.0, expn=2.0):
+        v = max(float(v), 0.0)
+        if kind == "saturation":
+            return v / (v + pivot)
+        if kind == "log":
+            return math.log(sf + v)
+        return v**expn / (v**expn + pivot**expn)
+
+    for kind, kwargs in [
+        ("saturation", {"pivot": 300.0}),
+        ("log", {"scaling_factor": 2.0}),
+        ("sigmoid", {"pivot": 300.0, "exponent": 2.0}),
+    ]:
+        got = (
+            rank_feature_topk(
+                spark, dv_idx, q, "n_chars", function=kind, boost=1.5,
+                k=10, **kwargs,
+            )
+            .toPandas()
+            .sort_values("rank")
+        )
+        out = {d: s + 1.5 * f(kind, nv[d]) for d, s in base.items()}
+        want = sorted(
+            out.items(), key=lambda kv: (-round(kv[1], 9), kv[0])
+        )[:10]
+        assert list(got["doc_id"].astype(int)) == [d for d, _ in want], kind
+        assert np.allclose(got["score"], [s for _, s in want], rtol=1e-9)
+
+    # default pivot = exact geometric mean of positive feature values
+    import pytest as _pt
+
+    got_def = rank_feature_topk(
+        spark, dv_idx, q, "n_chars", function="saturation", k=5
+    ).toPandas()
+    vals = [v for v in nv.values() if v > 0]
+    gm = math.exp(sum(math.log(v) for v in vals) / len(vals))
+    out = {d: s + f("saturation", nv[d], pivot=gm) for d, s in base.items()}
+    want = sorted(out.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))[:5]
+    assert list(got_def.sort_values("rank")["doc_id"].astype(int)) == [
+        d for d, _ in want
+    ]
+
+    with _pt.raises(ValueError, match="rank_feature function"):
+        rank_feature_topk(spark, dv_idx, q, "n_chars", function="zz")
+    with _pt.raises(ValueError, match="scaling_factor"):
+        rank_feature_topk(
+            spark, dv_idx, q, "n_chars", function="log", scaling_factor=0
+        )
