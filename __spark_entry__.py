@@ -2005,6 +2005,22 @@ def _q_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOCKLIST = ["data", "query"]
 
 
+def _q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/MassiveText corpus line-dedup (dts.dedup.
+    dedup_paragraphs): lines ≥ 15 chars occurring ≥ 2× corpus-wide cut
+    from every doc, docs rebuilt in order. Newlines planted with a shared
+    replace expression (the raw corpus is single-line)."""
+    from dts.dedup import dedup_paragraphs
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("replace(coalesce(text, ''), ' table ', char(10))").alias(
+            "text"
+        ),
+    )
+    return dedup_paragraphs(docs, min_count=2, min_line_chars=15)
+
+
 def _q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist filter (dts.textstats.blocklist_filter): drop
     any doc containing a blocklisted token — one codegen map pass."""
@@ -2725,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_terms": _q_multi_terms,
         "has_child": _q_has_child,
         "blocklist": _q_blocklist,
+        "dedup_paragraphs": _q_dedup_paragraphs,
         "weighted_avg": _q_weighted_avg,
         "bucket_extrema": _q_bucket_extrema,
         "has_parent": _q_has_parent,
@@ -5401,6 +5418,31 @@ SELECT 'desc', doc_id, n_chars, rank::INTEGER FROM (
   SELECT doc_id, n_chars,
          row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank FROM d
 ) WHERE rank <= 15
+"""
+    extra["dedup_paragraphs"] = """
+WITH t AS (
+  SELECT doc_id, replace(coalesce(text, ''), ' table ', chr(10)) AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, s.pos AS pos, s.line AS line FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, chr(10))) + 1),
+             j -> struct_pack(pos := j, line := string_split(text, chr(10))[j]))) AS s
+    FROM t)
+),
+c AS (
+  SELECT line, count(*)::BIGINT AS c FROM l WHERE len(line) >= 15 GROUP BY 1
+),
+k AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (len(l.line) >= 15 AND coalesce(c.c, 0) >= 2) AS rm
+  FROM l LEFT JOIN c ON c.line = l.line
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT rm), '') AS text,
+       (count(*) FILTER (WHERE rm))::BIGINT AS n_removed
+FROM k GROUP BY 1
 """
     extra["blocklist"] = f"""
 WITH t AS (SELECT doc_id, lang, {_D_TOKS} AS toks FROM documents)

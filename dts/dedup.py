@@ -681,3 +681,57 @@ def contamination_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    min_count: int = 2,
+    min_line_chars: int = 15,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level exact LINE/PARAGRAPH deduplication — the RefinedWeb /
+    MassiveText line-dedup stage (boilerplate nav bars, cookie banners,
+    license headers repeat verbatim across millions of pages): any line
+    of ≥ ``min_line_chars`` chars occurring ≥ ``min_count`` times
+    CORPUS-WIDE (within-doc repeats count) is cut from EVERY document
+    (all occurrences, like the exact-substring removal stage); docs are
+    rebuilt from surviving lines in order. Short lines are never removed
+    (the guard against nuking empty lines / list bullets).
+
+    Returns (doc_id, text, n_removed). Plan: one split+posexplode pass →
+    per-line hash agg (shuffle bounded by DISTINCT line count, map-side
+    combined) → broadcast-or-shuffle join of the duplicated-line set →
+    per-doc rebuild agg. No all-pairs, no corpus shuffle beyond the line
+    counts."""
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
+    )
+    eligible = F.length("line") >= min_line_chars
+    dups = (
+        lines.filter(eligible)
+        .groupBy("line")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("line", F.lit(True).alias("_dup"))
+    )
+    joined = lines.join(dups, "line", "left").withColumn(
+        "_rm", eligible & F.coalesce(F.col("_dup"), F.lit(False))
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN NOT _rm "
+                    "THEN struct(pos, line) END)), x -> x.line)"
+                ),
+                "\n",
+            ).alias(text_col),
+            F.sum(F.col("_rm").cast("long")).alias("n_removed"),
+        )
+    )

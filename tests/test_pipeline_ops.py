@@ -1146,3 +1146,37 @@ def test_opq_rotation_properties_and_recall(spark):
     opq = pq_topk(rot, rq, ocb, k=5, rerank=6).collect()
     assert recall(opq) >= recall(plain)
     assert recall(opq) >= 0.6
+
+
+def test_dedup_paragraphs(spark):
+    from dts.dedup import dedup_paragraphs
+
+    boiler = "this is a repeated cookie banner line"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{boiler}\nunique first body\nshort"),
+            (1, f"intro text here\n{boiler}\n{boiler}"),
+            (2, "totally unique document body"),
+            (3, boiler),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        int(r["doc_id"]): (r["text"], int(r["n_removed"]))
+        for r in dedup_paragraphs(docs, min_count=2).collect()
+    }
+    assert got[0] == ("unique first body\nshort", 1)  # short line kept
+    assert got[1] == ("intro text here", 2)           # both copies cut
+    assert got[2] == ("totally unique document body", 0)
+    assert got[3] == ("", 1)                          # fully-boilerplate doc
+    assert got[4] == ("", 0)
+
+    # min_count above the corpus multiplicity: nothing removed
+    none = dedup_paragraphs(docs, min_count=5).collect()
+    assert all(int(r["n_removed"]) == 0 for r in none)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dedup_paragraphs(docs, min_count=1)
