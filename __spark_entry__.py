@@ -2005,6 +2005,25 @@ def _q_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOCKLIST = ["data", "query"]
 
 
+MBP_QUERIES = [(0, "fast jo"), (1, "table sc"), (2, "da"), (3, "fast zzqq")]
+
+
+def _q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_bool_prefix (dts.wildcard.match_bool_prefix_topk — the
+    search-as-you-type scoring query): all-but-last tokens are SHOULD
+    term clauses, the last token a prefix clause expanded to the first
+    50 dictionary terms in term order, every expansion scoring as its
+    own clause. Query 3's prefix matches nothing — the exact clause
+    still scores."""
+    from dts.wildcard import match_bool_prefix_topk
+
+    q = spark.createDataFrame(MBP_QUERIES, "query_id long, text string")
+    out = match_bool_prefix_topk(
+        spark, _pos_index(spark, sf_dir), q, k=10, max_expansions=50
+    )
+    return out.select("query_id", "doc_id", "rank")
+
+
 def _q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb/MassiveText corpus line-dedup (dts.dedup.
     dedup_paragraphs): lines ≥ 15 chars occurring ≥ 2× corpus-wide cut
@@ -2742,6 +2761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_child": _q_has_child,
         "blocklist": _q_blocklist,
         "dedup_paragraphs": _q_dedup_paragraphs,
+        "match_bool_prefix": _q_match_bool_prefix,
         "weighted_avg": _q_weighted_avg,
         "bucket_extrema": _q_bucket_extrema,
         "has_parent": _q_has_parent,
@@ -5418,6 +5438,42 @@ SELECT 'desc', doc_id, n_chars, rank::INTEGER FROM (
   SELECT doc_id, n_chars,
          row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank FROM d
 ) WHERE rank <= 15
+"""
+    extra["match_bool_prefix"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_D_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_D_TOKS})::BIGINT AS dl FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+pre(query_id, p) AS (VALUES (0, 'jo'), (1, 'sc'), (2, 'da'), (3, 'zzqq')),
+exp AS (
+  SELECT query_id, term FROM (
+    SELECT pre.query_id, v.term,
+           row_number() OVER (PARTITION BY pre.query_id ORDER BY v.term ASC) AS r
+    FROM pre JOIN (SELECT DISTINCT term FROM tok) v ON v.term LIKE pre.p || '%'
+  ) WHERE r <= 50
+),
+qt AS (
+  SELECT * FROM (VALUES (0, 'fast'), (1, 'table'), (3, 'fast')) q(query_id, term)
+  UNION ALL
+  SELECT query_id, term FROM exp
+),
+scored AS (
+  SELECT qt.query_id::BIGINT AS query_id, tf.doc_id,
+         round(sum(
+           ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ), 6) AS score6
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
 """
     extra["dedup_paragraphs"] = """
 WITH t AS (

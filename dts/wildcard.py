@@ -31,7 +31,7 @@ from __future__ import annotations
 import bisect
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dts import score_index as _si
@@ -718,4 +718,75 @@ def term_range_docs(
         expanded = expanded.unionByName(leg)
     return _match_docs_from_expansion(
         spark, index_dir, expanded, None, max_isin_terms
+    )
+
+
+def match_bool_prefix_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES ``match_bool_prefix`` — the search-as-you-type scoring query:
+    the text tokenizes into SHOULD term clauses, except the LAST token
+    which becomes a PREFIX clause expanded to the first
+    ``max_expansions`` matching dictionary terms in term order (ES's
+    expansion cap), each expansion scoring as its own optional clause
+    (BooleanQuery rewrite — an expansion equal to an earlier exact token
+    legitimately scores twice, one score per clause).
+
+    ``queries`` needs (query_id, text). Returns the engine-standard
+    (query_id, doc_id, score, rank). One scoring job: exact rows and the
+    prefix expansion feed :func:`dts.score_index.score_expanded_terms`
+    directly; the expansion reuses the wildcard dictionary machinery
+    (driver-side bisect under the vocab cap, pruned term_stats range
+    scan beyond)."""
+    from dts.score_index import score_expanded_terms
+    from dts.tokenizer import tokenize_text
+
+    rows = queries.select("query_id", "text").collect()
+    qrows: list[tuple[int, int, str]] = []
+    pat_rows: list[tuple[int, str]] = []
+    for r in rows:
+        toks = tokenize_text(r["text"])
+        if not toks:
+            continue
+        qid = int(r["query_id"])
+        for clause, t in enumerate(toks[:-1]):
+            qrows.append((qid, clause, t))
+        pat_rows.append((qid, f"{toks[-1]}*"))
+    if not pat_rows and not qrows:
+        from dts.score_index import TOPK_SCHEMA
+
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    pats = spark.createDataFrame(pat_rows, "wq_id long, pattern string")
+    exp = (
+        expand_wildcard_terms(spark, index_dir, pats)
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("wq_id").orderBy(F.col("term").asc())
+            ),
+        )
+        .filter(F.col("_r") <= int(max_expansions))
+        .select(
+            F.col("wq_id").alias("query_id"),
+            F.lit(10**6).alias("clause"),
+            "term",
+        )
+    )
+    exact = spark.createDataFrame(
+        qrows, "query_id long, clause int, term string"
+    ) if qrows else None
+    qterms = (
+        exp if exact is None
+        else exact.select(
+            "query_id", F.col("clause").cast("long").alias("clause"), "term"
+        ).unionByName(
+            exp.select("query_id", F.col("clause").cast("long"), "term")
+        )
+    )
+    return score_expanded_terms(
+        spark, index_dir, qterms, n_queries=len(rows), k=k
     )

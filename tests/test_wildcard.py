@@ -340,3 +340,39 @@ def test_term_range_docs_vs_replay(spark, wc_index, corpus_pd):
         want = {d for d, s in doc_toks.items() if any(_in(t) for t in s)}
         g = set(got[got["wq_id"] == wq_id]["doc_id"].astype(int))
         assert g == want, (wq_id, lo_, hi_)
+
+
+def test_match_bool_prefix(spark, wc_index, corpus_pd):
+    """match_bool_prefix == manual composition: exact clauses + the
+    term-ordered capped prefix expansion, one clause per expansion; a
+    no-expansion prefix leaves the exact clauses scoring."""
+    from dts.score_index import score_expanded_terms
+    from dts.tokenizer import tokenize_text
+    from dts.wildcard import expand_wildcard_terms, match_bool_prefix_topk
+
+    toks = tokenize_text(corpus_pd["content"].iloc[0])
+    a = toks[0]
+    pre = toks[2][:2]
+    q = spark.createDataFrame(
+        [(0, f"{a} {pre}"), (1, f"{a} zzqqnever")],
+        "query_id long, text string",
+    )
+    got = match_bool_prefix_topk(
+        spark, wc_index, q, k=10, max_expansions=3
+    ).collect()
+
+    pats = spark.createDataFrame(
+        [(0, f"{pre}*")], "wq_id long, pattern string"
+    )
+    exp = sorted(
+        r["term"] for r in expand_wildcard_terms(spark, wc_index, pats).collect()
+    )[:3]
+    rows = [(0, 0, a)] + [(0, 1, t) for t in exp] + [(1, 0, a)]
+    qt = spark.createDataFrame(rows, "query_id long, clause long, term string")
+    want = score_expanded_terms(spark, wc_index, qt, n_queries=2, k=10).collect()
+    key = lambda rs: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in rs
+    )
+    assert key(got) == key(want)
+    assert {r["query_id"] for r in got} == {0, 1}
