@@ -246,3 +246,118 @@ def expand_fuzzy_terms(
         ["clause"] if "clause" in fuzzy_qterms.columns else []
     ) + ["term"]
     return fuzzy_qterms.join(verified, ["qterm", "fuzzy_k"]).select(*keep)
+
+
+def banded_osa_batch(
+    a_list: np.ndarray, b_list: np.ndarray, k_arr: np.ndarray
+) -> np.ndarray:
+    """Banded OSA (optimal string alignment / restricted Damerau)
+    distance for a batch of (a, b, k) triples — Lucene FuzzyQuery's
+    DEFAULT metric (``transpositions=true``: an adjacent swap costs ONE
+    edit, so "tabel"→"table" is distance 1 where plain Levenshtein says
+    2). Returns distance if ≤ k else k+1. Same batch-vectorized shape as
+    :func:`banded_lev_batch`, with the extra prev-prev row for the
+    transposition term."""
+    n = len(a_list)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    la = np.array([len(a) for a in a_list], dtype=np.int64)
+    lb = np.array([len(b) for b in b_list], dtype=np.int64)
+    maxa, maxb = int(la.max(initial=0)), int(lb.max(initial=0))
+    k_arr = np.asarray(k_arr, dtype=np.int64)
+    big = k_arr + 1
+
+    A = np.zeros((n, max(maxa, 1)), dtype=np.uint32)
+    Bm = np.zeros((n, max(maxb, 1)), dtype=np.uint32)
+    for i, s in enumerate(a_list):
+        if s:
+            A[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            )
+    for i, s in enumerate(b_list):
+        if s:
+            Bm[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            )
+
+    js = np.arange(maxb + 1)
+    prev = np.minimum(
+        np.broadcast_to(js, (n, maxb + 1)), big[:, None]
+    ).astype(np.int64)
+    prev2 = np.full_like(prev, 0)
+    for i in range(1, maxa + 1):
+        active = i <= la
+        cur = np.full((n, maxb + 1), 0, dtype=np.int64)
+        cur[:, 0] = np.where(i <= k_arr, i, big)
+        for j in range(1, maxb + 1):
+            cost = (A[:, i - 1] != Bm[:, j - 1]).astype(np.int64)
+            val = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost,
+            )
+            if i > 1 and j > 1:
+                swap = (A[:, i - 1] == Bm[:, j - 2]) & (
+                    A[:, i - 2] == Bm[:, j - 1]
+                )
+                val = np.where(
+                    swap, np.minimum(val, prev2[:, j - 2] + 1), val
+                )
+            inband = (j >= i - k_arr) & (j <= i + k_arr) & (j <= lb)
+            cur[:, j] = np.where(inband, val, big)
+        prev2 = np.where(active[:, None], prev, prev2)
+        prev = np.where(active[:, None], cur, prev)
+    out = prev[np.arange(n), lb]
+    return np.minimum(out, big)
+
+
+def expand_fuzzy_osa(
+    pairs: list[tuple[str, int]], vocab: dict
+) -> dict[tuple[str, int], list[str]]:
+    """Driver-side OSA fuzzy expansion (Lucene transpositions=true). The
+    trigram prefilter floor WIDENS to max(1, |tri(q)| − 4k): one OSA
+    transposition disturbs up to FOUR trigrams (the windows covering the
+    swapped pair) where a plain edit disturbs three — using the 3k floor
+    here would drop true matches. Length delta stays ≤ k (a transposition
+    preserves length). Verification = :func:`banded_osa_batch`.
+
+    No portable SQL oracle exists (DuckDB's levenshtein is plain), so
+    this surface is pytest-verified against an exhaustive python OSA
+    replay — documented delta from the probe-everything norm."""
+    from collections import Counter
+
+    terms, tri_index, lens = vocab["terms"], vocab["tri_index"], vocab["lens"]
+    out: dict[tuple[str, int], list[str]] = {}
+    for q, k in pairs:
+        qt = trigrams_py(q)
+        thresh = len(qt) - 4 * k
+        if thresh >= 1:
+            shared = Counter()
+            for tri in qt:
+                shared.update(tri_index.get(tri, ()))
+            cand = [
+                i
+                for i, c in shared.items()
+                if c >= thresh and abs(int(lens[i]) - len(q)) <= k
+            ]
+        else:
+            # Short terms: a transposition can erase EVERY shared trigram
+            # ("fsat"→"fast" shares none), so when the q-gram bound gives
+            # no filtering power the candidates degrade to the
+            # length-banded vocabulary — correct, and cheap at the
+            # driver-vocab sizes this path serves.
+            cand = [
+                i
+                for i in range(len(terms))
+                if abs(int(lens[i]) - len(q)) <= k
+            ]
+        if not cand:
+            out[(q, k)] = []
+            continue
+        cand_terms = [terms[i] for i in cand]
+        d = banded_osa_batch(
+            np.array([q] * len(cand), dtype=object),
+            np.array(cand_terms, dtype=object),
+            np.full(len(cand), k, dtype=np.int64),
+        )
+        out[(q, k)] = [t for t, dd in zip(cand_terms, d) if dd <= k]
+    return out
