@@ -2105,6 +2105,37 @@ def _q_date_histogram_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NESTED_PRED = "_e.l_quantity >= 45 AND _e.l_linenumber <= 2"
+
+
+def _q_nested_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES nested query (dts.joinquery.nested_match): orders carrying an
+    items array<struct> (built from lineitem) where SOME element has
+    quantity ≥ 45 AND linenumber ≤ 2 — the SAME-element constraint the
+    flattened mapping can't express — scored by the max matching
+    element's quantity. Pure array expressions, no explode."""
+    from dts.joinquery import nested_match
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    docs = (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("l_linenumber", "l_quantity")
+                )
+            ).alias("items")
+        )
+    )
+    out = nested_match(
+        docs, "items", NESTED_PRED,
+        score_expr_sql="_e.l_quantity", score_mode="max",
+    )
+    return out.select(
+        "o_orderkey", F.round("_score", 6).alias("nested_score")
+    )
+
+
 def _q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES rare_terms aggregation (dts.facet.rare_terms): long-tail source
     values with doc_count ≤ 2 over each boolean query's matches — exact
@@ -2765,6 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_avg": _q_weighted_avg,
         "bucket_extrema": _q_bucket_extrema,
         "has_parent": _q_has_parent,
+        "nested_match": _q_nested_match,
         "facet_percentiles": _q_facet_percentiles,
         "pii_scrub": _q_pii_scrub,
         "gopher_repetition": _q_gopher,
@@ -5623,6 +5655,12 @@ s AS (
 SELECT strftime(s.w, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
        coalesce(b.n, 0)::BIGINT AS n
 FROM s LEFT JOIN b USING (w)
+"""
+    extra["nested_match"] = """
+SELECT l_orderkey AS o_orderkey, round(max(l_quantity), 6) AS nested_score
+FROM lineitem
+WHERE l_quantity >= 45 AND l_linenumber <= 2
+GROUP BY 1
 """
     extra["rare_terms"] = f"""
 WITH {_bm_cte},

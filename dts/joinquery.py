@@ -109,3 +109,47 @@ def has_parent(
         children.drop("_score") if "_score" in children.columns else children
     )
     return kids.join(keyed, child_key)
+
+
+def nested_match(
+    docs: DataFrame,
+    path: str,
+    elem_pred_sql: str,
+    score_expr_sql: str | None = None,
+    score_mode: str = "none",
+) -> DataFrame:
+    """ES ``nested`` query: match docs where SOME element of the
+    array-of-struct field ``path`` satisfies ``elem_pred_sql`` — the
+    predicate references element fields as ``_e.<field>`` and must hold
+    on ONE element (the semantics ordinary object mapping loses: with
+    flattened fields, `a=1 AND b=2` can match across DIFFERENT elements;
+    nested requires the SAME element).
+
+    With ``score_mode`` ≠ none, ``score_expr_sql`` (over ``_e``) scores
+    each matching element and the doc's ``_score`` aggregates per ES:
+    max | min | avg | sum (avg over MATCHING elements, ES's rule).
+
+    100% JVM expressions — exists()/filter()/aggregate() over the array
+    column, one codegen map pass, no explode and no shuffle."""
+    if score_mode not in ("none", "max", "min", "avg", "sum"):
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    exists = F.expr(f"exists({path}, _e -> {elem_pred_sql})")
+    matched = docs.filter(exists)
+    if score_mode == "none":
+        return matched
+    if score_expr_sql is None:
+        raise ValueError("score_expr_sql required when score_mode != none")
+    scores = (
+        f"transform(filter({path}, _e -> {elem_pred_sql}), "
+        f"_e -> cast(({score_expr_sql}) as double))"
+    )
+    agg = {
+        "max": f"array_max({scores})",
+        "min": f"array_min({scores})",
+        "sum": f"aggregate({scores}, cast(0.0 as double), (a, x) -> a + x)",
+        "avg": (
+            f"aggregate({scores}, cast(0.0 as double), (a, x) -> a + x)"
+            f" / size({scores})"
+        ),
+    }[score_mode]
+    return matched.withColumn("_score", F.expr(agg))

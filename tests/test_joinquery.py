@@ -80,3 +80,50 @@ def test_has_parent(spark, rel):
         parents, children, "pk", "fk", "tag = 'b'", with_score=True,
     ).toPandas()
     assert set(one["fk"]) == {2} and (one["_score"] == 1.0).all()
+
+
+def test_nested_match_same_element_semantics(spark):
+    from dts.joinquery import nested_match
+
+    docs = spark.createDataFrame(
+        [
+            (0, [(1, 50.0), (2, 10.0)]),   # same element satisfies both
+            (1, [(1, 10.0), (9, 50.0)]),   # conditions split → NO match
+            (2, [(2, 45.0), (1, 60.0)]),   # two matching elements
+            (3, []),
+        ],
+        "doc_id long, items array<struct<ln int, q double>>",
+    )
+    pred = "_e.q >= 45 AND _e.ln <= 2"
+    assert {
+        r["doc_id"] for r in nested_match(docs, "items", pred).collect()
+    } == {0, 2}
+
+    got = {
+        r["doc_id"]: r["_score"]
+        for r in nested_match(
+            docs, "items", pred, score_expr_sql="_e.q", score_mode="max"
+        ).collect()
+    }
+    assert got == {0: 50.0, 2: 60.0}
+    s = {
+        r["doc_id"]: r["_score"]
+        for r in nested_match(
+            docs, "items", pred, score_expr_sql="_e.q", score_mode="sum"
+        ).collect()
+    }
+    assert s == {0: 50.0, 2: 105.0}
+    a = {
+        r["doc_id"]: r["_score"]
+        for r in nested_match(
+            docs, "items", pred, score_expr_sql="_e.q", score_mode="avg"
+        ).collect()
+    }
+    assert a == {0: 50.0, 2: 52.5}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        nested_match(docs, "items", pred, score_mode="zz")
+    with _pt.raises(ValueError):
+        nested_match(docs, "items", pred, score_mode="max")
