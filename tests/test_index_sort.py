@@ -85,3 +85,27 @@ def test_sorted_fetch_staleness_guard(spark, sorted_idx, tmp_path):
         sorted_topk_indexed(spark, sorted_idx, "val", k=5)
     man["revision"] = man["revision"] - 999
     json.dump(man, open(base, "w"))
+
+
+def test_sorted_fetch_plan_shows_partition_pruning(spark, sorted_idx):
+    """The early-terminated read is PARTITION pruning, not a post-scan
+    filter: the FileScan's PartitionFilters carries the bin IN-list and
+    DataFilters stays empty — unread bin directories are never opened."""
+    got, bins_read = sorted_topk_indexed(
+        spark, sorted_idx, "val", k=15, ascending=True,
+        return_bins_read=True,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "sorted_meta_val" in ln
+    ]
+    assert scan_lines, plan
+    import re
+
+    assert any(
+        re.search(r"PartitionFilters: \[[^\]]*_bin", ln)
+        and "DataFilters: []" in ln
+        for ln in scan_lines
+    ), scan_lines
+    assert bins_read < 8
