@@ -267,6 +267,60 @@ def main() -> None:
         ).count(),
     )
 
+    # ---- late session-7 surfaces
+    from dts.dedup import dedup_paragraphs
+    from dts.docvalues import rank_feature_topk
+    from dts.facet import adjacency_matrix
+    from dts.wildcard import match_bool_prefix_topk
+
+    stage(
+        "adjacency_matrix_480k",
+        lambda: adjacency_matrix(
+            None,
+            docs.select("doc_id", F.length("text").alias("n_chars"), "lang"),
+            {"short": "n_chars < 300", "py": "lang = 'python'",
+             "go": "lang = 'go'"},
+        ).collect(),
+    )
+    # plant newlines so line dedup has real work: every ' the ' split
+    para = docs.select(
+        "doc_id",
+        F.expr("replace(coalesce(text, ''), ' the ', char(10))").alias(
+            "text"
+        ),
+    )
+    stage(
+        "dedup_paragraphs_480k",
+        lambda: dedup_paragraphs(para, min_count=2).agg(
+            F.sum("n_removed")
+        ).collect(),
+        reps=1,
+    )
+    mbp = spark.createDataFrame(
+        [(i, f"{vocab[(i * 3) % 390]} {vocab[(i * 3 + 1) % 390][:2]}")
+         for i in range(8)],
+        "query_id long, text string",
+    )
+    idx_480 = f"{args.base}/corpus_480000_ids_index_c16"
+    stage(
+        "match_bool_prefix_480k_8q",
+        lambda: match_bool_prefix_topk(
+            spark, idx_480, mbp, k=10, max_expansions=50
+        ).count(),
+    )
+    dv_q = spark.createDataFrame(
+        [(i, f"{vocab[(i * 5) % 390]} {vocab[(i * 5 + 2) % 390]}")
+         for i in range(8)],
+        "query_id long, text string",
+    )
+    stage(
+        "rank_feature_480k_8q",
+        lambda: rank_feature_topk(
+            spark, f"{args.base}/dv_480_idx", dv_q, "n_chars",
+            function="saturation", pivot=300.0, k=10,
+        ).count(),
+    )
+
     print(json.dumps(out))
     spark.stop()
 
