@@ -47,18 +47,25 @@ def multi_index_topk(
     distribute: str | None = None,
     doc_bases: list[int] | None = None,
     max_isin_terms: int = MAX_ISIN_TERMS,
+    index_boosts: list[float] | None = None,
 ) -> DataFrame:
     """Top-k BM25 across ``index_dirs`` with composite-reader statistics.
     ``queries`` needs (query_id, text). Returns (query_id, doc_id,
     score, rank). TAAT only: stored block maxima are bounds under each
     index's OWN avgdl, not the blend (the incremental-merge bmw gate is
-    the same rule)."""
+    the same rule). ``index_boosts`` (ES indices_boost: rank one
+    cluster's results above another's) multiplies each index's scores
+    before the global merge — a per-leg scalar, zero plan change."""
     if not index_dirs:
         raise ValueError("need at least one index")
     if doc_bases is None:
         doc_bases = [0] * len(index_dirs)
     if len(doc_bases) != len(index_dirs):
         raise ValueError("doc_bases must align with index_dirs")
+    if index_boosts is None:
+        index_boosts = [1.0] * len(index_dirs)
+    if len(index_boosts) != len(index_dirs):
+        raise ValueError("index_boosts must align with index_dirs")
     rows = [
         (int(r["query_id"]), str(r["text"]))
         for r in queries.select("query_id", "text").collect()
@@ -95,7 +102,9 @@ def multi_index_topk(
     )
     qterms = spark.createDataFrame(qterm_rows, "query_id long, term string")
     parts = []
-    for d, idx, meta, base in zip(index_dirs, idxs, metas, doc_bases):
+    for d, idx, meta, base, ib in zip(
+        index_dirs, idxs, metas, doc_bases, index_boosts
+    ):
         blended_meta = dict(meta, n_docs=n_total, avgdl=avgdl)
         postings = term_filter(idx["postings"], terms, max_isin_terms)
         local = _score_filtered(
@@ -106,6 +115,10 @@ def multi_index_topk(
         if base:
             local = local.withColumn(
                 "doc_id", F.col("doc_id") + F.lit(int(base))
+            )
+        if float(ib) != 1.0:
+            local = local.withColumn(
+                "score", F.col("score") * F.lit(float(ib))
             )
         parts.append(local.drop("rank"))
     union = parts[0]

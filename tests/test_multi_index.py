@@ -145,3 +145,42 @@ def test_rescore_vs_replay(spark, pos_idx, corpus_pd, queries_pd):
             assert np.allclose(g["score"], [s for _, s in want], rtol=1e-9), (mode, qid)
     with pytest.raises(ValueError, match="window"):
         rescore_topk(spark, pos_idx, q, k=20, window=10).collect()
+
+
+def test_index_boosts_reorder_merge(spark, halves, queries_pd):
+    """ES indices_boost: boosting one index multiplies its legs' scores
+    before the global merge; boost 1.0 everywhere == no boosts arg."""
+    from dts.multi_index import multi_index_topk
+
+    _, a, b = halves
+    queries2 = spark.createDataFrame(queries_pd.iloc[:3][["query_id", "text"]])
+    base = multi_index_topk(spark, [a, b], queries2, k=8).collect()
+    same = multi_index_topk(
+        spark, [a, b], queries2, k=8, index_boosts=[1.0, 1.0]
+    ).collect()
+    key = lambda rs: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in rs
+    )
+    assert key(base) == key(same)
+
+    boosted = multi_index_topk(
+        spark, [a, b], queries2, k=8, index_boosts=[5.0, 1.0]
+    ).collect()
+    # index a holds the EVEN doc_ids: its scores scale 5×, odds are 1×
+    base_scores = {
+        (r["query_id"], r["doc_id"]): r["score"] for r in base
+    }
+    hit = 0
+    for r in boosted:
+        kd = (r["query_id"], r["doc_id"])
+        if kd in base_scores:
+            want = 5.0 if r["doc_id"] % 2 == 0 else 1.0
+            assert abs(r["score"] / base_scores[kd] - want) < 1e-9
+            hit += 1
+    assert hit > 0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="index_boosts"):
+        multi_index_topk(spark, [a, b], queries2, index_boosts=[1.0])
