@@ -2105,6 +2105,43 @@ def _q_date_histogram_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GEO_LAT = "(doc_id * 37 % 17000) / 100.0e0 - 85.0e0"
+GEO_LON = "(doc_id * 73 % 36000) / 100.0e0 - 180.0e0"
+
+
+def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(GEO_LAT).alias("lat"),
+        F.expr(GEO_LON).alias("lon"),
+    )
+
+
+def _q_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_bounding_box filter (dts.geo.geo_bounding_box_docs): pure
+    comparisons over doc-value coordinates (synthetic deterministic
+    lat/lon from doc_id — identical expression in the oracle), pushed to
+    the scan."""
+    from dts.geo import geo_bounding_box_docs
+
+    return geo_bounding_box_docs(
+        _geo_docs(spark, sf_dir), "lat", "lon",
+        top=30.0, left=-60.0, bottom=-30.0, right=60.0,
+    )
+
+
+def _q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance filter + sort (dts.geo.geo_distance_topk): the 15
+    nearest docs to (10, 20) within 3,000 km by haversine — distances at
+    3 dp (millimeters; above libm drift, below any ranking gap)."""
+    from dts.geo import geo_distance_topk
+
+    return geo_distance_topk(
+        _geo_docs(spark, sf_dir), "lat", "lon",
+        origin_lat=10.0, origin_lon=20.0, k=15, radius_m=3_000_000.0,
+    )
+
+
 NESTED_PRED = "_e.l_quantity >= 45 AND _e.l_linenumber <= 2"
 
 
@@ -2797,6 +2834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_extrema": _q_bucket_extrema,
         "has_parent": _q_has_parent,
         "nested_match": _q_nested_match,
+        "geo_bbox": _q_geo_bbox,
+        "geo_distance": _q_geo_distance,
         "facet_percentiles": _q_facet_percentiles,
         "pii_scrub": _q_pii_scrub,
         "gopher_repetition": _q_gopher,
@@ -5655,6 +5694,32 @@ s AS (
 SELECT strftime(s.w, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
        coalesce(b.n, 0)::BIGINT AS n
 FROM s LEFT JOIN b USING (w)
+"""
+    extra["geo_bbox"] = f"""
+WITH geo AS (
+  SELECT doc_id, {GEO_LAT} AS lat, {GEO_LON} AS lon FROM documents
+)
+SELECT doc_id, lat, lon FROM geo
+WHERE lat >= -30.0 AND lat <= 30.0 AND lon >= -60.0 AND lon <= 60.0
+"""
+    extra["geo_distance"] = f"""
+WITH geo AS (
+  SELECT doc_id, {GEO_LAT} AS lat, {GEO_LON} AS lon FROM documents
+),
+d AS (
+  SELECT doc_id,
+         round(2.0 * 6371000.0 * asin(sqrt(
+           pow(sin((radians(lat) - radians(10.0)) / 2), 2)
+           + cos(radians(10.0)) * cos(radians(lat))
+             * pow(sin((radians(lon) - radians(20.0)) / 2), 2)
+         )), 3) AS dist3
+  FROM geo
+)
+SELECT doc_id, dist3, rank::INTEGER AS rank FROM (
+  SELECT doc_id, dist3,
+         row_number() OVER (ORDER BY dist3 ASC, doc_id ASC) AS rank
+  FROM d WHERE dist3 <= 3000000.0
+) WHERE rank <= 15
 """
     extra["nested_match"] = """
 SELECT l_orderkey AS o_orderkey, round(max(l_quantity), 6) AS nested_score

@@ -961,3 +961,51 @@ def densify_date_histogram(
     return dense.join(buckets, on, "left").select(
         *on, F.coalesce("n", F.lit(0)).alias("n")
     )
+
+
+def facet_percentile_ranks(
+    matches: DataFrame,
+    docs: DataFrame,
+    field: str,
+    key: str,
+    values: tuple[float, ...],
+    broadcast_matches: bool | None = None,
+) -> DataFrame:
+    """ES percentile_ranks aggregation — the INVERSE of percentiles:
+    for each requested value, the percentage of the hit set's ``field``
+    values ≤ it. Exact set semantics (ES inverts its t-digest): one hash
+    agg per (key, value) — counts are integers, the single final
+    division is deterministic, rank6 = round(100·n_le/n, 6). Null field
+    values drop."""
+    m = _hits(matches, key, broadcast_matches)
+    side = docs.select("doc_id", field).filter(F.col(field).isNotNull())
+    joined = side.join(m, "doc_id")
+    vs = sorted(float(v) for v in values)
+    counts = [
+        F.sum(
+            (F.col(field) <= F.lit(v)).cast("long")
+        ).alias(f"_le_{i}")
+        for i, v in enumerate(vs)
+    ]
+    agg = joined.groupBy(key).agg(F.count("*").alias("_n"), *counts)
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(v).alias("value"),
+                    (
+                        F.round(
+                            F.lit(100.0)
+                            * F.col(f"_le_{i}").cast("double")
+                            / F.col("_n"),
+                            6,
+                        )
+                    ).alias("rank6"),
+                )
+                for i, v in enumerate(vs)
+            ]
+        )
+    )
+    return agg.select(key, pairs.alias("vr")).select(
+        key, F.col("vr.value").alias("value"), F.col("vr.rank6").alias("rank6")
+    )
