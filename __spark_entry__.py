@@ -2080,6 +2080,21 @@ def _q_bucket_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_VALUES = (200.0, 400.0, 800.0)
+
+
+def _q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks aggregation (dts.facet.facet_percentile_ranks
+    — the inverse of percentiles): % of each boolean query's hits with
+    n_chars ≤ each requested value; integer counts, one division."""
+    from dts.facet import facet_percentile_ranks
+
+    return facet_percentile_ranks(
+        _bool_matches(spark, sf_dir), _docs(spark, sf_dir), "n_chars",
+        key="bq_id", values=PR_VALUES,
+    )
+
+
 def _q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES adjacency_matrix aggregation (dts.facet.adjacency_matrix):
     per boolean query, doc counts for every named filter and every
@@ -2824,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_cardinality": _q_facet_cardinality,
         "rare_terms": _q_rare_terms,
         "adjacency_matrix": _q_adjacency_matrix,
+        "percentile_ranks": _q_percentile_ranks,
         "date_histogram_dense": _q_date_histogram_dense,
         "multi_terms": _q_multi_terms,
         "has_child": _q_has_child,
@@ -5654,6 +5670,19 @@ FROM orders o JOIN k USING (o_orderkey)
     extra["has_parent"] = f"""
 SELECT l_orderkey, l_linenumber FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE {HAS_PARENT_PRED})
+"""
+    extra["percentile_ranks"] = f"""
+WITH {_bm_cte},
+vals(value) AS (VALUES (200.0), (400.0), (800.0)),
+j AS (
+  SELECT m.bq_id, d.n_chars FROM m JOIN documents d USING (doc_id)
+  WHERE d.n_chars IS NOT NULL
+)
+SELECT j.bq_id, v.value,
+       round(100.0e0 * (sum(CASE WHEN j.n_chars <= v.value THEN 1 ELSE 0 END))::DOUBLE
+             / count(*), 6) AS rank6
+FROM j CROSS JOIN vals v
+GROUP BY 1, 2
 """
     extra["adjacency_matrix"] = f"""
 WITH {_bm_cte}

@@ -678,3 +678,22 @@ def test_adjacency_matrix_and_densify(spark):
     g0 = d[d["q"] == 0].sort_values("bucket_ts")
     assert list(g0["n"]) == [4, 0, 0, 1]   # Mar..Jun per-series span
     assert len(d[d["q"] == 1]) == 1        # single-bucket series stays 1
+
+
+def test_percentile_ranks(spark):
+    from dts.facet import facet_percentile_ranks
+
+    docs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([10, 20, 30, 40, None])],
+        "doc_id long, v long",
+    )
+    m = spark.createDataFrame([(0, i) for i in range(5)], "q long, doc_id long")
+    got = {
+        (r["q"], r["value"]): r["rank6"]
+        for r in facet_percentile_ranks(
+            m, docs, "v", key="q", values=(15.0, 30.0, 99.0)
+        ).collect()
+    }
+    assert got == {
+        (0, 15.0): 25.0, (0, 30.0): 75.0, (0, 99.0): 100.0,
+    }
