@@ -844,6 +844,26 @@ def _q_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCRIPT_SCORE_EXPR = "_score * ln(1.0e0 + n_chars) / (1.0e0 + doc_id % 3)"
+
+
+def _q_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES script_score (dts.docvalues.script_score_topk — the generic
+    non-monotone rescoring escape hatch): _score · ln(1+n_chars) /
+    (1 + doc_id%3) over untruncated candidates; ranks at 6 dp."""
+    from dts.docvalues import script_score_topk
+
+    q = spark.createDataFrame(
+        [(i, t) for i, t in PROBE_QUERIES], "query_id long, text string"
+    )
+    return _rerank6_top10(
+        script_score_topk(
+            spark, _dv_index(spark, sf_dir), q, SCRIPT_SCORE_EXPR,
+            fields=("n_chars",), k=10**6,
+        )
+    )
+
+
 RF_PIVOT = 300.0
 
 
@@ -2861,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_topk": _q_upsert_topk,
         "decay_topk": _q_decay_topk,
         "rank_feature": _q_rank_feature,
+        "script_score": _q_script_score,
         "phrase_suggest": _q_phrase_suggest,
         "dv_update_range": _q_dv_update_range,
         "range_search": _q_range_search,
@@ -4807,6 +4828,36 @@ scored AS (
 ),
 fs AS (
   SELECT s.query_id, s.doc_id, round(s.s * ln(1 + d.n_chars), 6) AS s6
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, rank::INTEGER AS rank FROM (
+  SELECT query_id, doc_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY s6 DESC, doc_id ASC
+  ) AS rank FROM fs
+) WHERE rank <= 10
+"""
+    extra["script_score"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_D_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_D_TOKS})::BIGINT AS dl FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, text) AS (VALUES {VALUES_QUERIES}),
+qterms AS (SELECT query_id::BIGINT AS query_id, unnest(string_split(text, ' ')) AS term FROM q),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum(
+           ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS s
+  FROM qterms JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  GROUP BY 1, 2
+),
+fs AS (
+  SELECT s.query_id, s.doc_id,
+         round(s.s * ln(1.0e0 + d.n_chars) / (1.0e0 + s.doc_id % 3), 6) AS s6
   FROM scored s JOIN documents d ON s.doc_id = d.doc_id
 )
 SELECT query_id, doc_id, rank::INTEGER AS rank FROM (

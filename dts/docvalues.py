@@ -672,3 +672,50 @@ def rank_feature_topk(
         (spec_mod, float(boost), "sum", 0.0),
         distribute, broadcast_dv,
     )
+
+
+def script_score_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    score_expr_sql: str,
+    fields: tuple[str, ...] = (),
+    k: int = 10,
+) -> DataFrame:
+    """ES script_score query — the fully general rescoring escape hatch:
+    new score = any SQL expression over ``_score`` (the BM25 score) and
+    the listed doc-value ``fields``. Exact: candidates are emitted
+    UNTRUNCATED (an arbitrary script is not monotone in _score, so no
+    top-k can be taken before the transform — Lucene likewise disables
+    impacts/WAND under score scripts), transformed in one codegen
+    expression after a sidecar join, then top-k'd per query.
+
+    Scale note: prefer the kernel-resident modifiers
+    (function_score / decay / rank_feature — k-heap per group, no full
+    emission) whenever the transform fits their shapes; this operator
+    pays candidates-sized emission + one hit-set join, ES's own
+    script_score cost class."""
+    from dts.score_index import ROUND_RANK, bm25_topk_indexed
+
+    base = (
+        bm25_topk_indexed(spark, index_dir, queries, k=2**62)
+        .withColumnRenamed("score", "_score")
+        .drop("rank")
+    )
+    if fields:
+        side = sidecar(spark, index_dir, list(fields))
+        base = base.join(
+            side.select("doc_id", *fields), "doc_id", "left"
+        )
+    scored = base.withColumn("score", F.expr(score_expr_sql))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), ROUND_RANK).desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "doc_id", "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -553,3 +553,35 @@ def test_rank_feature_vs_replay(spark, dv_idx, corpus_pd, meta_pd):
         rank_feature_topk(
             spark, dv_idx, q, "n_chars", function="log", scaling_factor=0
         )
+
+
+def test_script_score_vs_replay(spark, dv_idx, corpus_pd, meta_pd):
+    import math
+
+    import numpy as np
+
+    from dts.docvalues import script_score_topk
+    from dts.oracle import OracleIndex
+
+    oracle = OracleIndex(
+        list(zip(corpus_pd["doc_id"].astype(int), corpus_pd["content"]))
+    )
+    text = _terms(corpus_pd, 2)
+    nv = meta_pd["n_chars"].to_dict()
+    q = spark.createDataFrame([(0, text)], "query_id long, text string")
+    got = (
+        script_score_topk(
+            spark, dv_idx, q,
+            "_score * ln(1.0e0 + n_chars) / (1.0e0 + doc_id % 3)",
+            fields=("n_chars",), k=10,
+        )
+        .toPandas()
+        .sort_values("rank")
+    )
+    base = {d: s for _, d, s in oracle.score_query(text, topk=10**6)}
+    out = {
+        d: s * math.log(1.0 + nv[d]) / (1.0 + d % 3) for d, s in base.items()
+    }
+    want = sorted(out.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))[:10]
+    assert list(got["doc_id"].astype(int)) == [d for d, _ in want]
+    assert np.allclose(got["score"], [s for _, s in want], rtol=1e-9)
