@@ -586,19 +586,23 @@ def sorted_topk_indexed(
     m = matches.select(key, "doc_id").distinct()
     keys = [r[key] for r in m.select(key).distinct().collect()]
     chosen: list[int] = []
+    counts: dict = {q: 0 for q in keys}
     i, batch = 0, 1
     while i < len(bins):
-        chosen.extend(int(b["bin"]) for b in bins[i : i + batch])
+        new_bins = [int(b["bin"]) for b in bins[i : i + batch]]
+        chosen.extend(new_bins)
         i += batch
         batch *= 2
-        counts = {
-            r[key]: int(r["n"])
-            for r in _read(chosen)
+        # count only the NEW batch; accumulate driver-side — each bin is
+        # read exactly once during the termination scan
+        for r in (
+            _read(new_bins)
             .join(m, "doc_id")
             .groupBy(key)
             .agg(F.count("*").alias("n"))
             .collect()
-        }
+        ):
+            counts[r[key]] = counts.get(r[key], 0) + int(r["n"])
         if all(counts.get(q, 0) >= k for q in keys):
             break
     w = Window.partitionBy(key).orderBy(*order)
