@@ -2350,6 +2350,29 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-quality probe text: plant bullet lines (' row ' → newline + '- '),
+# symbol runs (' merge ' → ' ### '), and a trailing ellipsis.
+GQ_TEXT = (
+    "concat(replace(replace(coalesce(text, ''), ' row ', "
+    "concat({CHR}, '- ')), ' merge ', ' ### '), '...')"
+)
+
+
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher NON-repetition quality rules (dts.textstats.gopher_quality
+    — Rae et al. Table A1 completing gopher_repetition): word counts,
+    mean word length, symbol-to-word ratio, bullet/ellipsis line
+    fractions, alpha-word fraction, stop-word count, and the ANDed
+    ``passes`` verdict. Integer counts + single divisions, one codegen
+    pass."""
+    from dts.textstats import gopher_quality
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(GQ_TEXT.format(CHR="char(10)")).alias("text")
+    )
+    return gopher_quality(docs)
+
+
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring (dts.lmscore.doc_lm_perplexity):
     per-doc bigram Stupid-Backoff log-prob and perplexity, LM = the
@@ -2876,6 +2899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "gopher_repetition": _q_gopher,
         "lm_perplexity": _q_lm_perplexity,
+        "gopher_quality": _q_gopher_quality,
         "dedup_spans": _q_dedup_spans,
         "stemmed_topk": _q_stemmed_topk,
         "upsert_topk": _q_upsert_topk,
@@ -5667,6 +5691,45 @@ SELECT a.min_value, a.max_value, a.sum_value, a.avg_value,
        (SELECT array_to_string(list_sort(list(bucket_ts)), ',') FROM b WHERE b.n = a.min_value) AS min_keys,
        (SELECT array_to_string(list_sort(list(bucket_ts)), ',') FROM b WHERE b.n = a.max_value) AS max_keys
 FROM a
+"""
+    extra["gopher_quality"] = f"""
+WITH t AS (SELECT doc_id, {GQ_TEXT.format(CHR="chr(10)")} AS text FROM documents),
+w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         coalesce(list_sum(list_transform(words, x -> length(x))), 0)::BIGINT AS sl,
+         (coalesce(list_sum(list_transform(words, x -> length(x) - length(replace(x, '#', '')))), 0)
+          + len(regexp_extract_all(text, '(\\.\\.\\.|\u2026)')))::BIGINT AS sym,
+         len(list_filter(lines, x -> regexp_matches(ltrim(x), '^[\u2022\\-\\*]')))::BIGINT AS nb,
+         len(list_filter(lines, x -> regexp_matches(rtrim(x), '(\\.\\.\\.|\u2026)$')))::BIGINT AS ne,
+         len(lines)::BIGINT AS nl,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS na,
+         len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'], s -> list_contains(list_transform(words, x -> lower(x)), s)))::BIGINT AS n_stopwords
+  FROM w
+),
+r AS (
+  SELECT doc_id, n_words,
+         round(sl::DOUBLE / greatest(n_words, 1), 6) AS mean_word_len6,
+         round(sym::DOUBLE / greatest(n_words, 1), 6) AS symbol_ratio6,
+         round(nb::DOUBLE / nl, 6) AS bullet_frac6,
+         round(ne::DOUBLE / nl, 6) AS ellipsis_frac6,
+         round(na::DOUBLE / greatest(n_words, 1), 6) AS alpha_frac6,
+         n_stopwords
+  FROM m
+)
+SELECT *,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len6 >= 3.0 AND mean_word_len6 <= 10.0
+        AND symbol_ratio6 <= 0.1 AND bullet_frac6 <= 0.9
+        AND ellipsis_frac6 <= 0.3 AND alpha_frac6 >= 0.8
+        AND n_stopwords >= 2) AS passes
+FROM r
 """
     extra["lm_perplexity"] = f"""
 WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),

@@ -419,3 +419,91 @@ def blocklist_filter(
     )
     arr = F.array(*[F.lit(t) for t in sorted(set(blocked))])
     return docs.filter(~F.arrays_overlap(toks, arr))
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The NON-repetition Gopher quality rules (Rae et al. 2021 Table A1
+    — :func:`gopher_repetition` covers the repetition family): per doc,
+
+    - n_words, mean word length (words = whitespace-split runs),
+    - symbol-to-word ratio (# and … / "..." occurrences per word),
+    - fraction of LINES starting with a bullet (•/-/*) and ending with
+      an ellipsis,
+    - fraction of words containing ≥ 1 alphabetic character,
+    - count of the 8 Gopher stop words present,
+
+    plus ``passes`` — the paper's bounds ANDed: 50 ≤ words ≤ 100,000,
+    3 ≤ mean_word_len ≤ 10, symbol ratio ≤ 0.1, bullet lines ≤ 0.9,
+    ellipsis lines ≤ 0.3, alpha-word fraction ≥ 0.8, ≥ 2 distinct stop
+    words. One codegen map pass — every metric is integer counts with a
+    single final division (rounded 6 dp), so the whole frame is
+    oracle-exact."""
+    words = (
+        f"filter(split(coalesce({text_col}, ''), '\\\\s+'), x -> x != '')"
+    )
+    lines = f"split(coalesce({text_col}, ''), '\\n')"
+    nw = F.expr(f"size({words})")
+    sum_len = F.expr(f"aggregate({words}, 0L, (a, x) -> a + length(x))")
+    n_sym = F.expr(
+        f"aggregate({words}, 0L, (a, x) -> a + length(x) - "
+        f"length(replace(x, '#', ''))) + "
+        f"size(regexp_extract_all(coalesce({text_col}, ''), "
+        f"'(\\\\.\\\\.\\\\.|\\u2026)', 0))"
+    )
+    n_bullet = F.expr(
+        f"size(filter({lines}, x -> ltrim(x) rlike '^[\\u2022\\\\-\\\\*]'))"
+    )
+    n_ell = F.expr(
+        f"size(filter({lines}, x -> rtrim(x) rlike "
+        f"'(\\\\.\\\\.\\\\.|\\u2026)$'))"
+    )
+    n_lines = F.expr(f"size({lines})")
+    n_alpha = F.expr(
+        f"size(filter({words}, x -> x rlike '[A-Za-z]'))"
+    )
+    stop_arr = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    n_stop = F.expr(
+        f"size(filter(array({stop_arr}), s -> "
+        f"array_contains(transform({words}, x -> lower(x)), s)))"
+    )
+    d = docs.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        sum_len.alias("_sl"),
+        n_sym.alias("_sym"),
+        n_bullet.alias("_nb"),
+        n_ell.alias("_ne"),
+        n_lines.alias("_nl"),
+        n_alpha.alias("_na"),
+        n_stop.cast("long").alias("n_stopwords"),
+    )
+    nz = F.greatest(F.col("n_words"), F.lit(1))
+    out = d.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("_sl").cast("double") / nz, 6).alias("mean_word_len6"),
+        F.round(F.col("_sym").cast("double") / nz, 6).alias("symbol_ratio6"),
+        F.round(
+            F.col("_nb").cast("double") / F.col("_nl"), 6
+        ).alias("bullet_frac6"),
+        F.round(
+            F.col("_ne").cast("double") / F.col("_nl"), 6
+        ).alias("ellipsis_frac6"),
+        F.round(F.col("_na").cast("double") / nz, 6).alias("alpha_frac6"),
+        "n_stopwords",
+    )
+    return out.withColumn(
+        "passes",
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len6") >= 3.0)
+        & (F.col("mean_word_len6") <= 10.0)
+        & (F.col("symbol_ratio6") <= 0.1)
+        & (F.col("bullet_frac6") <= 0.9)
+        & (F.col("ellipsis_frac6") <= 0.3)
+        & (F.col("alpha_frac6") >= 0.8)
+        & (F.col("n_stopwords") >= 2),
+    )

@@ -1180,3 +1180,31 @@ def test_dedup_paragraphs(spark):
 
     with _pt.raises(ValueError):
         dedup_paragraphs(docs, min_count=1)
+
+
+def test_gopher_quality_rules(spark):
+    from dts.textstats import gopher_quality
+
+    good = " ".join(
+        ["the quick brown fox jumps over and that have with lazy dog"] * 5
+    )  # 60 words, all alpha, plenty of stopwords
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            (1, "short doc"),                               # < 50 words
+            (2, " ".join(["####"] * 60)),                   # symbols, no alpha
+            (3, "- a\n- b\n- c\nplain"),                    # bullet lines
+            (4, "ends with dots...\nand more…"),            # ellipsis lines
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {int(r["doc_id"]): r for r in gopher_quality(docs).collect()}
+    assert got[0]["passes"] and got[0]["n_words"] == 60
+    assert not got[1]["passes"]
+    g2 = got[2]
+    assert g2["alpha_frac6"] == 0.0 and g2["symbol_ratio6"] == 4.0
+    assert not g2["passes"]
+    assert got[3]["bullet_frac6"] == 0.75
+    assert got[4]["ellipsis_frac6"] == 1.0
+    assert got[5]["n_words"] == 0 and not got[5]["passes"]
