@@ -321,6 +321,41 @@ def main() -> None:
         ).count(),
     )
 
+    from dts.docvalues import script_score_topk
+    from dts.geo import geo_distance_topk
+    from dts.textstats import gopher_quality
+
+    stage(
+        "gopher_quality_480k",
+        lambda: gopher_quality(
+            docs.select(
+                "doc_id",
+                F.expr(
+                    "concat(replace(coalesce(text, ''), ' the ', "
+                    "concat(char(10), '- ')), '...')"
+                ).alias("text"),
+            )
+        ).agg(F.sum(F.col("passes").cast("long"))).collect(),
+    )
+    stage(
+        "geo_distance_480k",
+        lambda: geo_distance_topk(
+            docs.select(
+                "doc_id",
+                F.expr("(doc_id * 37 % 17000) / 100.0e0 - 85.0e0").alias("lat"),
+                F.expr("(doc_id * 73 % 36000) / 100.0e0 - 180.0e0").alias("lon"),
+            ),
+            "lat", "lon", 10.0, 20.0, k=100, radius_m=3_000_000.0,
+        ).count(),
+    )
+    stage(
+        "script_score_480k_8q",
+        lambda: script_score_topk(
+            spark, f"{args.base}/dv_480_idx", dv_q,
+            "_score * ln(1.0e0 + n_chars)", fields=("n_chars",), k=10,
+        ).count(),
+    )
+
     print(json.dumps(out))
     spark.stop()
 
