@@ -28,6 +28,10 @@ Prints ONE JSON line: {"metric", "value" (total sec), "unit": "sec",
   sig_terms8       significant_terms over 8 top-100 hit sets — round 5 late
   lmd_batch8       8-query LM Dirichlet scoring (cf-aware kernel plug)
   pii_scrub_docs   corpus-wide PII redaction counts (one codegen pass)
+  combined_fields8 8-query BM25F (combined_fields) over the 2-field index — session 7
+  intervals8       8 unordered max_gaps interval queries (anchor-cover sweep)
+  match_bool_prefix8 8 search-as-you-type queries (capped prefix expansion)
+  lm_ppl_docs      CCNet bigram-LM perplexity of every doc (self-LM)
   delete_compact   tombstone 1% of docs + compaction re-encode
 
 The N-vs-4N scaling evidence lives in scripts/scaling_bench.py → BENCH/.
@@ -334,6 +338,49 @@ def main() -> None:
             spark, idx_dir, agg_qs, k=10, similarity="lmd"
         ).count(),
     )
+    # Session-7 stages: BM25F, unordered intervals, search-as-you-type,
+    # CCNet LM perplexity.
+    from dts.lmscore import doc_lm_perplexity, unigram_counts
+    from dts.multifield import combined_fields_topk
+    from dts.phrasesuggest import bigram_counts
+    from dts.spans import interval_unordered_counts
+    from dts.wildcard import match_bool_prefix_topk
+
+    stage(
+        "combined_fields8",
+        lambda: combined_fields_topk(spark, mf_dir, agg_qs, k=10).count(),
+    )
+    iq = spark.createDataFrame(
+        [
+            (i, f"{vocab[(i * 7) % len(vocab)]} {vocab[(i * 7 + 11) % len(vocab)]}", 3)
+            for i in range(8)
+        ],
+        "iq_id long, text string, max_gaps int",
+    )
+    stage(
+        "intervals8",
+        lambda: interval_unordered_counts(spark, pos_idx_dir, iq).count(),
+    )
+    mbp_qs = spark.createDataFrame(
+        [
+            (i, f"{vocab[(i * 3) % len(vocab)]} {vocab[(i * 3 + 1) % len(vocab)][:2]}")
+            for i in range(8)
+        ],
+        "query_id long, text string",
+    )
+    stage(
+        "match_bool_prefix8",
+        lambda: match_bool_prefix_topk(
+            spark, idx_dir, mbp_qs, k=10, max_expansions=50
+        ).count(),
+    )
+    stage(
+        "lm_ppl_docs",
+        lambda: doc_lm_perplexity(
+            d, bigram_counts(d), unigram_counts(d)
+        ).agg(F.sum("ppl6")).collect(),
+    )
+
     from dts.textstats import pii_scrub
 
     stage(
