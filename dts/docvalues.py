@@ -574,12 +574,17 @@ def sorted_topk_indexed(
             seen += int(b["n"])
             if seen >= k:
                 break
+        # Distributed top-k over the pruned bin prefix:
+        # orderBy().limit(k) is TakeOrderedAndProject (per-partition
+        # k-heaps, no single-partition sort of the whole prefix). Rank
+        # comes from a window over the ALREADY k-row result — the order
+        # (field, doc_id) is tie-free, so ranks are identical.
+        top = _read(chosen).orderBy(*order).limit(k)
         w = Window.partitionBy().orderBy(*order)
-        out = (
-            _read(chosen)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("doc_id", field, F.col("rank").cast("int").alias("rank"))
+        out = top.select(
+            "doc_id",
+            field,
+            F.row_number().over(w).cast("int").alias("rank"),
         )
         return (out, len(chosen)) if return_bins_read else out
 

@@ -92,11 +92,17 @@ def geo_distance_topk(
     ).select(id_col, d3)
     if radius_m is not None:
         side = side.filter(F.col("dist3") <= F.lit(float(radius_m)))
+    # Distributed top-k: orderBy().limit(k) compiles to
+    # TakeOrderedAndProject (per-partition k-heaps + driver merge) —
+    # never a corpus-scale single-partition sort. Rank is attached by a
+    # window over the ALREADY k-row result (total order (dist3, id) is
+    # tie-free, so rank over the limited rows equals rank over all rows).
+    top = side.orderBy(F.col("dist3").asc(), F.col(id_col).asc()).limit(k)
     w = Window.partitionBy().orderBy(
         F.col("dist3").asc(), F.col(id_col).asc()
     )
-    return (
-        side.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "dist3", F.col("rank").cast("int").alias("rank"))
+    return top.select(
+        id_col,
+        "dist3",
+        F.row_number().over(w).cast("int").alias("rank"),
     )

@@ -274,6 +274,7 @@ def build_index(
     (append) and compaction (tombstoned rows dropped), like doc_meta.
     """
     import time
+    from concurrent.futures import ThreadPoolExecutor
 
     stage_wall: dict[str, float] = {}
 
@@ -292,7 +293,38 @@ def build_index(
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par * 2)
     tf = build_tf(docs, positions=positions, strip_literals=strip_literals).cache()
-    meta = timed("tokenize_tf", lambda: corpus_meta(docs, tf))
+
+    # term_stats FIRST: this one action tokenizes the corpus and fills the
+    # tf cache; every later consumer reads the cache or the written stats.
+    stats = term_stats(tf)
+    timed(
+        "term_stats",
+        lambda: stats.repartitionByRange(max(1, par // 2), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/term_stats"),
+    )
+    # Corpus totals from the PERSISTED stats (Σcf = Σtf by construction,
+    # vocab-sized scan) + a column-pruned docs pass — the old shape paid a
+    # second full pass over the tf cache for Σtf.
+    def _totals():
+        ts = spark.read.parquet(f"{out_dir}/term_stats").agg(
+            F.sum("cf").alias("t"), F.count("*").alias("v")
+        ).collect()[0]
+        agg = docs.agg(
+            F.count("doc_id").alias("n"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        n_docs = int(agg["n"])
+        total = int(ts["t"] or 0)
+        return {
+            "n_docs": n_docs,
+            "next_doc_id": int(agg["hi"]) + 1 if n_docs else 0,
+            "total_tokens": total,
+            "avgdl": (float(total) / n_docs) if n_docs else 0.0,
+            "vocab_size": int(ts["v"]),
+        }
+
+    meta = timed("corpus_meta", _totals)
     meta.update(
         {
             "bucket_size": bucket_size,
@@ -303,22 +335,33 @@ def build_index(
         }
     )
 
-    stats = term_stats(tf)
-    timed(
-        "term_stats",
-        lambda: stats.repartitionByRange(max(1, par // 2), "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/term_stats"),
-    )
-    timed("trigrams", lambda: write_trigrams(spark, out_dir))
-    timed("terms_rev", lambda: write_reversed_terms(spark, out_dir))
-    timed(
-        "doc_stats",
-        lambda: doc_stats(docs, tf)
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/doc_stats"),
-    )
+    # The remaining writes are mutually independent (tf is cached,
+    # term_stats is on disk): submit them from a small thread pool so each
+    # job's straggler tail is back-filled by the next job's tasks (guide
+    # §2.6 overlap) instead of serializing 4-6 driver-side actions.
+    # stage_wall entries are per-job walls and OVERLAP in time.
+    def _postings():
+        # NOTE: no repartitionByRange here — RangePartitioner's sampling
+        # job would recompute the whole encode a second time. Sorting
+        # WITHIN each encode task's output by term gives parquet row-group
+        # min/max stats that prune term lookups just as well.
+        build_postings(
+            tf, meta["avgdl"], bucket_size, block_size, codec
+        ).sortWithinPartitions("term", "bucket").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/postings")
+
+    jobs = [
+        ("postings", _postings),
+        ("trigrams", lambda: write_trigrams(spark, out_dir)),
+        ("terms_rev", lambda: write_reversed_terms(spark, out_dir)),
+        (
+            "doc_stats",
+            lambda: doc_stats(docs, tf)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/doc_stats"),
+        ),
+    ]
     if store_fields:
         missing = [c for c in store_fields if c not in docs.columns]
         if missing:
@@ -326,40 +369,36 @@ def build_index(
         # Column-pruned projection (content never read); doc_id-sorted so
         # row-group min/max stats serve hit-list pushdown. The range
         # repartition's sampling job touches only these narrow columns.
-        timed(
-            "doc_meta",
-            lambda: docs.select("doc_id", *store_fields)
-            .repartitionByRange(max(1, par // 4), "doc_id")
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/doc_meta"),
+        jobs.append(
+            (
+                "doc_meta",
+                lambda: docs.select("doc_id", *store_fields)
+                .repartitionByRange(max(1, par // 4), "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/doc_meta"),
+            )
         )
         meta["store_fields"] = list(store_fields)
     if store_term_vectors:
         # Doc-major projection of the cached tf frame (no re-tokenize);
         # range partitioning's sampling job reads the cache, not content.
-        timed(
-            "term_vectors",
-            lambda: tf.select("doc_id", "term", "tf")
-            .repartitionByRange(max(1, par // 4), "doc_id")
-            .sortWithinPartitions("doc_id", "term")
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/term_vectors"),
+        jobs.append(
+            (
+                "term_vectors",
+                lambda: tf.select("doc_id", "term", "tf")
+                .repartitionByRange(max(1, par // 4), "doc_id")
+                .sortWithinPartitions("doc_id", "term")
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/term_vectors"),
+            )
         )
         meta["store_term_vectors"] = True
-    # NOTE: no repartitionByRange here — RangePartitioner's sampling job
-    # would recompute the whole encode a second time. Sorting WITHIN each
-    # encode task's output by term gives parquet row-group min/max stats
-    # that prune term lookups just as well (one file per bucket group).
-    timed(
-        "postings",
-        lambda: build_postings(tf, meta["avgdl"], bucket_size, block_size, codec)
-        .sortWithinPartitions("term", "bucket")
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/postings"),
-    )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [(n, pool.submit(timed, n, fn)) for n, fn in jobs]
+        for _, fut in futures:
+            fut.result()
 
-    meta["vocab_size"] = spark.read.parquet(f"{out_dir}/term_stats").count()
     meta["stage_wall_sec"] = stage_wall
     if extra_meta:
         meta.update(extra_meta)

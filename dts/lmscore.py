@@ -129,7 +129,12 @@ def doc_lm_perplexity(
         ),
     ).otherwise(
         F.when(
-            F.col("bc").isNotNull(),
+            # round-5 ADVICE: cross-corpus LM tables may carry a bigram
+            # whose w1 has no unigram row; a null cfprev must fall
+            # through to the backoff term instead of nulling the whole
+            # doc's left-fold logprob. (Same-corpus tables — every
+            # declared probe — always have cfprev for seen bigrams.)
+            F.col("bc").isNotNull() & F.col("cfprev").isNotNull(),
             F.log(F.col("bc") / F.col("cfprev")),
         ).otherwise(
             F.log(

@@ -558,14 +558,25 @@ def build_multifield_index(
 ) -> dict:
     """One sub-index per field column at ``<out>/field=<col>``; ``fields``
     maps doc column → boost. ``docs`` needs doc_id + the field columns.
-    Returns the multifield meta (also persisted as ``<out>/meta.json``)."""
-    for col in fields:
+    Returns the multifield meta (also persisted as ``<out>/meta.json``).
+
+    Field sub-builds are independent (disjoint output dirs, each scans its
+    own column) and run CONCURRENTLY from a small thread pool so one
+    field's straggler tail back-fills with the next field's tasks
+    (optimization guide §2.6) instead of serializing the builds."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(col: str) -> None:
         build_index(
             spark,
             docs.select("doc_id", F.col(col).alias("content")),
             f"{out_dir}/field={col}",
             **build_kwargs,
         )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fut in [pool.submit(_one, c) for c in fields]:
+            fut.result()
     meta = {"fields": {c: float(b) for c, b in fields.items()}}
     os.makedirs(out_dir, exist_ok=True)
     with open(f"{out_dir}/meta.json", "w") as f:

@@ -12,9 +12,13 @@ dts.phrase.phrase_bm25_scores) — re-sorts only that window:
 
 Scale shape: the primary is the engine's exact top-k machinery at
 k=window (a window-sized heap per group, never a full emission); the
-phrase job is the standard one-positional-job batch; the join touches
-only queries × window rows. This is why rescoring exists in ES — the
-expensive signal runs on a bounded candidate set, not the corpus.
+join touches only queries × window rows. The phrase job itself runs
+over every doc containing the phrase — NOT just the window — because
+the declared pscore spec takes df = corpus-wide phrase document
+frequency, which no window-restricted job can produce (delta vs ES,
+whose rescorer executes only over the window but also draws its stats
+from per-term index frequencies rather than phrase df). The phrase
+candidate set is still term-pruned postings, never a corpus scan.
 """
 
 from __future__ import annotations
@@ -67,9 +71,13 @@ def rescore_topk(
             + F.lit(float(rescore_weight)) * p
         )
     else:
-        # multiply: primary × (weighted phrase signal, 1 when absent) —
-        # the function-query composition shape.
-        combined = F.col("score") * F.coalesce(
+        # multiply: (weighted primary) × (weighted phrase signal, 1 when
+        # absent) — ES composes (query_weight · primary) ×
+        # (rescore_weight · rescore); round-5 ADVICE: query_weight was
+        # silently dropped in this mode.
+        combined = (
+            F.lit(float(query_weight)) * F.col("score")
+        ) * F.coalesce(
             F.lit(float(rescore_weight)) * F.col("pscore"), F.lit(1.0)
         )
     from pyspark.sql import Window

@@ -424,7 +424,206 @@ def blocklist_filter(
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def _gopher_quality_fast_mapper(text_col: str):
+    """mapInPandas body for gopher_quality(impl="fast"): the whole batch's
+    texts are concatenated into ONE codepoint array and every rule becomes
+    a handful of full-array numpy ops (word/line boundaries via masked
+    cumsums, per-doc sums via bincount) — no per-word Python, no per-word
+    JVM regex lambdas (the expression spec's cost, measured 31.5 s/480k;
+    see gopher_repetition's fast path for the same measured-then-fixed
+    pattern). Counts are the same integers the expression spec computes:
+
+    - words = maximal runs of non-[Java \\s] chars (split('\\\\s+') ∘
+      filter ≠ '');
+    - '#' per word ≡ '#' per text (split only removes whitespace);
+    - regexp_extract_all '(\\.\\.\\.|…)' ≡ Σ floor(dot_run/3) + #'…'
+      (non-overlapping left-to-right with a 1-char alternative);
+    - bullet: first non-' ' char of a line (Spark ltrim trims 0x20 only);
+    - ellipsis: last non-' ' char run, honouring Java default-mode '$'
+      which also matches before ONE final line terminator (\\r, \\u0085,
+      \\u2028, \\u2029 — '\\n' cannot survive the line split);
+    - stopwords: ASCII-only lowering is exact for this stopword set (no
+      non-ASCII codepoint lowers INTO 'the'/'be'/…: the only 1-char maps
+      into ASCII are U+212A→k / U+017F→ſ, and multi-char expansions like
+      İ→i̇ change the length).
+
+    Fractions are rounded half-away-from-zero at 6 dp (Spark round()),
+    hence bit-identical rows (parity-tested vs the spec on synthetic edge
+    docs and the real corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    WS = np.array([9, 10, 11, 12, 13, 32], np.int32)  # Java \s default
+    TERM = np.array([13, 0x85, 0x2028, 0x2029], np.int32)
+
+    def r6(num, den):
+        x = num.astype(np.float64) / np.maximum(den, 1)
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    def mapper(batches):
+        for pdf in batches:
+            texts = ["" if t is None else t for t in pdf[text_col]]
+            n = len(texts)
+            doc_ids = pdf["doc_id"].to_numpy("int64")
+            lens = np.array([len(t) for t in texts], np.int64)
+            total = int(lens.sum())
+            cp = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), np.uint32
+            ).astype(np.int32)
+            doc_off = np.concatenate(([0], np.cumsum(lens)))
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            doc_starts = doc_off[:-1][lens > 0]
+
+            def bc(weights) -> np.ndarray:
+                return np.bincount(
+                    doc_idx, weights, minlength=n
+                ).astype(np.int64)
+
+            def shifted(mask) -> np.ndarray:
+                prev = np.empty_like(mask)
+                if total:
+                    prev[0] = False
+                    prev[1:] = mask[:-1]
+                    prev[doc_starts] = False  # runs never cross docs
+                return prev
+
+            is_ws = np.isin(cp, WS)
+            nonws = ~is_ws
+            w_start = nonws & ~shifted(nonws)
+            ws_pos = np.flatnonzero(w_start)
+            n_words_d = bc(w_start)
+            sum_len_d = bc(nonws)
+            n_hash_d = bc(cp == 35)
+
+            # per-word: id, doc, length, contains-ASCII-letter
+            n_words_t = len(ws_pos)
+            wid = np.cumsum(w_start) - 1
+            word_doc = doc_idx[ws_pos]
+            wlen = np.bincount(
+                wid[nonws], minlength=n_words_t
+            ).astype(np.int64)
+            is_alpha = ((cp >= 65) & (cp <= 90)) | ((cp >= 97) & (cp <= 122))
+            word_has_alpha = (
+                np.bincount(wid[is_alpha], minlength=n_words_t) > 0
+            )
+            n_alpha_d = np.bincount(
+                word_doc, word_has_alpha, minlength=n
+            ).astype(np.int64)
+
+            # stopwords: exact per-word equality after ASCII lowering
+            cp_l = cp + 32 * (((cp >= 65) & (cp <= 90)).astype(np.int32))
+            n_stop_d = np.zeros(n, np.int64)
+            for s in GOPHER_STOPWORDS:
+                m = len(s)
+                sel = wlen == m
+                cand, cdoc = ws_pos[sel], word_doc[sel]
+                eq = np.ones(len(cand), bool)
+                for j, ch in enumerate(s):
+                    eq &= cp_l[cand + j] == ord(ch)
+                n_stop_d += np.bincount(cdoc[eq], minlength=n) > 0
+
+            # '...' runs (floor(run/3) matches each) + literal '…'
+            is_dot = cp == 46
+            run_start = is_dot & ~shifted(is_dot)
+            rid = np.cumsum(run_start) - 1
+            run_len = np.bincount(
+                rid[is_dot], minlength=int(run_start.sum())
+            ).astype(np.int64)
+            run_doc = doc_idx[np.flatnonzero(run_start)]
+            n3_d = np.bincount(
+                run_doc, run_len // 3, minlength=n
+            ).astype(np.int64)
+            sym_d = n_hash_d + n3_d + bc(cp == 0x2026)
+
+            # lines: a char's line starts at the doc start or after a '\n'
+            is_nl = cp == 10
+            n_lines_d = bc(is_nl) + 1
+            ls_mask = shifted(is_nl)
+            ls_mask[doc_starts] = True
+            lid = np.cumsum(ls_mask) - 1
+            ls_idx = np.flatnonzero(ls_mask)
+
+            # bullet: first non-space char of the line (the '\n'
+            # terminator char counts as content and correctly fails)
+            nonspace = cp != 32
+            idx1 = np.flatnonzero(nonspace)
+            bullet_d = np.zeros(n, np.int64)
+            if len(idx1):
+                l1 = lid[idx1]
+                fm = np.empty(len(idx1), bool)
+                fm[0] = True
+                fm[1:] = l1[1:] != l1[:-1]
+                fpos = idx1[fm]
+                fcp = cp[fpos]
+                is_b = (fcp == 0x2022) | (fcp == 45) | (fcp == 42)
+                bullet_d = np.bincount(
+                    doc_idx[fpos], is_b, minlength=n
+                ).astype(np.int64)
+
+            # ellipsis-ending: last non-space content char, minus one
+            # final Java line terminator
+            content = nonspace & ~is_nl
+            idx2 = np.flatnonzero(content)
+            ell_d = np.zeros(n, np.int64)
+            if len(idx2):
+                l2 = lid[idx2]
+                lm = np.empty(len(idx2), bool)
+                lm[-1] = True
+                lm[:-1] = l2[1:] != l2[:-1]
+                lpos = idx2[lm]
+                e = lpos - np.isin(cp[lpos], TERM)
+                ls_of = ls_idx[l2[lm]]
+                ok = e >= ls_of
+                ee = np.where(ok, e, 0)
+                is_h = ok & (cp[ee] == 0x2026)
+                can3 = ok & (e - 2 >= ls_of)
+                p0 = np.where(can3, e, 0)
+                is3 = (
+                    can3
+                    & (cp[p0] == 46)
+                    & (cp[np.maximum(p0 - 1, 0)] == 46)
+                    & (cp[np.maximum(p0 - 2, 0)] == 46)
+                )
+                ell_d = np.bincount(
+                    doc_idx[lpos], is_h | is3, minlength=n
+                ).astype(np.int64)
+
+            nz = np.maximum(n_words_d, 1)
+            mean6 = r6(sum_len_d, nz)
+            sym6 = r6(sym_d, nz)
+            bullet6 = r6(bullet_d, n_lines_d)
+            ell6 = r6(ell_d, n_lines_d)
+            alpha6 = r6(n_alpha_d, nz)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "n_words": n_words_d,
+                    "mean_word_len6": mean6,
+                    "symbol_ratio6": sym6,
+                    "bullet_frac6": bullet6,
+                    "ellipsis_frac6": ell6,
+                    "alpha_frac6": alpha6,
+                    "n_stopwords": n_stop_d,
+                    "passes": (
+                        (n_words_d >= 50)
+                        & (n_words_d <= 100_000)
+                        & (mean6 >= 3.0)
+                        & (mean6 <= 10.0)
+                        & (sym6 <= 0.1)
+                        & (bullet6 <= 0.9)
+                        & (ell6 <= 0.3)
+                        & (alpha6 >= 0.8)
+                        & (n_stop_d >= 2)
+                    ),
+                }
+            )
+
+    return mapper
+
+
+def gopher_quality(
+    docs: DataFrame, text_col: str = "text", impl: str = "expr"
+) -> DataFrame:
     """The NON-repetition Gopher quality rules (Rae et al. 2021 Table A1
     — :func:`gopher_repetition` covers the repetition family): per doc,
 
@@ -438,9 +637,25 @@ def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     plus ``passes`` — the paper's bounds ANDed: 50 ≤ words ≤ 100,000,
     3 ≤ mean_word_len ≤ 10, symbol ratio ≤ 0.1, bullet lines ≤ 0.9,
     ellipsis lines ≤ 0.3, alpha-word fraction ≥ 0.8, ≥ 2 distinct stop
-    words. One codegen map pass — every metric is integer counts with a
-    single final division (rounded 6 dp), so the whole frame is
-    oracle-exact."""
+    words. One map pass either way — every metric is integer counts with
+    a single final division (rounded 6 dp), so the whole frame is
+    oracle-exact. ``impl="expr"`` is the oracle-portable SPEC (100%
+    built-in expressions; its per-word regex lambdas measured 31.5 s over
+    480k code files); ``impl="fast"`` is the production path — one
+    batch-vectorized numpy mapInPandas pass producing bit-identical rows
+    (the gopher_repetition/winnowing measured-then-fixed pattern)."""
+    if impl == "fast":
+        return docs.select("doc_id", text_col).mapInPandas(
+            _gopher_quality_fast_mapper(text_col),
+            schema=(
+                "doc_id long, n_words long, mean_word_len6 double, "
+                "symbol_ratio6 double, bullet_frac6 double, "
+                "ellipsis_frac6 double, alpha_frac6 double, "
+                "n_stopwords long, passes boolean"
+            ),
+        )
+    if impl != "expr":
+        raise ValueError(f"unknown impl {impl!r} (expr | fast)")
     words = (
         f"filter(split(coalesce({text_col}, ''), '\\\\s+'), x -> x != '')"
     )

@@ -65,3 +65,17 @@ def test_geo_distance_topk(spark, geo_docs):
         docs, "lat", "lon", 0.0, 0.0, k=100, radius_m=rad
     ).collect()
     assert len(within) == sum(1 for d, _ in want if d <= rad) or len(within) >= 4
+
+
+def test_geo_distance_topk_distributed_plan(spark, geo_docs):
+    # Round-6: the top-k must compile to TakeOrderedAndProject
+    # (per-partition heaps), never a corpus-wide single-partition window
+    # sort; the rank window runs over the already-limited k rows.
+    docs, _ = geo_docs
+    df = geo_distance_topk(docs, "lat", "lon", 0.0, 0.0, k=8)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[-1]

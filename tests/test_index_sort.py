@@ -109,3 +109,16 @@ def test_sorted_fetch_plan_shows_partition_pruning(spark, sorted_idx):
         for ln in scan_lines
     ), scan_lines
     assert bins_read < 8
+
+
+def test_sorted_fetch_unfiltered_distributed_plan(spark, sorted_idx):
+    # Round-6: after the manifest prunes the bin prefix, the final top-k
+    # is TakeOrderedAndProject over the prefix — no single-partition
+    # window sort of the whole prefix; rank windows over the k-row limit.
+    df = sorted_topk_indexed(spark, sorted_idx, "val", k=15)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[-1]

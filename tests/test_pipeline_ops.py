@@ -1208,3 +1208,55 @@ def test_gopher_quality_rules(spark):
     assert got[3]["bullet_frac6"] == 0.75
     assert got[4]["ellipsis_frac6"] == 1.0
     assert got[5]["n_words"] == 0 and not got[5]["passes"]
+
+
+def test_gopher_quality_fast_bit_identical(spark):
+    """Round-6: gopher_quality(impl="fast") must produce bit-identical
+    rows to the expression SPEC on adversarial edge docs — Java-\\s word
+    splitting (\\xa0 is NOT whitespace), ltrim/rtrim trimming 0x20 only,
+    Java default-mode '$' matching before one final line terminator,
+    non-overlapping '(...|…)' counting, ASCII-exact stopword lowering."""
+    from dts.textstats import gopher_quality
+
+    edge = [
+        "",
+        None,
+        "   ",
+        "\t\t",
+        "the THE The tHe the\xa0the",          # \xa0 binds words in Java \s
+        "be to of and that have with the",
+        "a İ Σ ΑΣ K K ſ ſ",          # unicode lowering traps
+        "...",
+        ".... ..... ......",
+        "…… .… ..… x...",
+        "- bullet\n * star\n• dot\n  - spaced\n\t- tabbed",
+        "ends...\nends…\nends... \nends...\r\nends…\r",
+        "x...\r\r\ny \nz… ",
+        "only spaces line   \n...\n  \n",
+        "\n\n\n",
+        "#tag ## #.#.#",
+        "word\rcarriage\rreturn",
+        "multi  \t spaces\tand\ttabs",
+        "……… three ellipses",
+        "trailing newline ends...\n",
+        "a" * 300 + " " + "the and",
+    ]
+    # plus a slice of the real corpus
+    real = [
+        r["content"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet"
+        ).select(F.col("text").alias("content")).limit(150).collect()
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(edge + real)],
+        "doc_id long, text string",
+    )
+    want = {r["doc_id"]: r.asDict() for r in gopher_quality(docs).collect()}
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality(docs, impl="fast").collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError):
+        gopher_quality(docs, impl="numpy")
