@@ -148,31 +148,37 @@ def jaccard_pairs(
     )
 
 
-def _minhash_expr(text_col: str, n_hashes: int, n: int) -> str:
-    """array<string> of n_hashes minhashes: min_{s in shingles} md5(i:s).
-
-    md5-hex min is deterministic and engine-portable (identical in DuckDB);
-    at 10^12 scale you'd swap in a 64-bit xxhash for speed, same structure."""
-    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOK}', 0)"
-    sh = f"""
-        CASE WHEN size({toks}) < {n} THEN array(array_join({toks}, ' '))
-        ELSE array_distinct(transform(
-            sequence(0, size({toks}) - {n}),
-            i -> concat_ws(' ', slice({toks}, i + 1, {n}))))
-        END
-    """
-    return f"""
-        transform(sequence(0, {n_hashes - 1}),
-                  i -> array_min(transform({sh}, s -> md5(concat(cast(i as string), ':', s)))))
-    """
-
-
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", n_hashes: int = 16, n: int = 3
 ) -> DataFrame:
-    """(doc_id, sig array<string>[n_hashes])."""
-    return docs.select(
-        "doc_id", F.expr(_minhash_expr(text_col, n_hashes, n)).alias("sig")
+    """(doc_id, sig array<string>[n_hashes]): min_{s in shingles} md5(i:s).
+
+    md5-hex min is deterministic and engine-portable (identical in DuckDB);
+    at 10^12 scale you'd swap in a 64-bit xxhash for speed, same structure.
+
+    Round-6 plan fix: tokens and shingles are STAGED PROJECTIONS, so the
+    lambdas index cheap array attributes. The old single expression
+    inlined the regexp tokenize into ``slice(toks, …)`` PER SHINGLE and
+    the whole shingle subtree into the n_hashes transform — Spark does no
+    subexpression elimination across lambda boundaries, so the corpus was
+    re-tokenized O(dl · n_hashes) times per doc (the bigram_counts bug
+    shape). Same values, same schema."""
+    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOK}', 0)"
+    sh = f"""
+        CASE WHEN size(_mh_t) < {n} THEN array(array_join(_mh_t, ' '))
+        ELSE array_distinct(transform(
+            sequence(0, size(_mh_t) - {n}),
+            i -> concat_ws(' ', slice(_mh_t, i + 1, {n}))))
+        END
+    """
+    sig = f"""
+        transform(sequence(0, {n_hashes - 1}),
+                  i -> array_min(transform(_mh_sh, s -> md5(concat(cast(i as string), ':', s)))))
+    """
+    return (
+        docs.select("doc_id", F.expr(toks).alias("_mh_t"))
+        .select("doc_id", F.expr(sh).alias("_mh_sh"))
+        .select("doc_id", F.expr(sig).alias("sig"))
     )
 
 
@@ -377,19 +383,28 @@ def winnow_col(text_col: str, k: int = 8, w: int = 4):
     full hash window, identical in both docs, whose minimum both select).
     Docs shorter than k tokens fall back to one whole-text gram; gram
     sequences shorter than w collapse to a single whole-sequence window.
-    100% JVM expressions, md5-portable to the DuckDB oracle."""
+    100% JVM expressions, md5-portable to the DuckDB oracle.
+
+    Round-6 plan fix: tokens and grams are LET-BOUND via the
+    ``transform(array(x), v -> body)[0]`` idiom (a Column factory cannot
+    stage projections), so each is evaluated ONCE per row instead of the
+    old shape's re-tokenize per gram and re-hash of the whole gram list
+    per window (no subexpression elimination across lambda boundaries —
+    the bigram_counts bug shape). Same values, same schema."""
     toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOK}', 0)"
     grams = (
-        f"transform(sequence(0, size({toks}) - {k}),"
-        f" i -> md5(concat_ws(' ', slice({toks}, i + 1, {k}))))"
+        f"transform(sequence(0, size(t) - {k}),"
+        f" i -> md5(concat_ws(' ', slice(t, i + 1, {k}))))"
     )
     return F.expr(
         f"""
-        CASE WHEN size({toks}) < {k} THEN array(md5(array_join({toks}, ' ')))
-        ELSE array_distinct(transform(
-            sequence(1, greatest(size({grams}) - {w} + 1, 1)),
-            j -> array_min(slice({grams}, j, {w}))))
-        END
+        transform(array({toks}), t ->
+          CASE WHEN size(t) < {k} THEN array(md5(array_join(t, ' ')))
+          ELSE transform(array({grams}), g ->
+                 array_distinct(transform(
+                     sequence(1, greatest(size(g) - {w} + 1, 1)),
+                     j -> array_min(slice(g, j, {w})))))[0]
+          END)[0]
         """
     )
 
@@ -601,11 +616,15 @@ def remove_duplicate_ngrams(
     only, a small fraction) and the rebuild is one per-doc map pass."""
     toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOK}', 0)"
     if hash == "md5":
+        # Let-bind the tokenize (round-6: the old inline shape
+        # re-tokenized per gram through the slice() lambda reference —
+        # the bigram_counts bug shape). Same values.
         grams = F.expr(
-            f"CASE WHEN size({toks}) >= {k} THEN "
-            f"transform(sequence(0, size({toks}) - {k}),"
-            f" i -> md5(concat_ws(' ', slice({toks}, i + 1, {k}))))"
-            f" ELSE array() END"
+            f"transform(array({toks}), t -> "
+            f"CASE WHEN size(t) >= {k} THEN "
+            f"transform(sequence(0, size(t) - {k}),"
+            f" i -> md5(concat_ws(' ', slice(t, i + 1, {k}))))"
+            f" ELSE array() END)[0]"
         ).cast("array<string>")
     elif hash == "fast":
         grams = _all_gram_hash_udf(k, text_col)

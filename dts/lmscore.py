@@ -69,8 +69,17 @@ def doc_lm_perplexity(
 
     Filter usage (CCNet): keep ``ppl6 <= threshold`` — the threshold is a
     corpus quantile of ppl6 (``facet_percentiles``/``approx_percentile``
-    give it in one extra agg)."""
-    total = unigrams.agg(F.sum("cf")).collect()[0][0] or 1
+    give it in one extra agg).
+
+    Plan shape (round-6): the corpus total rides as a broadcast 1-row
+    cross join instead of a driver collect, so the whole score is ONE
+    action — the old shape's eager ``total`` collect recomputed the
+    unigram tokenize+agg lineage once for the collect and twice more for
+    the uni/vtot join sides (uncached inputs). In one plan, Spark's
+    ReuseExchange shares the unigram aggregation shuffle between uni,
+    vtot and the total, cutting the LM-side tokenize passes 4 → 1."""
+    tot = unigrams.agg(F.sum("cf").alias("_tot"))
+    total = F.coalesce(F.col("_tot"), F.lit(1)).cast("double")
 
     def _side(df: DataFrame) -> DataFrame:
         if broadcast_lm is True:
@@ -118,14 +127,14 @@ def doc_lm_perplexity(
         w.join(uni, "w", "left")
         .join(vtot, "prev", "left")
         .join(bg, ["prev", "w"], "left")
+        .crossJoin(F.broadcast(tot))
     )
     # Shared formula with dts.phrasesuggest.suggest_phrases (one LM, two
     # consumers): unigram floor cf+0.5; Stupid Backoff for unseen bigrams.
     lp = F.when(
         F.col("prev").isNull(),
         F.log(
-            (F.coalesce(F.col("cfw"), F.lit(0)) + F.lit(0.5))
-            / F.lit(float(total))
+            (F.coalesce(F.col("cfw"), F.lit(0)) + F.lit(0.5)) / total
         ),
     ).otherwise(
         F.when(
@@ -140,7 +149,7 @@ def doc_lm_perplexity(
             F.log(
                 F.lit(float(alpha))
                 * (F.coalesce(F.col("cfw"), F.lit(0)) + F.lit(0.5))
-                / F.lit(float(total))
+                / total
             )
         )
     )
