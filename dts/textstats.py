@@ -28,14 +28,17 @@ def _toks(text_col: str) -> str:
 
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_distinct, n_subword): whitespace-ish tokens plus
-    a BPE-ish subword count (runs of ≤4 chars per token, ceil(len/4))."""
-    toks = _toks(text_col)
+    a BPE-ish subword count (runs of ≤4 chars per token, ceil(len/4)).
+    Tokenize ONCE into a projected column — the old shape inlined the
+    regexp into every output expression (3 tokenize passes per doc)."""
     return docs.select(
+        "doc_id", F.expr(_toks(text_col)).alias("_tc_t")
+    ).select(
         "doc_id",
-        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
-        F.expr(f"size(array_distinct({toks}))").cast("long").alias("n_distinct"),
+        F.expr("size(_tc_t)").cast("long").alias("n_tokens"),
+        F.expr("size(array_distinct(_tc_t))").cast("long").alias("n_distinct"),
         F.expr(
-            f"aggregate({toks}, 0L, (acc, t) -> acc + cast(ceil(length(t) / 4.0) as long))"
+            "aggregate(_tc_t, 0L, (acc, t) -> acc + cast(ceil(length(t) / 4.0) as long))"
         ).alias("n_subword"),
     )
 
@@ -44,29 +47,39 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_chars, alpha_ratio6, stop_ratio6, mean_tok_len6, quality6).
 
     quality = 0.4·alpha_ratio + 0.4·stopword_ratio + 0.2·min(1, n_tokens/64)
-    — a standard cheap heuristic (length/punctuation/stopword mix)."""
-    toks = _toks(text_col)
+    — a standard cheap heuristic (length/punctuation/stopword mix).
+    Shared subexpressions (tokens, char counts, stop hits) are staged as
+    one intermediate projection — the old shape re-ran the tokenize ~6×
+    and the alpha regexp_replace 2× per doc across the output columns."""
     stop = ",".join(f"'{w}'" for w in LANG_MARKERS["en"])
-    n_chars = f"length(coalesce({text_col}, ''))"
-    alpha = f"length(regexp_replace(lower(coalesce({text_col}, '')), '[^a-z]', ''))"
-    n_tok = f"size({toks})"
-    n_stop = f"size(filter({toks}, t -> array_contains(array({stop}), t)))"
-    return docs.select(
+    staged = docs.select(
         "doc_id",
-        F.expr(n_chars).cast("long").alias("n_chars_c"),
-        F.round(F.expr(f"{alpha} / greatest({n_chars}, 1)"), 6).alias("alpha_ratio6"),
-        F.round(F.expr(f"{n_stop} / greatest({n_tok}, 1)"), 6).alias("stop_ratio6"),
+        F.expr(f"length(coalesce({text_col}, ''))").alias("_nc"),
+        F.expr(
+            f"length(regexp_replace(lower(coalesce({text_col}, '')), '[^a-z]', ''))"
+        ).alias("_al"),
+        F.expr(_toks(text_col)).alias("_t"),
+    ).select(
+        "doc_id",
+        "_nc",
+        "_al",
+        F.expr("size(_t)").alias("_nt"),
+        F.expr(
+            f"size(filter(_t, t -> array_contains(array({stop}), t)))"
+        ).alias("_ns"),
+        F.expr("aggregate(_t, 0L, (acc, t) -> acc + length(t))").alias("_tl"),
+    )
+    return staged.select(
+        "doc_id",
+        F.col("_nc").cast("long").alias("n_chars_c"),
+        F.round(F.expr("_al / greatest(_nc, 1)"), 6).alias("alpha_ratio6"),
+        F.round(F.expr("_ns / greatest(_nt, 1)"), 6).alias("stop_ratio6"),
+        F.round(F.expr("_tl / greatest(_nt, 1)"), 6).alias("mean_tok_len6"),
         F.round(
             F.expr(
-                f"aggregate({toks}, 0L, (acc, t) -> acc + length(t)) / greatest({n_tok}, 1)"
-            ),
-            6,
-        ).alias("mean_tok_len6"),
-        F.round(
-            F.expr(
-                f"0.4 * ({alpha} / greatest({n_chars}, 1))"
-                f" + 0.4 * ({n_stop} / greatest({n_tok}, 1))"
-                f" + 0.2 * least(1.0, {n_tok} / 64.0)"
+                "0.4 * (_al / greatest(_nc, 1))"
+                " + 0.4 * (_ns / greatest(_nt, 1))"
+                " + 0.2 * least(1.0, _nt / 64.0)"
             ),
             6,
         ).alias("quality6"),
@@ -74,10 +87,11 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, pred_lang): argmax of marker-word hits, tie-break lang asc."""
-    toks = _toks(text_col)
+    """(doc_id, pred_lang): argmax of marker-word hits, tie-break lang asc.
+    One tokenize into a projected column; the old shape tokenized once
+    per language."""
     scores = ", ".join(
-        f"struct(size(filter({toks}, t -> array_contains(array("
+        "struct(size(filter(_li_t, t -> array_contains(array("
         + ",".join(f"'{w}'" for w in ws)
         + f"), t))) AS hits, '{lang}' AS lang)"
         for lang, ws in sorted(LANG_MARKERS.items())
@@ -92,25 +106,32 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
                                     WHEN s.hits = best.hits AND best.lang != '' AND s.lang < best.lang THEN s
                                     ELSE best END)
     """
-    return docs.select("doc_id", F.expr(f"({pick}).lang").alias("pred_lang"))
+    return docs.select(
+        "doc_id", F.expr(_toks(text_col)).alias("_li_t")
+    ).select("doc_id", F.expr(f"({pick}).lang").alias("pred_lang"))
 
 
 def fingerprints(docs: DataFrame, text_col: str = "text", k: int = 8, n: int = 3) -> DataFrame:
     """(doc_id, fp): document fingerprint = bottom-k md5 hashes of token
     n-gram shingles joined with '|' (a bottom-k sketch — same family as
-    winnowing; portable to the DuckDB oracle)."""
-    toks = _toks(text_col)
+    winnowing; portable to the DuckDB oracle). Tokens and shingles are
+    staged projections so the lambdas index cheap array attributes (the
+    old shape re-tokenized per shingle through the slice() reference)."""
     sh = f"""
-        CASE WHEN size({toks}) < {n} THEN array(array_join({toks}, ' '))
-        ELSE array_distinct(transform(sequence(0, size({toks}) - {n}),
-                                      i -> concat_ws(' ', slice({toks}, i + 1, {n}))))
+        CASE WHEN size(_fp_t) < {n} THEN array(array_join(_fp_t, ' '))
+        ELSE array_distinct(transform(sequence(0, size(_fp_t) - {n}),
+                                      i -> concat_ws(' ', slice(_fp_t, i + 1, {n}))))
         END
     """
-    return docs.select(
-        "doc_id",
-        F.expr(
-            f"array_join(slice(array_sort(transform({sh}, s -> md5(s))), 1, {k}), '|')"
-        ).alias("fp"),
+    return (
+        docs.select("doc_id", F.expr(_toks(text_col)).alias("_fp_t"))
+        .select("doc_id", F.expr(sh).alias("_fp_sh"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"array_join(slice(array_sort(transform(_fp_sh, s -> md5(s))), 1, {k}), '|')"
+            ).alias("fp"),
+        )
     )
 
 
@@ -334,10 +355,19 @@ def gopher_repetition(
         )
     if impl != "expr":
         raise ValueError(f"unknown impl {impl!r} (expr | fast)")
+    # Stage the split/tokenize arrays as ONE projection (round-6): the
+    # old shape inlined them into every output column — and _grams
+    # indexes the token array per gram, so the inline form re-ran the
+    # regexp tokenize per GRAM × 5 n-values (the dominant share of the
+    # measured 180.7 s/480k expr wall).
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.filter(F.split(txt, "\n"), lambda x: x != F.lit(""))
-    paras = F.filter(F.split(txt, "\n\n"), lambda x: x != F.lit(""))
-    toks = F.expr(_toks(text_col))
+    staged = docs.select(
+        "doc_id",
+        F.filter(F.split(txt, "\n"), lambda x: x != F.lit("")).alias("_gl"),
+        F.filter(F.split(txt, "\n\n"), lambda x: x != F.lit("")).alias("_gp"),
+        F.expr(_toks(text_col)).alias("_gt"),
+    )
+    lines, paras, toks = F.col("_gl"), F.col("_gp"), F.col("_gt")
 
     def chars_of(arr):
         return F.aggregate(
@@ -371,7 +401,7 @@ def gopher_repetition(
                 f"dup_{n}gram_char_frac6"
             )
         )
-    return docs.select(*cols)
+    return staged.select(*cols)
 
 
 # PII patterns — intersection of Java-regex and RE2 semantics (greedy,
