@@ -530,6 +530,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         has_deletes,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     apply_deletes = has_deletes(index_dir)
     db_joined = None
     if apply_deletes:
@@ -617,14 +619,13 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
             .filter(F.col("df") > 0)
         )
         par = spark.sparkContext.defaultParallelism
-        tmp_ts = f"{index_dir}/term_stats_new"
-        new_stats.repartitionByRange(
-            max(1, par // 2), "term"
-        ).sortWithinPartitions("term").write.mode("overwrite").parquet(tmp_ts)
         # doc_stats: deleted docs' dl mass funds the new avgdl. Only
         # tombstones that are actually LIVE (present in doc_stats) adjust
         # the stats — delete_docs validates this, but the guard keeps a
-        # hand-edited deletes dir from corrupting n_docs.
+        # hand-edited deletes dir from corrupting n_docs. This tiny agg
+        # runs FIRST (round-6): it yields the post-delete avgdl, which
+        # unblocks the postings re-encode to run CONCURRENTLY with the
+        # stats/sidecar rewrites below.
         ds = spark.read.parquet(f"{index_dir}/doc_stats")
         dh = F.broadcast(dels) if small else dels
         live_del = ds.join(dh, "doc_id", "left_semi").agg(
@@ -632,42 +633,45 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         ).collect()[0]
         n_live_deleted = int(live_del["n"])
         dl_deleted = int(live_del["t"] or 0)
-        tmp_ds = f"{index_dir}/doc_stats_new"
-        ds.join(dh, "doc_id", "left_anti").write.mode(
-            "overwrite"
-        ).parquet(tmp_ds)
-        shutil.rmtree(f"{index_dir}/term_stats")
-        os.replace(tmp_ts, f"{index_dir}/term_stats")
-        shutil.rmtree(f"{index_dir}/doc_stats")
-        os.replace(tmp_ds, f"{index_dir}/doc_stats")
-        if os.path.isdir(f"{index_dir}/doc_meta"):
-            # Stored-fields sidecar follows the same physical-delete
-            # semantics as doc_stats.
-            tmp_dm = f"{index_dir}/doc_meta_new"
-            spark.read.parquet(f"{index_dir}/doc_meta").join(
-                dh, "doc_id", "left_anti"
-            ).write.mode("overwrite").parquet(tmp_dm)
-            shutil.rmtree(f"{index_dir}/doc_meta")
-            os.replace(tmp_dm, f"{index_dir}/doc_meta")
-        if os.path.isdir(f"{index_dir}/term_vectors"):
-            tmp_tv = f"{index_dir}/term_vectors_new"
-            spark.read.parquet(f"{index_dir}/term_vectors").join(
-                dh, "doc_id", "left_anti"
-            ).write.mode("overwrite").parquet(tmp_tv)
-            shutil.rmtree(f"{index_dir}/term_vectors")
-            os.replace(tmp_tv, f"{index_dir}/term_vectors")
         meta.setdefault("next_doc_id", meta["n_docs"])  # pre-watermark indexes
         meta["n_docs"] -= n_live_deleted
         meta["total_tokens"] -= dl_deleted
         meta["avgdl"] = (
             meta["total_tokens"] / meta["n_docs"] if meta["n_docs"] else 0.0
         )
-        write_trigrams(spark, index_dir)
-        if os.path.isdir(f"{index_dir}/terms_rev"):
-            write_reversed_terms(spark, index_dir)
-        meta["vocab_size"] = spark.read.parquet(
-            f"{index_dir}/term_stats"
-        ).count()
+
+        def _write_term_stats():
+            new_stats.repartitionByRange(
+                max(1, par // 2), "term"
+            ).sortWithinPartitions("term").write.mode("overwrite").parquet(
+                f"{index_dir}/term_stats_new"
+            )
+
+        def _write_doc_stats():
+            ds.join(dh, "doc_id", "left_anti").write.mode(
+                "overwrite"
+            ).parquet(f"{index_dir}/doc_stats_new")
+
+        def _write_doc_meta():
+            # Stored-fields sidecar follows the same physical-delete
+            # semantics as doc_stats.
+            spark.read.parquet(f"{index_dir}/doc_meta").join(
+                dh, "doc_id", "left_anti"
+            ).write.mode("overwrite").parquet(f"{index_dir}/doc_meta_new")
+
+        def _write_term_vectors():
+            spark.read.parquet(f"{index_dir}/term_vectors").join(
+                dh, "doc_id", "left_anti"
+            ).write.mode("overwrite").parquet(f"{index_dir}/term_vectors_new")
+
+        stat_jobs = [_write_term_stats, _write_doc_stats]
+        swap_dirs = ["term_stats", "doc_stats"]
+        if os.path.isdir(f"{index_dir}/doc_meta"):
+            stat_jobs.append(_write_doc_meta)
+            swap_dirs.append("doc_meta")
+        if os.path.isdir(f"{index_dir}/term_vectors"):
+            stat_jobs.append(_write_term_vectors)
+            swap_dirs.append("term_vectors")
 
     avgdl = meta["avgdl"]
 
@@ -780,9 +784,38 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         .sortWithinPartitions("term", "bucket")
     )
     tmp = f"{index_dir}/postings_compact"
-    compacted.write.mode("overwrite").parquet(tmp)
+
+    def _write_postings():
+        compacted.write.mode("overwrite").parquet(tmp)
+
+    # Round-6: the postings re-encode and the stats/sidecar rewrites are
+    # independent jobs over the PRE-swap directories — run them from one
+    # thread pool (guide §2.6), then swap everything adjacently (a
+    # strictly smaller crash window than the old progressive swaps).
+    para_jobs = [_write_postings] + (stat_jobs if apply_deletes else [])
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for fut in [pool.submit(j) for j in para_jobs]:
+            fut.result()
+    if apply_deletes:
+        for d in swap_dirs:
+            shutil.rmtree(f"{index_dir}/{d}")
+            os.replace(f"{index_dir}/{d}_new", f"{index_dir}/{d}")
     shutil.rmtree(f"{index_dir}/postings")
     os.replace(tmp, f"{index_dir}/postings")
+    if apply_deletes:
+        # trigram/reversed dictionaries re-derive from the SWAPPED
+        # term_stats; the vocab count is parquet-footer metadata.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(write_trigrams, spark, index_dir)]
+            if os.path.isdir(f"{index_dir}/terms_rev"):
+                futs.append(
+                    pool.submit(write_reversed_terms, spark, index_dir)
+                )
+            for fut in futs:
+                fut.result()
+        meta["vocab_size"] = spark.read.parquet(
+            f"{index_dir}/term_stats"
+        ).count()
     meta["min_encode_avgdl"] = avgdl
     meta["bmw_safe"] = True
     meta.pop("n_merges", None)
