@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from dts.io import local_rows_df
 
 from dts.codec import PackedPostings, decode_postings
 from dts.delete import mask_deleted_rows
@@ -199,7 +200,8 @@ def boolean_match_docs(
             slot += 1
     if not qt_rows:
         return spark.createDataFrame([], BOOL_SCHEMA)
-    qt = spark.createDataFrame(
+    qt = local_rows_df(
+        spark,
         qt_rows, "bq_id long, m int, i int, role int, msm int, term string"
     )
     idx = load_index(spark, index_dir)
@@ -274,7 +276,7 @@ def terms_set_match(
                 f"terms_set query {r['tq_id']}: no terms after tokenization"
             )
         qt_rows.extend((int(r["tq_id"]), t) for t in terms)
-    qt = spark.createDataFrame(qt_rows, "tq_id long, term string")
+    qt = local_rows_df(spark, qt_rows, "tq_id long, term string")
     idx = load_index(spark, index_dir)
     meta = idx["meta"]
     postings = term_filter(

@@ -52,6 +52,7 @@ from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from dts.io import local_rows_df
 
 from dts.index_build import load_meta, save_meta
 
@@ -167,8 +168,8 @@ def delete_docs(
     if isinstance(doc_ids, DataFrame):
         ids = doc_ids.select(F.col("doc_id").cast("long")).distinct()
     else:
-        ids = spark.createDataFrame(
-            [(int(d),) for d in set(doc_ids)], "doc_id long"
+        ids = local_rows_df(
+            spark, [(int(d),) for d in set(doc_ids)], "doc_id long"
         )
     if validate:
         watermark = meta.get("next_doc_id", meta["n_docs"])

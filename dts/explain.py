@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from dts.io import local_rows_df
 
 from dts.score_index import MAX_ISIN_TERMS, load_index, term_filter
 from dts.tokenizer import tokenize_text
@@ -152,7 +153,7 @@ def explain_scores(
             for d in ids
         }
     )
-    qt = spark.createDataFrame(qt_rows, "query_id long, clause int, term string")
+    qt = local_rows_df(spark, qt_rows, "query_id long, clause int, term string")
     postings = (
         term_filter(
             idx["postings"], sorted({t for *_, t in qt_rows}), max_isin_terms

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from dts.io import local_rows_df
 
 
 # Auto mode broadcasts the match side only when a bounded count proves it
@@ -308,7 +309,8 @@ def facet_range(
         (str(lbl), None if lo is None else float(lo), None if hi is None else float(hi))
         for lbl, lo, hi in ranges
     ]
-    r_df = spark.createDataFrame(
+    r_df = local_rows_df(
+        spark,
         r_rows, "range_label string, range_from double, range_to double"
     )
     if matches is None:
@@ -481,7 +483,7 @@ def facet_filters(
     )
     hit = F.explode(hits_arr).alias("bucket")
     spark = docs.sparkSession
-    n_df = spark.createDataFrame([(n,) for n in names], "bucket string")
+    n_df = local_rows_df(spark, [(n,) for n in names], "bucket string")
     if matches is None:
         counted = docs.select(hit).groupBy("bucket").agg(
             F.count("*").alias("n")

@@ -28,6 +28,79 @@ from pyspark.sql import functions as F
 
 SOURCE_COLS = ["repo", "path", "commit", "lang", "content"]
 
+# local_rows_df caps: beyond these the inline-literal plan gets big enough
+# that parse/optimize time eats the win — fall back to parallelize.
+_LOCAL_REL_MAX_ROWS = 20_000
+_LOCAL_REL_MAX_CHARS = 4_000_000
+
+
+def _sql_literal(v, dtype: str) -> str | None:
+    """One VALUES cell, or None when the value can't be safely inlined."""
+    if v is None:
+        return "NULL"
+    if type(v).__module__ == "numpy":  # np.int64/float64 scalars
+        v = v.item()
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            return None
+        # repr is the shortest round-trip form; SQL double literals parse
+        # back to the identical binary64.
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return None
+
+
+def local_rows_df(
+    spark: SparkSession, rows: list[tuple], schema: str
+) -> DataFrame:
+    """Client-sized rows as a LOCAL RELATION (inline VALUES) instead of a
+    parallelized RDD.
+
+    ``spark.createDataFrame(list)`` parallelizes into defaultParallelism
+    slices, so every broadcast build over a 100-row query table runs a
+    32-task Python-scan job (~0.35 s warm, ~2 s cold per call —
+    measured). An inline-table SELECT is a LocalRelation: the broadcast
+    collects it driver-side with NO job at all. Columns are cast to the
+    DDL schema so dtypes match createDataFrame exactly (probe hashes
+    compare dtypes). Falls back to createDataFrame for empty/huge
+    batches or non-inlinable values (NaN/Inf, exotic types)."""
+    fields = [f.strip().rsplit(" ", 1) for f in schema.split(",")]
+    cells_total = 0
+    vals = []
+    if rows and len(rows) <= _LOCAL_REL_MAX_ROWS:
+        ok = True
+        for r in rows:
+            lits = []
+            for v, (_, _t) in zip(r, fields):
+                s = _sql_literal(v, _t)
+                if s is None:
+                    ok = False
+                    break
+                lits.append(s)
+                cells_total += len(s)
+            if not ok or cells_total > _LOCAL_REL_MAX_CHARS:
+                ok = False
+                break
+            vals.append("(" + ",".join(lits) + ")")
+        if ok:
+            proj = ", ".join(
+                f"CAST(col{i + 1} AS {t.upper()}) AS {name}"
+                for i, (name, t) in enumerate(fields)
+            )
+            local = spark.sql(
+                f"SELECT {proj} FROM (VALUES {','.join(vals)})"
+            )
+            # Literal inference marks all-non-null columns non-nullable;
+            # union with the empty typed relation restores the exact
+            # createDataFrame schema (still a LocalRelation, no job).
+            return local.unionByName(spark.createDataFrame([], schema))
+    return spark.createDataFrame(rows, schema)
+
 
 def with_sha256(docs: DataFrame) -> DataFrame:
     """Per-row invariant column: sha256 over UTF-8 content bytes."""

@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from dts.io import local_rows_df
 
 from dts.score_index import ROUND_RANK, load_index, score_expanded_terms
 
@@ -137,7 +138,7 @@ def more_like_this(
     sel_rows = [(int(r["query_id"]), r["term"]) for r in selected.collect()]
     if not sel_rows:
         return spark.createDataFrame([], MLT_SCHEMA)
-    qterms = spark.createDataFrame(sel_rows, "query_id long, term string")
+    qterms = local_rows_df(spark, sel_rows, "query_id long, term string")
     all_terms = sorted({t for _, t in sel_rows})
     # k+1 then drop the seed and re-close ranks (tiny k×seeds frame)
     top = score_expanded_terms(

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from dts.io import local_rows_df
 
 from dts.index_build import load_meta
 from dts.score_index import (
@@ -96,11 +97,12 @@ def multi_index_topk(
             .collect()
         ):
             df_blend[r["term"]] = df_blend.get(r["term"], 0) + int(r["df"])
-    stats = spark.createDataFrame(
+    stats = local_rows_df(
+        spark,
         [(t, n) for t, n in sorted(df_blend.items())] or [],
         "term string, df long",
     )
-    qterms = spark.createDataFrame(qterm_rows, "query_id long, term string")
+    qterms = local_rows_df(spark, qterm_rows, "query_id long, term string")
     parts = []
     for d, idx, meta, base, ib in zip(
         index_dirs, idxs, metas, doc_bases, index_boosts

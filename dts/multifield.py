@@ -31,6 +31,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from dts.io import local_rows_df
 
 from dts.index_build import build_index, load_meta
 from dts.score_index import (
@@ -226,7 +227,8 @@ def _fused_bucket_topk(
             "block_size": meta["block_size"],
             "codec": meta.get("codec", "varint"),
         }
-        sub_q = spark.createDataFrame(
+        sub_q = local_rows_df(
+            spark,
             qrows, "query_id long, text string, fuzzy_k int"
         )
         prep = _prepare_query_scan(
@@ -502,7 +504,8 @@ def fused_flags_topk(
             "codec": meta.get("codec", "varint"),
         }
         rows = per_field_rows.get(f_name, [])
-        qterms = spark.createDataFrame(
+        qterms = local_rows_df(
+            spark,
             rows,
             "query_id long, clause int, role int, term string, boost double",
         )
@@ -698,7 +701,8 @@ def bm25_topk_multifield(
         )
         cands = []
         for f_name, qrows in sorted(per_field.items()):
-            sub_q = spark.createDataFrame(
+            sub_q = local_rows_df(
+                spark,
                 qrows, "query_id long, text string, fuzzy_k int"
             )
             c = bm25_shard_candidates(
@@ -735,7 +739,8 @@ def bm25_topk_multifield(
 
     scored = []
     for f_name, qrows in sorted(per_field.items()):
-        sub_q = spark.createDataFrame(
+        sub_q = local_rows_df(
+            spark,
             qrows, "query_id long, text string, fuzzy_k int"
         )
         s = bm25_topk_indexed(
@@ -838,10 +843,12 @@ def cross_fields_topk(
         present = [t for t in terms if dfs[f_name].get(t)]
         if not present:
             continue
-        pq = spark.createDataFrame(
+        pq = local_rows_df(
+            spark,
             [(terms_seen[t], t) for t in present], "query_id long, text string"
         )
-        mult = spark.createDataFrame(
+        mult = local_rows_df(
+            spark,
             [
                 (
                     terms_seen[t],
@@ -872,7 +879,7 @@ def cross_fields_topk(
             + F.lit(float(tie_breaker)) * (F.sum("fscore") - F.max("fscore"))
         ).alias("tscore")
     )
-    occ_df = spark.createDataFrame(occ, "query_id long, clause int, t_id long")
+    occ_df = local_rows_df(spark, occ, "query_id long, clause int, t_id long")
     total = (
         per_term.join(F.broadcast(occ_df), "t_id")
         .groupBy("query_id", "doc_id")
@@ -1092,8 +1099,9 @@ def combined_fields_topk(
         )
         for t, dfc in sorted(df_sum.items())
     ]
-    idf_df = spark.createDataFrame(idf_rows, "term string, idf double")
-    occ_df = spark.createDataFrame(
+    idf_df = local_rows_df(spark, idf_rows, "term string, idf double")
+    occ_df = local_rows_df(
+        spark,
         occ, "query_id long, clause int, term string"
     )
 

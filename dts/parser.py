@@ -53,6 +53,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from dts.io import local_rows_df
 
 from dts.tokenizer import tokenize_text
 
@@ -383,7 +384,8 @@ def search_batch(
         doc_filter = range_filter_batch(spark, index_dir, range_by_qid)
         filter_qids = set(range_by_qid)
     rows = [r for qid in sorted(rows_by_q) for r in rows_by_q[qid]]
-    qterms = spark.createDataFrame(
+    qterms = local_rows_df(
+        spark,
         rows,
         "query_id long, clause int, role int, term string, boost double",
     )
@@ -416,7 +418,8 @@ def _expand_fuzzy_pairs(
     from dts.score_index import load_index
 
     idx = load_index(spark, index_dir)
-    fz = spark.createDataFrame(
+    fz = local_rows_df(
+        spark,
         [(i, 0, t, kk) for i, (t, kk) in enumerate(uniq)],
         "query_id long, clause int, qterm string, fuzzy_k int",
     )
@@ -441,7 +444,8 @@ def _expand_wildcard_pats(
     uniq = sorted(set(pats))
     if not uniq:
         return {}
-    wq = spark.createDataFrame(
+    wq = local_rows_df(
+        spark,
         list(enumerate(uniq)), "wq_id long, pattern string"
     )
     out: dict[str, list[str]] = {p: [] for p in uniq}
@@ -661,7 +665,8 @@ def search_fields(
     cands = []
     for f_name in touched:
         rows = per_field_rows.get(f_name, [])
-        qterms = spark.createDataFrame(
+        qterms = local_rows_df(
+            spark,
             rows,
             "query_id long, clause int, role int, term string, boost double",
         )
@@ -708,7 +713,8 @@ def search_fields(
             F.sum("req").alias("req"),
             F.max("excl").alias("excl"),
         )
-    req_df = spark.createDataFrame(
+    req_df = local_rows_df(
+        spark,
         [(q, m) for q, m in m_total.items()], "query_id long, m int"
     )
     total = total.join(F.broadcast(req_df), "query_id").filter(

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from dts.codec import PackedPostings, decode_positions, decode_postings
 from dts.delete import mask_deleted_rows
+from dts.io import local_rows_df
 from dts.score_index import MAX_ISIN_TERMS, load_index, term_filter
 from dts.tokenizer import tokenize_text
 
@@ -244,7 +245,7 @@ def proximity_match_counts(
         qt_rows.append((int(r["pair_id"]), 1, r["term_b"]))
     if not qt_rows:
         return spark.createDataFrame([], "pair_id long, doc_id long, n_matches long")
-    qt = spark.createDataFrame(qt_rows, "pair_id long, i int, term string")
+    qt = local_rows_df(spark, qt_rows, "pair_id long, i int, term string")
     terms = sorted({t for *_, t in qt_rows})
     # Same IN-list cap + semi-join fallback as BM25 scoring: wide synonym
     # batches must not regrow the inline-literal plan bomb here either.
@@ -304,8 +305,8 @@ def phrase_match_counts(
             qt_rows.append((int(r["phrase_id"]), len(toks), i, term, slop))
     if not qt_rows:
         return spark.createDataFrame([], schema)
-    qt = spark.createDataFrame(
-        qt_rows, "phrase_id long, m int, i int, term string, slop int"
+    qt = local_rows_df(
+        spark, qt_rows, "phrase_id long, m int, i int, term string, slop int"
     )
     terms = sorted({t for _, _, _, t, _ in qt_rows})
     postings = term_filter(idx["postings"], terms, max_isin_terms).join(
@@ -430,7 +431,7 @@ def phrase_prefix_counts(
             raise ValueError(f"empty phrase_prefix text (pp_id={pp_id})")
         lead_map[pp_id] = toks[:-1]
         pats.append((pp_id, toks[-1] + "*"))
-    pats_df = spark.createDataFrame(pats, "wq_id long, pattern string")
+    pats_df = local_rows_df(spark, pats, "wq_id long, pattern string")
     qterms, term_list = _expand(spark, index_dir, pats_df)
     if term_list is None:
         # Distributed-dictionary path: truncate per query in term order.
@@ -472,7 +473,7 @@ def phrase_prefix_counts(
             qt_rows.append((pp_id, m, i, t))
         for t in exps:
             qt_rows.append((pp_id, m, m - 1, t))
-    qt = spark.createDataFrame(qt_rows, "pp_id long, m int, i int, term string")
+    qt = local_rows_df(spark, qt_rows, "pp_id long, m int, i int, term string")
     terms = sorted({t for *_, t in qt_rows})
     idx = load_index(spark, index_dir)
     postings = term_filter(idx["postings"], terms, max_isin_terms).join(
@@ -524,7 +525,8 @@ def phrase_syn_rows(
     if not ph_meta:
         return None
     meta = load_index(spark, index_dir)["meta"]
-    ph_df = spark.createDataFrame(
+    ph_df = local_rows_df(
+        spark,
         [(pid, text, slop) for pid, _, _, _, _, text, slop, _ in ph_meta],
         "phrase_id long, text string, slop int",
     )
@@ -555,7 +557,8 @@ def phrase_syn_rows(
         )
         .withColumn("df", F.sum("n").over(Window.partitionBy("phrase_id")))
     )
-    mdf = spark.createDataFrame(
+    mdf = local_rows_df(
+        spark,
         [
             (pid, qid, clause, role, scored,
              SYN_TERM_PREFIX + format(pid, "08d"), boost)

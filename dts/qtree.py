@@ -59,6 +59,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dts.io import local_rows_df
 from dts.tokenizer import tokenize_text
 
 _LEX = re.compile(
@@ -344,8 +345,8 @@ def search_bool(
     if not live_qids:
         return spark.createDataFrame([], TOPK_SCHEMA)
     syn = phrase_syn_rows(spark, index_dir, ph_meta, with_dl=True)
-    qterms = spark.createDataFrame(
-        rows, "query_id long, clause int, role int, term string, boost double"
+    qterms = local_rows_df(
+        spark, rows, "query_id long, clause int, role int, term string, boost double"
     )
     return score_expanded_terms(
         spark, index_dir, qterms, n_queries=len(live_qids), k=k,

@@ -42,6 +42,7 @@ from dts.codec import PackedPostings, bm25_impact
 from dts.delete import has_deletes, join_deletes
 from dts.fuzzy import build_vocab_struct, expand_fuzzy_local, expand_fuzzy_terms
 from dts.index_build import index_revision, load_meta
+from dts.io import local_rows_df
 from dts.tokenizer import tokenize_text
 from dts.wand import bmw_topk
 
@@ -78,8 +79,8 @@ def term_filter(
     terms = sorted(set(terms))
     if len(terms) <= max_isin_terms:
         return df.filter(F.col("term").isin(terms))
-    tdf = df.sparkSession.createDataFrame(
-        [(t,) for t in terms], "term string"
+    tdf = local_rows_df(
+        df.sparkSession, [(t,) for t in terms], "term string"
     )
     return df.join(F.broadcast(tdf), "term", "left_semi")
 
@@ -155,15 +156,15 @@ def expanded_query_terms(
             else:
                 fuzzy_rows.append((int(r["query_id"]), clause, t, k))
                 qtris.update(trigrams_py(t))
-    exact = spark.createDataFrame(
-        exact_rows, "query_id long, clause int, term string"
+    exact = local_rows_df(
+        spark, exact_rows, "query_id long, clause int, term string"
     ) if exact_rows else spark.createDataFrame(
         [], "query_id long, clause int, term string"
     )
     if not fuzzy_rows:
         return exact
-    fuzzy = spark.createDataFrame(
-        fuzzy_rows, "query_id long, clause int, qterm string, fuzzy_k int"
+    fuzzy = local_rows_df(
+        spark, fuzzy_rows, "query_id long, clause int, qterm string, fuzzy_k int"
     )
     expanded = expand_fuzzy_terms(
         fuzzy, term_stats.select("term"), vocab_tri, qtris=sorted(qtris)
@@ -1192,8 +1193,10 @@ def _prepare_query_scan(
         )
         if not qrows:
             return None
-        qterms = spark.createDataFrame(
-            qrows, "query_id long, clause int, term string"
+        # LocalRelation (no parallelize job) — the table is broadcast-
+        # joined, and a parallelized build costs a 32-task job per call.
+        qterms = local_rows_df(
+            spark, qrows, "query_id long, clause int, term string"
         )
         all_terms = sorted({t for *_, t in qrows})
         # term_filter: IN-list pushdown (PLANS.md: PushedFilters In(term, …))
@@ -1439,8 +1442,8 @@ def match_counts_indexed(
         qrows, _, _ = _local_query_term_rows(
             queries, _driver_vocab(spark, index_dir, meta)
         )
-        qterms = spark.createDataFrame(
-            qrows, "query_id long, clause int, term string"
+        qterms = local_rows_df(
+            spark, qrows, "query_id long, clause int, term string"
         )
     else:
         qterms = expanded_query_terms(

@@ -36,6 +36,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from dts.io import local_rows_df
 
 from dts.delete import mask_deleted_rows
 from dts.score_index import MAX_ISIN_TERMS, load_index, term_filter
@@ -101,7 +102,7 @@ def span_first_counts(
     ]
     if not rows:
         return spark.createDataFrame([], SPAN_SCHEMA)
-    qt = spark.createDataFrame(rows, "sq_id long, term string, limit int")
+    qt = local_rows_df(spark, rows, "sq_id long, term string, limit int")
     postings = term_filter(
         idx["postings"], sorted({t for _, t, _ in rows}), max_isin_terms
     ).join(F.broadcast(qt), "term")
@@ -208,8 +209,8 @@ def span_near_counts(
         shape_rows.append((int(r["sq_id"]), len(terms), int(r["slop"])))
     if not qt_rows:
         return spark.createDataFrame([], SPAN_SCHEMA)
-    qt = spark.createDataFrame(qt_rows, "sq_id long, i int, term string")
-    shape = spark.createDataFrame(shape_rows, "sq_id long, m int, slop int")
+    qt = local_rows_df(spark, qt_rows, "sq_id long, i int, term string")
+    shape = local_rows_df(spark, shape_rows, "sq_id long, m int, slop int")
     postings = (
         term_filter(
             idx["postings"], sorted({t for *_, t in qt_rows}), max_isin_terms
@@ -363,10 +364,12 @@ def span_not_counts(
         )
     if not qt_rows:
         return spark.createDataFrame([], SPAN_SCHEMA)
-    qt = spark.createDataFrame(
+    qt = local_rows_df(
+        spark,
         qt_rows, "sq_id long, i int, role int, term string"
     )
-    shape = spark.createDataFrame(
+    shape = local_rows_df(
+        spark,
         shape_rows, "sq_id long, m int, slop int, pre int, post int"
     )
     postings = (
@@ -508,8 +511,9 @@ def interval_unordered_counts(
         shape_rows.append((int(r["iq_id"]), len(terms), int(r["max_gaps"])))
     if not qt_rows:
         return spark.createDataFrame([], INTERVAL_SCHEMA)
-    qt = spark.createDataFrame(qt_rows, "iq_id long, i int, term string")
-    shape = spark.createDataFrame(
+    qt = local_rows_df(spark, qt_rows, "iq_id long, i int, term string")
+    shape = local_rows_df(
+        spark,
         shape_rows, "iq_id long, m int, max_gaps int"
     )
     postings = (

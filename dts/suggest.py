@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from dts.io import local_rows_df
 
 SUGGEST_SCHEMA = "input string, suggestion string, distance int, cf long, rank int"
 
@@ -61,7 +62,8 @@ def suggest_terms(
                 )
     else:
         idx = load_index(spark, index_dir)
-        fz = spark.createDataFrame(
+        fz = local_rows_df(
+            spark,
             [(i, 0, t, max_k) for i, t in enumerate(inputs)],
             "query_id long, clause int, qterm string, fuzzy_k int",
         )
@@ -76,7 +78,8 @@ def suggest_terms(
             pairs.append((t, cand, int(banded_levenshtein(t, cand, max_k))))
     if not pairs:
         return spark.createDataFrame([], SUGGEST_SCHEMA)
-    cand_df = spark.createDataFrame(
+    cand_df = local_rows_df(
+        spark,
         pairs, "input string, suggestion string, distance int"
     )
     idx = load_index(spark, index_dir)

@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from dts.io import local_rows_df
 
 from dts.codec import PackedPostings, decode_postings
 from dts.score_index import (
@@ -103,7 +104,8 @@ def synonym_syn_rows(
     idx = load_index(spark, index_dir)
     meta = idx["meta"]
     members = sorted({t for *_, ts, _ in groups for t in ts})
-    mem_df = spark.createDataFrame(
+    mem_df = local_rows_df(
+        spark,
         [(sid, t) for sid, *_rest in groups for t in _rest[2]],
         "sid long, term string",
     )
@@ -134,7 +136,8 @@ def synonym_syn_rows(
         )
         for sid, qid, clause, terms, boost in groups
     ]
-    mdf = spark.createDataFrame(
+    mdf = local_rows_df(
+        spark,
         meta_rows,
         "sid long, query_id long, clause int, role int, term string, "
         "boost double, df long",
@@ -177,7 +180,8 @@ def bm25_topk_synonyms(
                 sid += 1
             else:
                 qterm_rows.append((qid, tok))
-    qterms = spark.createDataFrame(
+    qterms = local_rows_df(
+        spark,
         qterm_rows or [], "query_id long, term string"
     )
     syn = synonym_syn_rows(spark, index_dir, groups, max_isin_terms)

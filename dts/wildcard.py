@@ -33,6 +33,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from dts.io import local_rows_df
 
 from dts import score_index as _si
 from dts.score_index import (
@@ -226,7 +227,7 @@ def _expand(
             rows, _si._driver_vocab(spark, index_dir, meta)
         )
         qterms = (
-            spark.createDataFrame(out, "wq_id long, term string")
+            local_rows_df(spark, out, "wq_id long, term string")
             if out
             else spark.createDataFrame([], "wq_id long, term string")
         )
@@ -344,7 +345,7 @@ def expand_regex_terms(
                 (rq_id, t) for t in terms[lo:hi] if rx.fullmatch(t)
             )
         qterms = (
-            spark.createDataFrame(out, "rq_id long, term string")
+            local_rows_df(spark, out, "rq_id long, term string")
             if out
             else spark.createDataFrame([], "rq_id long, term string")
         )
@@ -760,7 +761,7 @@ def match_bool_prefix_topk(
         from dts.score_index import TOPK_SCHEMA
 
         return spark.createDataFrame([], TOPK_SCHEMA)
-    pats = spark.createDataFrame(pat_rows, "wq_id long, pattern string")
+    pats = local_rows_df(spark, pat_rows, "wq_id long, pattern string")
     exp = (
         expand_wildcard_terms(spark, index_dir, pats)
         .withColumn(
@@ -776,7 +777,8 @@ def match_bool_prefix_topk(
             "term",
         )
     )
-    exact = spark.createDataFrame(
+    exact = local_rows_df(
+        spark,
         qrows, "query_id long, clause int, term string"
     ) if qrows else None
     qterms = (
