@@ -299,7 +299,11 @@ def build_index(
     stats = term_stats(tf)
     timed(
         "term_stats",
-        lambda: stats.repartitionByRange(max(1, par // 2), "term")
+        # No explicit partition count (round-6): AQE sizes the range
+        # shuffle by advisoryPartitionSizeInBytes, so file counts adapt
+        # to the data (1 file on the toy corpora, ~advisory-sized files
+        # at cluster scale) instead of a cores-derived constant.
+        lambda: stats.repartitionByRange("term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(f"{out_dir}/term_stats"),
@@ -358,6 +362,8 @@ def build_index(
         (
             "doc_stats",
             lambda: doc_stats(docs, tf)
+            .repartitionByRange("doc_id")
+            .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .parquet(f"{out_dir}/doc_stats"),
         ),
@@ -373,7 +379,7 @@ def build_index(
             (
                 "doc_meta",
                 lambda: docs.select("doc_id", *store_fields)
-                .repartitionByRange(max(1, par // 4), "doc_id")
+                .repartitionByRange("doc_id")
                 .sortWithinPartitions("doc_id")
                 .write.mode("overwrite")
                 .parquet(f"{out_dir}/doc_meta"),
@@ -387,7 +393,7 @@ def build_index(
             (
                 "term_vectors",
                 lambda: tf.select("doc_id", "term", "tf")
-                .repartitionByRange(max(1, par // 4), "doc_id")
+                .repartitionByRange("doc_id")
                 .sortWithinPartitions("doc_id", "term")
                 .write.mode("overwrite")
                 .parquet(f"{out_dir}/term_vectors"),
@@ -419,7 +425,7 @@ def write_trigrams(spark: SparkSession, index_dir: str) -> None:
     tmp = f"{index_dir}/trigrams_new"
     (
         vocab_trigrams(vocab)
-        .repartitionByRange(max(1, par // 4), "tri")
+        .repartitionByRange("tri")
         .sortWithinPartitions("tri")
         .write.mode("overwrite")
         .parquet(tmp)
@@ -446,7 +452,7 @@ def write_reversed_terms(spark: SparkSession, index_dir: str) -> None:
     )
     tmp = f"{index_dir}/terms_rev_new"
     (
-        vocab.repartitionByRange(max(1, par // 4), "rterm")
+        vocab.repartitionByRange("rterm")
         .sortWithinPartitions("rterm")
         .write.mode("overwrite")
         .parquet(tmp)
@@ -642,7 +648,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
 
         def _write_term_stats():
             new_stats.repartitionByRange(
-                max(1, par // 2), "term"
+                "term"
             ).sortWithinPartitions("term").write.mode("overwrite").parquet(
                 f"{index_dir}/term_stats_new"
             )
@@ -908,7 +914,7 @@ def merge_index(
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
     )
     tmp = f"{index_dir}/term_stats_new"
-    merged.repartitionByRange(max(1, par // 2), "term").sortWithinPartitions(
+    merged.repartitionByRange("term").sortWithinPartitions(
         "term"
     ).write.mode("overwrite").parquet(tmp)
     import shutil

@@ -697,3 +697,27 @@ def test_percentile_ranks(spark):
     assert got == {
         (0, 15.0): 25.0, (0, 30.0): 75.0, (0, 99.0): 100.0,
     }
+
+
+def test_facet_sidecar_scan_column_pruned(spark, sidecar_index, docs_sdf, corpus_pd):
+    """Round-6 (ROADMAP facet-sidecar item): the doc_meta scan under
+    facet_counts_indexed must read ONLY (doc_id, <field>) — ReadSchema
+    excludes the other stored fields."""
+    from dts.facet import facet_counts_indexed
+
+    toks = tokenize_text(corpus_pd["content"].iloc[0])
+    q = spark.createDataFrame(
+        [(0, " ".join(toks[:1]), 0)], "query_id long, text string, fuzzy_k int"
+    )
+    top = bm25_topk_indexed(spark, sidecar_index, q, k=10)
+    df = facet_counts_indexed(spark, sidecar_index, top, "lang", key="query_id")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    meta_scan = [
+        blk for blk in plan.split("\n\n")
+        if "doc_meta" in blk and "ReadSchema" in blk
+    ]
+    assert meta_scan, plan
+    rs = [ln for ln in meta_scan[0].splitlines() if "ReadSchema" in ln][0]
+    assert "lang" in rs and "doc_id" in rs and "repo" not in rs, rs
