@@ -147,9 +147,12 @@ def nested_match(
         "max": f"array_max({scores})",
         "min": f"array_min({scores})",
         "sum": f"aggregate({scores}, cast(0.0 as double), (a, x) -> a + x)",
+        # let-bind the scored array (round-6): avg references it twice,
+        # and lambdas re-evaluate inlined subtrees per element.
         "avg": (
-            f"aggregate({scores}, cast(0.0 as double), (a, x) -> a + x)"
-            f" / size({scores})"
+            f"transform(array({scores}), _s -> "
+            f"aggregate(_s, cast(0.0 as double), (a, x) -> a + x)"
+            f" / size(_s))[0]"
         ),
     }[score_mode]
     return matched.withColumn("_score", F.expr(agg))
