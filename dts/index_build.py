@@ -400,7 +400,14 @@ def build_index(
             )
         )
         meta["store_term_vectors"] = True
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    # DTS_BUILD_POOL=1 forces sequential writes; A/B at 480k docs
+    # (local[8], alternating reps) showed overlap ≈ sequential ≈ the old
+    # shape within the box's noise band there (mins 14.0 / 15.7 / 15.5 s),
+    # while at latency-bound scale overlap wins (~2 s of the 5k-doc
+    # build); 3 jobs in flight is the guide §2.6 sweet spot.
+    import os as _os
+    _pool_n = int(_os.environ.get("DTS_BUILD_POOL", "3"))
+    with ThreadPoolExecutor(max_workers=_pool_n) as pool:
         futures = [(n, pool.submit(timed, n, fn)) for n, fn in jobs]
         for _, fut in futures:
             fut.result()
